@@ -1,0 +1,125 @@
+"""Length-bucketed padding: ragged examples -> fixed-shape masked batches.
+
+Replaces the reference's sort-by-length + pad + ``pack_padded_sequence``
+collate (SURVEY.md C3, section 3.3). The sort existed only to satisfy cuDNN;
+on TPU the requirements invert: shapes must be STATIC so XLA compiles once
+per bucket, and raggedness is carried by masks. Bucket edges bound the
+compile-cache size (SURVEY.md "hard parts" item 3).
+"""
+
+from __future__ import annotations
+
+import bisect
+from dataclasses import dataclass
+
+import numpy as np
+
+from cmhse_tpu.data.batch import Batch
+
+
+@dataclass(frozen=True)
+class BucketSpec:
+    """Static shape caps for one compiled bucket."""
+
+    batch_size: int
+    max_clips: int
+    max_frames: int
+    max_sentences: int
+    max_words: int
+    feat_dim: int
+
+    @property
+    def signature(self) -> tuple[int, ...]:
+        return (
+            self.batch_size,
+            self.max_clips,
+            self.max_frames,
+            self.max_sentences,
+            self.max_words,
+            self.feat_dim,
+        )
+
+
+def pick_bucket(value: int, edges: tuple[int, ...]) -> int:
+    """Smallest bucket edge >= value (clamps to the largest edge)."""
+    i = bisect.bisect_left(edges, value)
+    return edges[min(i, len(edges) - 1)]
+
+
+def pad_batch(examples: list, spec: BucketSpec) -> Batch:
+    """Pad a list of :class:`RaggedExample` into one fixed-shape Batch.
+
+    Examples beyond the spec's caps are truncated (frames/words tails drop);
+    a batch shorter than ``spec.batch_size`` is padded with invalid rows.
+    """
+    b = spec.batch_size
+    if len(examples) > b:
+        raise ValueError(f"batch of {len(examples)} > spec batch_size {b}")
+    cmax, fmax = spec.max_clips, spec.max_frames
+    smax, wmax = spec.max_sentences, spec.max_words
+
+    frames = np.zeros((b, cmax, fmax, spec.feat_dim), np.float32)
+    frame_len = np.zeros((b, cmax), np.int32)
+    clip_len = np.zeros((b,), np.int32)
+    words = np.zeros((b, smax, wmax), np.int32)
+    word_len = np.zeros((b, smax), np.int32)
+    sent_len = np.zeros((b,), np.int32)
+    video_ids = np.full((b,), -1, np.int32)
+    valid = np.zeros((b,), bool)
+
+    for i, ex in enumerate(examples):
+        nclip = min(len(ex.clips), cmax)
+        clip_len[i] = nclip
+        for c in range(nclip):
+            feat = np.asarray(ex.clips[c], np.float32)
+            nf = min(feat.shape[0], fmax)
+            frames[i, c, :nf] = feat[:nf]
+            frame_len[i, c] = nf
+        nsent = min(len(ex.sentences), smax)
+        sent_len[i] = nsent
+        for s in range(nsent):
+            ids = np.asarray(ex.sentences[s], np.int32)
+            nw = min(ids.shape[0], wmax)
+            words[i, s, :nw] = ids[:nw]
+            word_len[i, s] = nw
+        video_ids[i] = ex.video_id
+        valid[i] = True
+
+    return Batch(
+        frames=frames,
+        frame_len=frame_len,
+        clip_len=clip_len,
+        words=words,
+        word_len=word_len,
+        sent_len=sent_len,
+        video_ids=video_ids,
+        valid=valid,
+    )
+
+
+def bucket_for_examples(
+    examples: list,
+    batch_size: int,
+    feat_dim: int,
+    max_clips: int,
+    max_sentences: int,
+    frame_buckets: tuple[int, ...],
+    word_buckets: tuple[int, ...],
+) -> BucketSpec:
+    """Choose the (frames, words) bucket for a batch from its longest members."""
+    fmax = max(
+        (min(len(c), 1 << 30) for ex in examples for c in ex.clips),
+        default=1,
+    )
+    wmax = max(
+        (len(s) for ex in examples for s in ex.sentences),
+        default=1,
+    )
+    return BucketSpec(
+        batch_size=batch_size,
+        max_clips=max_clips,
+        max_frames=pick_bucket(fmax, frame_buckets),
+        max_sentences=max_sentences,
+        max_words=pick_bucket(wmax, word_buckets),
+        feat_dim=feat_dim,
+    )

@@ -1,0 +1,136 @@
+"""Datasets: precomputed-feature ingestion (rebuilds SURVEY.md C2, the
+reference's ``data.py`` ``PrecompDataset``) plus a deterministic synthetic
+generator for tests and benchmarks.
+
+Per-video record: a list of clip segments (each ``[n_frames, feat_dim]`` C3D
+features) aligned 1:1 with the paragraph's sentences (token-id lists). The
+reference read these from ActivityNet-challenge C3D ``.npy``/HDF5 releases;
+this loader accepts either layout:
+
+  * HDF5: one file ``{split}_features.h5`` with a dataset per video id, plus
+    ``{split}_captions.json`` mapping id -> {"timestamps": [[s,e],...],
+    "sentences": [...], "duration": d};
+  * Directory of ``.npy`` per video id with the same captions json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from cmhse_tpu.data.vocab import Vocabulary
+
+
+@dataclass
+class RaggedExample:
+    """One ragged video-paragraph pair, pre-padding."""
+
+    video_id: int
+    clips: list  # list of [n_frames, feat_dim] float32 arrays
+    sentences: list  # list of [n_words] int32 token-id arrays
+    key: str = ""  # dataset-level string id (e.g. "v_QOlSCBRmfWY")
+
+
+class SyntheticHierarchicalDataset:
+    """Deterministic ragged data for tests/bench (no real features needed).
+
+    Raggedness mimics ActivityNet Captions: 1-``max_clips`` clips per video,
+    ragged frame counts per clip, sentence lengths correlated with nothing.
+    """
+
+    def __init__(
+        self,
+        num_videos: int = 100,
+        feat_dim: int = 500,
+        vocab_size: int = 1000,
+        max_clips: int = 8,
+        max_frames: int = 64,
+        max_words: int = 32,
+        seed: int = 0,
+    ) -> None:
+        self.num_videos = num_videos
+        self.feat_dim = feat_dim
+        self.vocab_size = vocab_size
+        self.max_clips = max_clips
+        self.max_frames = max_frames
+        self.max_words = max_words
+        self.seed = seed
+
+    def __len__(self) -> int:
+        return self.num_videos
+
+    def __getitem__(self, idx: int) -> RaggedExample:
+        if not 0 <= idx < self.num_videos:
+            raise IndexError(idx)
+        rng = np.random.RandomState(self.seed * 1_000_003 + idx)
+        n_clips = int(rng.randint(1, self.max_clips + 1))
+        clips, sentences = [], []
+        for _ in range(n_clips):
+            nf = int(rng.randint(4, self.max_frames + 1))
+            clips.append(rng.randn(nf, self.feat_dim).astype(np.float32))
+            nw = int(rng.randint(3, self.max_words + 1))
+            sentences.append(
+                rng.randint(4, self.vocab_size, size=nw).astype(np.int32)
+            )
+        return RaggedExample(video_id=idx, clips=clips, sentences=sentences,
+                             key=f"synthetic_{idx}")
+
+
+class PrecompDataset:
+    """Precomputed C3D features + tokenized captions (reference ``data.py``).
+
+    Segments each video's frame-feature matrix by the caption timestamps, so
+    clip k aligns with sentence k (the hierarchy contract the low-level loss
+    relies on).
+    """
+
+    def __init__(
+        self,
+        data_path: str,
+        split: str,
+        vocab: Vocabulary,
+        feat_dim: int = 500,
+    ) -> None:
+        self.data_path = data_path
+        self.split = split
+        self.vocab = vocab
+        self.feat_dim = feat_dim
+        cap_path = os.path.join(data_path, f"{split}_captions.json")
+        with open(cap_path) as f:
+            self.captions: dict = json.load(f)
+        self.keys = sorted(self.captions)
+        self._h5 = None
+        self._h5_path = os.path.join(data_path, f"{split}_features.h5")
+        self._npy_dir = os.path.join(data_path, "features")
+
+    def __len__(self) -> int:
+        return len(self.keys)
+
+    def _load_features(self, key: str) -> np.ndarray:
+        if os.path.exists(self._h5_path):
+            if self._h5 is None:
+                import h5py
+
+                self._h5 = h5py.File(self._h5_path, "r")
+            return np.asarray(self._h5[key], np.float32)
+        return np.load(
+            os.path.join(self._npy_dir, f"{key}.npy")
+        ).astype(np.float32)
+
+    def __getitem__(self, idx: int) -> RaggedExample:
+        key = self.keys[idx]
+        meta = self.captions[key]
+        feats = self._load_features(key)  # [T, feat_dim]
+        duration = float(meta.get("duration", len(feats)))
+        n = feats.shape[0]
+        clips, sentences = [], []
+        for (start, end), sent in zip(meta["timestamps"], meta["sentences"]):
+            s = max(0, min(n - 1, int(round(start / duration * n))))
+            e = max(s + 1, min(n, int(round(end / duration * n))))
+            clips.append(feats[s:e])
+            sentences.append(np.asarray(self.vocab.encode(sent), np.int32))
+        return RaggedExample(video_id=idx, clips=clips, sentences=sentences,
+                             key=key)

@@ -1,0 +1,71 @@
+"""Host-side batch iteration (rebuilds SURVEY.md C3's ``get_precomp_loader`` /
+``get_loaders`` without torch DataLoader workers: the features are
+precomputed and small, so a simple shuffled iterator with length-grouped
+bucketing keeps the TPU fed; `jax.device_put` overlap happens in the train
+loop via double-buffered prefetch).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+
+from cmhse_tpu.config import DataConfig
+from cmhse_tpu.data.batch import Batch
+from cmhse_tpu.data.bucketing import BucketSpec, bucket_for_examples, pad_batch
+
+
+def batches_from_dataset(
+    dataset,
+    cfg: DataConfig,
+    shuffle: bool = True,
+    seed: int = 0,
+    drop_last: bool = False,
+    fixed_shape: bool = True,
+) -> Iterator[Batch]:
+    """Yield fixed-shape :class:`Batch` pytrees from a ragged dataset.
+
+    With ``fixed_shape=True`` every batch uses the config's maximal caps —
+    ONE compiled program for the whole epoch (best for TPU). With False,
+    per-batch (frames, words) bucket edges are chosen from the batch's
+    longest member — less padding FLOPs at the cost of up to
+    ``len(frame_buckets) * len(word_buckets)`` compiles.
+    """
+    order = np.arange(len(dataset))
+    if shuffle:
+        np.random.RandomState(seed).shuffle(order)
+
+    full_spec = BucketSpec(
+        batch_size=cfg.batch_size,
+        max_clips=cfg.max_clips,
+        max_frames=cfg.max_frames,
+        max_sentences=cfg.max_sentences,
+        max_words=cfg.max_words,
+        feat_dim=cfg.feat_dim,
+    )
+
+    for start in range(0, len(order), cfg.batch_size):
+        idxs = order[start : start + cfg.batch_size]
+        if drop_last and len(idxs) < cfg.batch_size:
+            return
+        examples = [dataset[int(i)] for i in idxs]
+        if fixed_shape:
+            spec = full_spec
+        else:
+            spec = bucket_for_examples(
+                examples,
+                batch_size=cfg.batch_size,
+                feat_dim=cfg.feat_dim,
+                max_clips=cfg.max_clips,
+                max_sentences=cfg.max_sentences,
+                frame_buckets=cfg.frame_buckets,
+                word_buckets=cfg.word_buckets,
+            )
+        yield pad_batch(examples, spec)
+
+
+def epoch_num_batches(n_examples: int, batch_size: int, drop_last: bool = False) -> int:
+    if drop_last:
+        return n_examples // batch_size
+    return -(-n_examples // batch_size)

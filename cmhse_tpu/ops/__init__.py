@@ -1,0 +1,16 @@
+from cmhse_tpu.ops.similarity import l2norm, cosine_sim
+from cmhse_tpu.ops.loss import (
+    contrastive_loss,
+    positive_mask_from_ids,
+)
+from cmhse_tpu.ops.ranking import retrieval_ranks, recall_at_k, retrieval_metrics
+
+__all__ = [
+    "l2norm",
+    "cosine_sim",
+    "contrastive_loss",
+    "positive_mask_from_ids",
+    "retrieval_ranks",
+    "recall_at_k",
+    "retrieval_metrics",
+]

@@ -1,0 +1,96 @@
+"""On-device retrieval metrics: R@k and median rank.
+
+Rebuilds SURVEY.md C12 (the reference's ``evaluation.py`` ``i2t``/``t2i``
+numpy argsort loops) — but instead of a host-side per-query ``argsort`` the
+rank of the positive is computed by *counting* strictly-greater similarities:
+
+    rank_i = 1 + |{ j : sims[i, j] > sims[i, pos_i] }|
+
+This is O(N^2) compares on the VPU with no sort, is exactly the argsort rank
+for distinct scores, shards trivially over gallery columns (the per-shard
+counts just ``psum``), and — unlike ``argsort`` — keeps working when the
+gallery is streamed in tiles (see ``cmhse_tpu.parallel.eval_sharded``).
+
+Tie-breaking: numpy ``argsort`` breaks ties by index order, so when scores tie
+exactly the reference's rank depends on gallery order. We count strict
+inequalities, which gives the *best* rank among tied items. With float
+similarities ties occur with probability ~0, and on identical inputs+weights
+the ranks match the reference exactly (SURVEY.md "hard parts" item 2).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+from jax import Array
+
+
+def retrieval_ranks(sims: Array, positive_idx: Array | None = None) -> Array:
+    """1-based rank of each query's positive within the gallery.
+
+    Args:
+      sims: ``[Nq, Ng]`` similarity matrix (higher = closer).
+      positive_idx: ``[Nq]`` int gallery index of each query's positive.
+        Defaults to ``arange(Nq)`` (aligned galleries, as in the reference).
+
+    Returns:
+      ``[Nq]`` int32 ranks, 1-based.
+    """
+    nq = sims.shape[0]
+    if positive_idx is None:
+        positive_idx = jnp.arange(nq)
+    pos_score = jnp.take_along_axis(sims, positive_idx[:, None], axis=1)  # [Nq,1]
+    greater = jnp.sum((sims > pos_score).astype(jnp.int32), axis=1)
+    return greater + 1
+
+
+def recall_at_k(ranks: Array, k: int) -> Array:
+    """Fraction of queries whose positive ranks within the top-k."""
+    return jnp.mean((ranks <= k).astype(jnp.float32))
+
+
+def median_rank(ranks: Array) -> Array:
+    """Median of the 1-based ranks (float; midpoint for even counts), matching
+    ``numpy.median`` as used by the reference's ``evaluation.py``."""
+    return jnp.median(ranks.astype(jnp.float32))
+
+
+def mean_rank(ranks: Array) -> Array:
+    return jnp.mean(ranks.astype(jnp.float32))
+
+
+def retrieval_metrics(
+    sims: Array,
+    ks: tuple[int, ...] = (1, 5, 10, 50),
+    positive_idx: Array | None = None,
+) -> dict[str, Array]:
+    """R@k for each k, plus median and mean rank, for one query direction.
+
+    The reference reports R@1/R@5/R@50 + MedR (paper tables); the rebuild's
+    driver metric adds R@10 (BASELINE.md) — both sets fall out of ``ks``.
+    """
+    ranks = retrieval_ranks(sims, positive_idx)
+    out: dict[str, Array] = {f"r@{k}": recall_at_k(ranks, k) * 100.0 for k in ks}
+    out["medr"] = median_rank(ranks)
+    out["meanr"] = mean_rank(ranks)
+    return out
+
+
+def bidirectional_metrics(
+    sims: Array,
+    ks: tuple[int, ...] = (1, 5, 10, 50),
+) -> dict[str, Array]:
+    """Both retrieval directions from one sim matrix (video rows, text cols).
+
+    ``v2p_*`` uses rows as queries (video->paragraph), ``p2v_*`` columns
+    (paragraph->video), mirroring the reference's ``i2t``/``t2i`` pair.
+    ``rsum`` is the model-selection scalar the reference maximizes for
+    best-checkpoint saving (sum of R@1/5/10 over both directions).
+    """
+    v2p = retrieval_metrics(sims, ks)
+    p2v = retrieval_metrics(sims.T, ks)
+    out = {f"v2p_{k}": v for k, v in v2p.items()}
+    out.update({f"p2v_{k}": v for k, v in p2v.items()})
+    out["rsum"] = sum(
+        out[f"{d}_r@{k}"] for d in ("v2p", "p2v") for k in ks if k <= 10
+    )
+    return out

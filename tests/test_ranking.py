@@ -1,0 +1,70 @@
+"""Retrieval metric goldens: rank-counting vs numpy argsort (SURVEY.md 4.1)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from cmhse_tpu.ops.ranking import (
+    bidirectional_metrics,
+    median_rank,
+    recall_at_k,
+    retrieval_metrics,
+    retrieval_ranks,
+)
+
+
+def _numpy_ranks(sims, pos_idx=None):
+    """The reference's evaluation.py approach: argsort per query."""
+    nq = sims.shape[0]
+    if pos_idx is None:
+        pos_idx = np.arange(nq)
+    ranks = np.empty(nq, dtype=np.int64)
+    for i in range(nq):
+        order = np.argsort(sims[i])[::-1]
+        ranks[i] = int(np.where(order == pos_idx[i])[0][0]) + 1
+    return ranks
+
+
+def test_ranks_match_numpy_argsort():
+    rng = np.random.RandomState(0)
+    sims = rng.randn(50, 80).astype(np.float32)
+    got = np.asarray(retrieval_ranks(jnp.asarray(sims)))
+    want = _numpy_ranks(sims)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_ranks_with_explicit_positive_idx():
+    rng = np.random.RandomState(1)
+    sims = rng.randn(30, 60).astype(np.float32)
+    pos = rng.randint(0, 60, size=30)
+    got = np.asarray(retrieval_ranks(jnp.asarray(sims), jnp.asarray(pos)))
+    want = _numpy_ranks(sims, pos)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_recall_and_median():
+    ranks = jnp.asarray(np.array([1, 2, 3, 10, 40], np.int32))
+    np.testing.assert_allclose(float(recall_at_k(ranks, 1)), 0.2)
+    np.testing.assert_allclose(float(recall_at_k(ranks, 5)), 0.6)
+    np.testing.assert_allclose(float(median_rank(ranks)), 3.0)
+
+
+def test_retrieval_metrics_against_numpy():
+    rng = np.random.RandomState(2)
+    sims = rng.randn(100, 100).astype(np.float32)
+    m = retrieval_metrics(jnp.asarray(sims), ks=(1, 5, 10, 50))
+    ranks = _numpy_ranks(sims)
+    for k in (1, 5, 10, 50):
+        np.testing.assert_allclose(
+            float(m[f"r@{k}"]), 100.0 * (ranks <= k).mean(), rtol=1e-6
+        )
+    np.testing.assert_allclose(float(m["medr"]), np.median(ranks), rtol=1e-6)
+
+
+def test_bidirectional_metrics_shapes():
+    rng = np.random.RandomState(3)
+    sims = rng.randn(20, 20).astype(np.float32)
+    m = bidirectional_metrics(jnp.asarray(sims))
+    assert "v2p_r@1" in m and "p2v_r@1" in m and "rsum" in m
+    # rsum = sum of r@1/5/10 both directions
+    want = sum(float(m[f"{d}_r@{k}"]) for d in ("v2p", "p2v") for k in (1, 5, 10))
+    np.testing.assert_allclose(float(m["rsum"]), want, rtol=1e-6)
