@@ -1,0 +1,40 @@
+"""``cmhse-eval`` — offline retrieval evaluation (the reference's
+``python evaluation.py`` entry; SURVEY.md section 3.2)."""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser("cmhse-eval")
+    p.add_argument("checkpoint", help="checkpoint directory (with config.json)")
+    p.add_argument("--data_path", default=None)
+    p.add_argument("--split", default="val")
+    p.add_argument("--ks", default="1,5,10,50")
+    p.add_argument("--sharded", action="store_true",
+                   help="shard the gallery across all visible devices")
+    p.add_argument("--mode", default="query", choices=["query", "gallery"])
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu", "axon"])
+    args = p.parse_args(argv)
+
+    from cmhse_tpu.cli.train import _force_platform
+
+    _force_platform(args.platform)
+
+    from cmhse_tpu.eval.retrieval import evalrank
+
+    mesh = None
+    if args.sharded:
+        from cmhse_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh((-1,), ("data",))
+
+    ks = tuple(int(k) for k in args.ks.split(","))
+    evalrank(args.checkpoint, data_path=args.data_path, split=args.split,
+             ks=ks, mesh=mesh)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

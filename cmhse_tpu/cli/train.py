@@ -1,0 +1,166 @@
+"""``cmhse-train`` — the reference's ``python train.py`` CLI (SURVEY.md C13).
+
+Flag surface mirrors the reference argparse block (``--data_path --data_name
+--margin --embed_size --word_dim --num_epochs --batch_size --lr --lr_update
+--max_violation --resume --logger_name``), mapped onto the frozen dataclass
+config; ``--preset`` selects a BASELINE config by name.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("cmhse-train")
+    p.add_argument("--preset", default="hier_anet",
+                   help="named BASELINE config (see cmhse_tpu.config.PRESETS)")
+    # reference flags (SURVEY.md C13)
+    p.add_argument("--data_path", default=None)
+    p.add_argument("--data_name", dest="dataset", default=None,
+                   help="e.g. anet_precomp / didemo_precomp")
+    p.add_argument("--vocab_path", default=None)
+    p.add_argument("--margin", type=float, default=None)
+    p.add_argument("--embed_size", type=int, default=None)
+    p.add_argument("--word_dim", type=int, default=None)
+    p.add_argument("--num_epochs", type=int, default=None)
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--lr", "--learning_rate", type=float, default=None)
+    p.add_argument("--lr_update", type=int, default=None)
+    p.add_argument("--grad_clip", type=float, default=None)
+    p.add_argument("--max_violation", action="store_true", default=None)
+    p.add_argument("--no_max_violation", dest="max_violation",
+                   action="store_false")
+    p.add_argument("--resume", default=None)
+    p.add_argument("--logger_name", dest="checkpoint_dir", default=None)
+    p.add_argument("--val_step", type=int, default=None)
+    p.add_argument("--log_step", type=int, default=None)
+    p.add_argument("--seed", type=int, default=None)
+    # model structure
+    p.add_argument("--flat", action="store_true",
+                   help="non-hierarchical VSE-style model (config 1)")
+    p.add_argument("--attention_pool", action="store_true", default=None)
+    p.add_argument("--reconstruction", action="store_true", default=None)
+    p.add_argument("--recon_weight", type=float, default=None, help="tau")
+    p.add_argument("--low_weight", type=float, default=None)
+    p.add_argument("--high_weight", type=float, default=None)
+    p.add_argument("--dtype", default=None, choices=["float32", "bfloat16"])
+    # runtime
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu", "axon"],
+                   help="force a JAX platform (tests/dev: cpu)")
+    p.add_argument("--synthetic", action="store_true",
+                   help="train on the synthetic dataset (smoke/bench)")
+    p.add_argument("--synthetic_videos", type=int, default=256)
+    return p
+
+
+def apply_overrides(cfg, args):
+    """Override preset fields with explicitly-passed flags."""
+    d = dataclasses.asdict(cfg.data)
+    m = dataclasses.asdict(cfg.model)
+    l = dataclasses.asdict(cfg.loss)
+    t = dataclasses.asdict(cfg.train)
+    if args.data_path is not None:
+        d["data_path"] = args.data_path
+    if args.dataset is not None:
+        d["dataset"] = args.dataset
+    if args.batch_size is not None:
+        d["batch_size"] = args.batch_size
+    if args.embed_size is not None:
+        m["embed_size"] = args.embed_size
+    if args.word_dim is not None:
+        m["word_dim"] = args.word_dim
+    if args.flat:
+        m["hierarchical"] = False
+    if args.attention_pool is not None:
+        m["attention_pool"] = args.attention_pool
+    if args.reconstruction is not None:
+        m["reconstruction"] = args.reconstruction
+    if args.dtype is not None:
+        m["dtype"] = args.dtype
+    if args.margin is not None:
+        l["margin"] = args.margin
+    if args.max_violation is not None:
+        l["max_violation"] = args.max_violation
+    if args.recon_weight is not None:
+        l["recon_weight"] = args.recon_weight
+    if args.low_weight is not None:
+        l["low_weight"] = args.low_weight
+    if args.high_weight is not None:
+        l["high_weight"] = args.high_weight
+    for name in ("num_epochs", "lr", "lr_update", "grad_clip", "val_step",
+                 "log_step", "seed", "resume", "checkpoint_dir"):
+        v = getattr(args, name)
+        if v is not None:
+            t[name] = v
+    from cmhse_tpu.config import (DataConfig, ExperimentConfig, LossConfig,
+                                  ModelConfig, TrainConfig)
+
+    return ExperimentConfig(
+        name=cfg.name,
+        data=DataConfig(**d),
+        model=ModelConfig(**m),
+        loss=LossConfig(**l),
+        train=TrainConfig(**{k: tuple(v) if isinstance(v, list) else v
+                             for k, v in t.items()}),
+    )
+
+
+def _force_platform(platform: str | None) -> None:
+    if platform is None:
+        return
+    import os
+
+    if platform == "cpu":
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "--xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count=8"
+            ).strip()
+    import jax
+
+    jax.config.update(
+        "jax_platforms", "cpu" if platform == "cpu" else "axon,cpu"
+    )
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    _force_platform(args.platform)
+
+    from cmhse_tpu.config import get_preset
+    from cmhse_tpu.train.loop import fit
+
+    cfg = apply_overrides(get_preset(args.preset), args)
+    print(f"config:\n{cfg.to_json()}")
+
+    if args.synthetic:
+        from cmhse_tpu.data import SyntheticHierarchicalDataset
+
+        mk = lambda n, seed: SyntheticHierarchicalDataset(
+            num_videos=n, feat_dim=cfg.data.feat_dim,
+            vocab_size=cfg.data.vocab_size, max_clips=cfg.data.max_clips,
+            max_frames=cfg.data.max_frames, max_words=cfg.data.max_words,
+            seed=seed,
+        )
+        train_ds = mk(args.synthetic_videos, 0)
+        val_ds = mk(max(args.synthetic_videos // 4, 8), 1)
+    else:
+        from cmhse_tpu.data import PrecompDataset, Vocabulary, batches_from_dataset
+
+        vocab_path = args.vocab_path or f"{cfg.data.data_path}/vocab.json"
+        vocab = Vocabulary.load(vocab_path)
+        train_ds = PrecompDataset(cfg.data.data_path, "train", vocab,
+                                  feat_dim=cfg.data.feat_dim)
+        val_ds = PrecompDataset(cfg.data.data_path, "val", vocab,
+                                feat_dim=cfg.data.feat_dim)
+
+    state, best_rsum = fit(cfg, train_ds, val_ds)
+    print(f"done; best rsum {best_rsum:.2f}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -71,6 +71,8 @@ class LossConfig:
     low_weight: float = 1.0  # weight on clip<->sentence level loss
     high_weight: float = 1.0  # weight on video<->paragraph level loss
     recon_weight: float = 5e-4  # tau, layer-wise reconstruction term (C8)
+    use_pallas: bool = True  # fused sim+hinge kernel (max_violation only;
+    # interpret-mode off-TPU, so correctness is platform-independent)
 
 
 @dataclass(frozen=True)

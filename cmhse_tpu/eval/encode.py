@@ -1,0 +1,73 @@
+"""Gallery encoding (rebuilds SURVEY.md C11: the reference's
+``evaluation.py`` ``encode_data(model, loader)`` which collected all
+embeddings into host numpy arrays).
+
+TPU-first difference: embeddings stay ON DEVICE as stacked jnp arrays; only
+the final metrics cross back to the host. The encode itself is one jitted
+function per bucket shape, reused across batches.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import Array
+
+from cmhse_tpu.data.batch import Batch
+from cmhse_tpu.models.cmhse import CMHSE
+
+
+def encode_data(
+    model: CMHSE,
+    params,
+    batches,
+    return_low_level: bool = False,
+):
+    """Encode every batch; returns (video_embs [N, E], para_embs [N, E],
+    video_ids [N]) with padded rows dropped, plus optionally the low-level
+    (clip, sentence) embeddings and their masks.
+
+    ``batches`` is any iterable of :class:`Batch` (host or device).
+    """
+
+    @jax.jit
+    def _encode(params, batch: Batch):
+        v, clip = model.apply(
+            {"params": params}, batch.frames, batch.frame_len, batch.clip_len,
+            method=CMHSE.encode_video,
+        )
+        p, sent = model.apply(
+            {"params": params}, batch.words, batch.word_len, batch.sent_len,
+            method=CMHSE.encode_text,
+        )
+        return v, p, clip, sent
+
+    v_all, p_all, ids_all = [], [], []
+    clip_all, sent_all, cmask_all, smask_all = [], [], [], []
+    for batch in batches:
+        v, p, clip, sent = _encode(params, batch)
+        keep = np.asarray(batch.valid)
+        v_all.append(np.asarray(v)[keep])
+        p_all.append(np.asarray(p)[keep])
+        ids_all.append(np.asarray(batch.video_ids)[keep])
+        if return_low_level:
+            clip_all.append(np.asarray(clip)[keep])
+            sent_all.append(np.asarray(sent)[keep])
+            cmask_all.append(np.asarray(batch.clip_valid())[keep])
+            smask_all.append(np.asarray(batch.sent_valid())[keep])
+
+    video_embs = jnp.asarray(np.concatenate(v_all))
+    para_embs = jnp.asarray(np.concatenate(p_all))
+    video_ids = np.concatenate(ids_all)
+    if not return_low_level:
+        return video_embs, para_embs, video_ids
+    return (
+        video_embs,
+        para_embs,
+        video_ids,
+        [np.concatenate(x) if x else None
+         for x in (clip_all, sent_all, cmask_all, smask_all)],
+    )

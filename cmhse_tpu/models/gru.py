@@ -43,8 +43,11 @@ def gru_input_projection(x: Array, w_i: Array, b_i: Array) -> Array:
 
     Returns: ``[B, T, 3H]``.
     """
+    # cast weights to the activation dtype so bf16 activations hit the MXU's
+    # bf16 x bf16 -> f32 fast path (identity for f32 training/parity runs)
     return (
-        jnp.dot(x, w_i, preferred_element_type=jnp.float32) + b_i
+        jnp.dot(x, w_i.astype(x.dtype), preferred_element_type=jnp.float32)
+        + b_i
     ).astype(x.dtype)
 
 
@@ -57,11 +60,12 @@ def gru_step(xw_t: Array, h: Array, w_h: Array, b_h: Array) -> Array:
       w_h: ``[H, 3H]`` fused hidden weights, gate order (r, z, n).
       b_h: ``[3H]`` fused hidden bias.
     """
-    hidden = h.shape[-1]
-    hw = jnp.dot(h, w_h, preferred_element_type=jnp.float32) + b_h  # [B, 3H]
+    hw = (
+        jnp.dot(h, w_h.astype(h.dtype), preferred_element_type=jnp.float32)
+        + b_h
+    )  # [B, 3H] f32
     xr, xz, xn = jnp.split(xw_t.astype(jnp.float32), 3, axis=-1)
     hr, hz, hn = jnp.split(hw, 3, axis=-1)
-    del hidden
     r = jax.nn.sigmoid(xr + hr)
     z = jax.nn.sigmoid(xz + hz)
     n = jnp.tanh(xn + r * hn)

@@ -1,0 +1,311 @@
+"""Pallas TPU kernels for the two similarity hot paths (SURVEY.md section 2a:
+the first-party replacements for the reference's cuBLAS sim-GEMM + host
+ranking):
+
+  1. :func:`fused_contrastive_loss` — cosine-similarity tiles fused with the
+     max-of-hinges reduction for BOTH retrieval directions in ONE pass over
+     the similarity matrix. The B x B matrix never touches HBM: each
+     (TM, TN) tile is produced on the MXU, turned into hinge logits on the
+     VPU, and folded into running row/column maxima in VMEM. A custom VJP
+     uses the saved argmax indices, so the backward pass is O(B*D) gathers
+     instead of a second GEMM.
+
+  2. :func:`pallas_rank_counts` — the eval/serving path: for each query,
+     count gallery items scoring above the positive (the argsort-free rank,
+     see ``cmhse_tpu.ops.ranking``) while streaming gallery tiles through
+     VMEM. Enables galleries far beyond what a materialized [Q, N] matrix
+     would allow.
+
+Both kernels run in interpret mode off-TPU, and are parity-tested against the
+jnp reference implementations over tile-edge shapes (SURVEY.md section 4.2).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_TM = 128  # query-row tile
+_TN = 128  # gallery-column tile
+_NEG_INF = -1e30
+
+
+def _use_interpret() -> bool:
+    return jax.devices()[0].platform not in ("tpu",)
+
+
+def _pad_rows_2d(x: Array, multiple: int) -> Array:
+    rem = (-x.shape[0]) % multiple
+    if rem:
+        x = jnp.pad(x, ((0, rem), (0, 0)))
+    return x
+
+
+def _cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+# ---------------------------------------------------------------------------
+# 1. fused cosine-sim + max-of-hinges contrastive loss
+# ---------------------------------------------------------------------------
+
+
+def _simhinge_kernel(
+    a_ref, b_ref, negmask_ref, diag_i_ref, diag_j_ref,
+    rowmax_ref, rowarg_ref, colpmax_ref, colparg_ref,
+    *, margin: float,
+):
+    j = pl.program_id(1)
+    tm, tn = negmask_ref.shape
+
+    s = jnp.dot(
+        a_ref[:], b_ref[:].T, preferred_element_type=jnp.float32
+    )  # (TM, TN)
+    neg = negmask_ref[:] > 0
+
+    # a->b hinge logits: margin + S[i, j] - S[i, i]
+    row_logit = jnp.where(neg, margin + s - diag_i_ref[0, :][:, None], _NEG_INF)
+    tile_rmax = jnp.max(row_logit, axis=1)  # (TM,)
+    tile_rarg = (
+        jnp.argmax(row_logit, axis=1).astype(jnp.int32) + j * tn
+    )
+
+    @pl.when(j == 0)
+    def _():
+        rowmax_ref[0, :] = tile_rmax
+        rowarg_ref[0, :] = tile_rarg
+
+    @pl.when(j > 0)
+    def _():
+        cur = rowmax_ref[0, :]
+        upd = tile_rmax > cur
+        rowmax_ref[0, :] = jnp.where(upd, tile_rmax, cur)
+        rowarg_ref[0, :] = jnp.where(upd, tile_rarg, rowarg_ref[0, :])
+
+    # b->a hinge logits: margin + S[i, j] - S[j, j]; partial max over this
+    # row-tile of queries (reduced across tiles outside the kernel)
+    i = pl.program_id(0)
+    col_logit = jnp.where(neg, margin + s - diag_j_ref[0, :][None, :], _NEG_INF)
+    colpmax_ref[0, :] = jnp.max(col_logit, axis=0)
+    colparg_ref[0, :] = (
+        jnp.argmax(col_logit, axis=0).astype(jnp.int32) + i * tm
+    )
+
+
+def _simhinge_forward(a, b, neg_mask, margin):
+    """Returns (row_max, row_arg, col_max, col_arg) over the padded batch."""
+    bsz, d = a.shape
+    a_p = _pad_rows_2d(a.astype(jnp.float32), _TM)
+    b_p = _pad_rows_2d(b.astype(jnp.float32), _TN)
+    bp = a_p.shape[0]
+    nm = jnp.zeros((bp, bp), jnp.int8)
+    nm = nm.at[:bsz, :bsz].set(neg_mask.astype(jnp.int8))
+    diag = jnp.sum(a_p * b_p, axis=1)[None, :]  # [1, Bp]
+
+    n_i, n_j = bp // _TM, bp // _TN
+    grid = (n_i, n_j)
+    kernel = functools.partial(_simhinge_kernel, margin=float(margin))
+    out_shape = (
+        jax.ShapeDtypeStruct((1, bp), jnp.float32),  # row max
+        jax.ShapeDtypeStruct((1, bp), jnp.int32),  # row arg
+        jax.ShapeDtypeStruct((n_i, bp), jnp.float32),  # col partial max
+        jax.ShapeDtypeStruct((n_i, bp), jnp.int32),  # col partial arg
+    )
+    rowmax, rowarg, colpmax, colparg = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((_TM, d), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TN, d), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TM, _TN), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _TM), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _TN), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, _TM), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _TM), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _TN), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _TN), lambda i, j: (i, j),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=out_shape,
+        interpret=_use_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bp * bp * d, bytes_accessed=2 * bp * d * 4,
+            transcendentals=0,
+        ),
+    )(a_p, b_p, nm, diag, diag)
+
+    # reduce column partials over row tiles
+    col_max = jnp.max(colpmax, axis=0)  # [Bp]
+    which = jnp.argmax(colpmax, axis=0)  # [Bp]
+    col_arg = jnp.take_along_axis(colparg, which[None, :], axis=0)[0]
+    return (
+        rowmax[0, :bsz], rowarg[0, :bsz],
+        col_max[:bsz], col_arg[:bsz],
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def fused_contrastive_loss(
+    emb_a: Array,
+    emb_b: Array,
+    neg_mask: Array,
+    valid: Array,
+    margin: float = 0.2,
+) -> Array:
+    """Pallas-fused bidirectional max-of-hinges contrastive loss.
+
+    Semantics identical to
+    ``cmhse_tpu.ops.loss.contrastive_loss(..., max_violation=True)`` with
+    ``neg_mask = (~positive_mask) & valid_i & valid_j`` precomputed. Mean
+    over valid queries; both directions summed.
+    """
+    loss, _ = _loss_fwd(emb_a, emb_b, neg_mask, valid, margin)
+    return loss
+
+
+def _loss_fwd(emb_a, emb_b, neg_mask, valid, margin):
+    row_max, row_arg, col_max, col_arg = _simhinge_forward(
+        emb_a, emb_b, neg_mask, margin
+    )
+    n_valid = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
+    loss_ab = jnp.where(valid, jnp.maximum(row_max, 0.0), 0.0)
+    loss_ba = jnp.where(valid, jnp.maximum(col_max, 0.0), 0.0)
+    loss = (jnp.sum(loss_ab) + jnp.sum(loss_ba)) / n_valid
+    residuals = (emb_a, emb_b, row_max, row_arg, col_max, col_arg, valid,
+                 n_valid)
+    return loss, residuals
+
+
+def _loss_bwd(margin, residuals, g):
+    emb_a, emb_b, row_max, row_arg, col_max, col_arg, valid, n_valid = (
+        residuals
+    )
+    a32 = emb_a.astype(jnp.float32)
+    b32 = emb_b.astype(jnp.float32)
+    w = (g / n_valid).astype(jnp.float32)
+    act_r = (valid & (row_max > 0)).astype(jnp.float32)[:, None] * w
+    act_c = (valid & (col_max > 0)).astype(jnp.float32)[:, None] * w
+
+    # dS entries (see ops.loss): row term +1 at (i, row_arg[i]), -1 at (i,i);
+    # col term +1 at (col_arg[j], j), -1 at (j,j). dA = dS @ B, dB = dS^T @ A.
+    dA = act_r * (jnp.take(b32, row_arg, axis=0) - b32)
+    dA = dA - act_c * b32
+    dA = dA.at[col_arg].add(act_c * b32)
+
+    dB = act_c * (jnp.take(a32, col_arg, axis=0) - a32)
+    dB = dB - act_r * a32
+    dB = dB.at[row_arg].add(act_r * a32)
+
+    return (
+        dA.astype(emb_a.dtype),
+        dB.astype(emb_b.dtype),
+        None,  # neg_mask
+        None,  # valid
+    )
+
+
+fused_contrastive_loss.defvjp(_loss_fwd, _loss_bwd)
+
+
+def pallas_contrastive_loss(
+    emb_a: Array,
+    emb_b: Array,
+    margin: float = 0.2,
+    positive_mask: Array | None = None,
+    valid: Array | None = None,
+) -> Array:
+    """Drop-in for ``ops.loss.contrastive_loss`` (max_violation=True) built on
+    the fused kernel. Builds the negatives mask and dispatches."""
+    bsz = emb_a.shape[0]
+    if positive_mask is None:
+        positive_mask = jnp.eye(bsz, dtype=bool)
+    if valid is None:
+        valid = jnp.ones((bsz,), bool)
+    pair_valid = valid[:, None] & valid[None, :]
+    neg_mask = (~positive_mask) & pair_valid
+    return fused_contrastive_loss(emb_a, emb_b, neg_mask, valid, float(margin))
+
+
+# ---------------------------------------------------------------------------
+# 2. streaming rank-count kernel (eval / serving)
+# ---------------------------------------------------------------------------
+
+
+def _rankcount_kernel(q_ref, g_ref, pos_ref, gvalid_ref, count_ref):
+    j = pl.program_id(1)
+    s = jnp.dot(
+        q_ref[:], g_ref[:].T, preferred_element_type=jnp.float32
+    )  # (TQ, TN)
+    gt = (s > pos_ref[0, :][:, None]) & (gvalid_ref[0, :] > 0)[None, :]
+    tile_counts = jnp.sum(gt.astype(jnp.int32), axis=1)
+
+    @pl.when(j == 0)
+    def _():
+        count_ref[0, :] = tile_counts
+
+    @pl.when(j > 0)
+    def _():
+        count_ref[0, :] = count_ref[0, :] + tile_counts
+
+
+def pallas_rank_counts(
+    queries: Array,
+    gallery: Array,
+    pos_score: Array,
+) -> Array:
+    """1-based rank of each query's positive, streaming the gallery through
+    VMEM in (TQ x TN) similarity tiles without materializing [Q, N].
+
+    Args:
+      queries: ``[Q, D]`` query embeddings.
+      gallery: ``[N, D]`` gallery embeddings.
+      pos_score: ``[Q]`` each query's similarity to its positive.
+    """
+    q, d = queries.shape
+    n = gallery.shape[0]
+    q_p = _pad_rows_2d(queries.astype(jnp.float32), _TM)
+    g_p = _pad_rows_2d(gallery.astype(jnp.float32), _TN)
+    qp, np_ = q_p.shape[0], g_p.shape[0]
+    pos_p = jnp.full((1, qp), jnp.inf, jnp.float32)
+    pos_p = pos_p.at[0, :q].set(pos_score.astype(jnp.float32))
+    gvalid = (jnp.arange(np_) < n).astype(jnp.int8)[None, :]
+
+    counts = pl.pallas_call(
+        _rankcount_kernel,
+        grid=(qp // _TM, np_ // _TN),
+        in_specs=[
+            pl.BlockSpec((_TM, d), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((_TN, d), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _TM), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _TN), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, _TM), lambda i, j: (0, i),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, qp), jnp.int32),
+        interpret=_use_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * qp * np_ * d,
+            bytes_accessed=(qp + np_) * d * 4,
+            transcendentals=0,
+        ),
+    )(q_p, g_p, pos_p, gvalid)
+    return counts[0, :q] + 1

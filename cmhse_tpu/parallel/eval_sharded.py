@@ -1,0 +1,202 @@
+"""Sharded similarity-matrix retrieval evaluation (BASELINE config 5:
+10k-video gallery sharded across a v5e-8 mesh with on-device R@k /
+median-rank reduction; SURVEY.md section 2b "SP" row).
+
+Replaces the reference's host-side ``numpy`` eval loop (``evaluation.py``:
+``sims = np.dot(...)`` + per-query ``argsort``; SURVEY.md section 3.2) with
+rank-by-counting inside ``shard_map``:
+
+    rank_i = 1 + sum_j [ sims[i, j] > sims[i, pos_i] ]
+
+Two sharding modes, picked by which side is big:
+
+  * ``query``  — query rows sharded over the mesh, gallery replicated.
+    Zero collectives until the final median (a tiny [N] gather). Best when
+    the gallery embedding matrix fits each core's HBM (10k x 1024 f32 =
+    40 MB: it does, comfortably).
+  * ``gallery`` — gallery columns sharded, queries replicated. Each device
+    counts violations against its gallery shard; counts and the positive's
+    score are combined with ``psum`` — O(N) scalars over ICI, never the
+    N^2 matrix. This is the mode for galleries that outgrow one core.
+
+Both modes produce EXACTLY the ranks of the single-device path (the compares
+are elementwise; no float reassociation crosses a shard boundary), which is
+what the parity tests pin (SURVEY.md section 4 item 4).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from cmhse_tpu.ops.ranking import recall_at_k
+
+
+def _pad_rows(x: Array, multiple: int) -> tuple[Array, int]:
+    n = x.shape[0]
+    rem = (-n) % multiple
+    if rem:
+        pad_width = ((0, rem),) + ((0, 0),) * (x.ndim - 1)
+        x = jnp.pad(x, pad_width)
+    return x, n
+
+
+def sharded_ranks(
+    v_emb: Array,
+    p_emb: Array,
+    mesh: Mesh,
+    axis: str = "data",
+    mode: str = "query",
+) -> Array:
+    """1-based rank of the aligned positive for every query row.
+
+    Args:
+      v_emb: ``[N, D]`` query embeddings (L2-normalized).
+      p_emb: ``[N, D]`` gallery embeddings; row i is query i's positive.
+      mesh: device mesh with axis ``axis``.
+      mode: "query" (shard queries) or "gallery" (shard gallery columns).
+
+    Returns: ``[N]`` int32 ranks (same values as the single-device path).
+    """
+    ndev = mesh.shape[axis]
+    n = v_emb.shape[0]
+    v_pad, _ = _pad_rows(v_emb, ndev)
+    p_pad, _ = _pad_rows(p_emb, ndev)
+    npad = v_pad.shape[0]
+    pos_idx = jnp.arange(npad, dtype=jnp.int32)
+    # padded gallery rows are all-zero => sim 0; guard by masking them out of
+    # the counts with an explicit validity vector.
+    gallery_valid = (jnp.arange(npad) < n)
+
+    if mode == "query":
+
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(P(axis, None), P(None, None), P(axis), P(None)),
+            out_specs=P(axis),
+        )
+        def _ranks(v, p, pos, gvalid):
+            sims = jnp.dot(v, p.T, preferred_element_type=jnp.float32)
+            pos_score = jnp.take_along_axis(sims, pos[:, None], axis=1)
+            greater = (sims > pos_score) & gvalid[None, :]
+            return jnp.sum(greater, axis=1).astype(jnp.int32) + 1
+
+        ranks = _ranks(v_pad, p_pad, pos_idx, gallery_valid)
+
+    elif mode == "gallery":
+
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(P(None, None), P(axis, None), P(None), P(axis)),
+            out_specs=P(None),
+        )
+        def _ranks(v, p_shard, pos, gvalid_shard):
+            # local similarity block: all queries x my gallery shard
+            sims = jnp.dot(v, p_shard.T, preferred_element_type=jnp.float32)
+            shard_size = p_shard.shape[0]
+            shard_id = jax.lax.axis_index(axis)
+            local_start = shard_id * shard_size
+            # positive score: only the shard that owns pos_i contributes
+            local_pos = pos - local_start
+            in_shard = (local_pos >= 0) & (local_pos < shard_size)
+            safe_pos = jnp.clip(local_pos, 0, shard_size - 1)
+            pos_local = jnp.take_along_axis(sims, safe_pos[:, None], axis=1)[:, 0]
+            pos_score = jax.lax.psum(
+                jnp.where(in_shard, pos_local, 0.0), axis
+            )
+            greater = (sims > pos_score[:, None]) & gvalid_shard[None, :]
+            counts = jax.lax.psum(
+                jnp.sum(greater, axis=1).astype(jnp.int32), axis
+            )
+            return counts + 1
+
+        ranks = _ranks(v_pad, p_pad, pos_idx, gallery_valid)
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+
+    return ranks[:n]
+
+
+def sharded_retrieval_metrics(
+    v_emb: Array,
+    p_emb: Array,
+    mesh: Mesh,
+    ks: tuple[int, ...] = (1, 5, 10, 50),
+    axis: str = "data",
+    mode: str = "query",
+) -> dict[str, Array]:
+    """Bidirectional R@k / MedR / MeanR over a sharded gallery.
+
+    Mirrors :func:`cmhse_tpu.ops.ranking.bidirectional_metrics` but scales to
+    galleries that don't fit one device. The final reductions (mean/median
+    over ``[N]`` ranks) are negligible and run wherever XLA puts them.
+    """
+    out: dict[str, Array] = {}
+    for prefix, (a, b) in (
+        ("v2p", (v_emb, p_emb)),
+        ("p2v", (p_emb, v_emb)),
+    ):
+        ranks = sharded_ranks(a, b, mesh, axis=axis, mode=mode)
+        for k in ks:
+            out[f"{prefix}_r@{k}"] = recall_at_k(ranks, k) * 100.0
+        out[f"{prefix}_medr"] = jnp.median(ranks.astype(jnp.float32))
+        out[f"{prefix}_meanr"] = jnp.mean(ranks.astype(jnp.float32))
+    out["rsum"] = sum(
+        out[f"{d}_r@{k}"] for d in ("v2p", "p2v") for k in ks if k <= 10
+    )
+    return out
+
+
+def sharded_sim_topk(
+    queries: Array,
+    gallery: Array,
+    k: int,
+    mesh: Mesh,
+    axis: str = "data",
+) -> tuple[Array, Array]:
+    """Serving path: top-k gallery hits for a query block against a
+    column-sharded gallery (the "sim-matrix QPS" entry point, BASELINE.json:2;
+    the reference has no serving path — SURVEY.md section 3.5).
+
+    Per-device local top-k over its gallery shard, then an ``all_gather`` of
+    the k candidates per shard (k*ndev << N floats, rides ICI), then a final
+    top-k over candidates. Returns (scores ``[Q, k]``, global indices
+    ``[Q, k]``).
+    """
+    ndev = mesh.shape[axis]
+    g_pad, n = _pad_rows(gallery, ndev)
+    npad = g_pad.shape[0]
+    gallery_valid = jnp.arange(npad) < n
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(None, None), P(axis, None), P(axis)),
+        out_specs=(P(None), P(None)),
+        # after the all_gather the candidates are replicated across the axis,
+        # but the varying-mesh-axes checker can't infer that statically
+        check_vma=False,
+    )
+    def _topk(q, g_shard, gvalid_shard):
+        shard_size = g_shard.shape[0]
+        shard_id = jax.lax.axis_index(axis)
+        sims = jnp.dot(q, g_shard.T, preferred_element_type=jnp.float32)
+        sims = jnp.where(gvalid_shard[None, :], sims, -jnp.inf)
+        kk = min(k, shard_size)
+        loc_scores, loc_idx = jax.lax.top_k(sims, kk)  # [Q, kk]
+        glob_idx = loc_idx + shard_id * shard_size
+        # gather candidates from all shards: [Q, kk*ndev]
+        all_scores = jax.lax.all_gather(loc_scores, axis, axis=1, tiled=True)
+        all_idx = jax.lax.all_gather(glob_idx, axis, axis=1, tiled=True)
+        fin_scores, fin_pos = jax.lax.top_k(all_scores, k)
+        fin_idx = jnp.take_along_axis(all_idx, fin_pos, axis=1)
+        return fin_scores, fin_idx
+
+    return _topk(queries, g_pad, gallery_valid)

@@ -1,0 +1,124 @@
+"""Orbax checkpointing (rebuilds SURVEY.md section 5 "Checkpoint/resume":
+the reference ``torch.save({epoch, model, best_rsum, opt, Eiters})`` each
+epoch + ``model_best.pth.tar`` on rsum improvement, with ``--resume``).
+
+Layout: ``<dir>/ckpt/<step>/`` orbax trees + ``<dir>/config.json`` +
+``<dir>/best/`` (copied on rsum improvement, reference best-checkpoint
+policy).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from cmhse_tpu.config import ExperimentConfig
+
+
+def _abs(path: str) -> str:
+    return os.path.abspath(os.path.expanduser(path))
+
+
+class CheckpointManager:
+    """Save/restore TrainState + experiment config + best-by-rsum policy."""
+
+    def __init__(self, directory: str, cfg: ExperimentConfig | None = None):
+        self.directory = _abs(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            os.path.join(self.directory, "ckpt"),
+            options=ocp.CheckpointManagerOptions(max_to_keep=3),
+        )
+        self._best = ocp.StandardCheckpointer()
+        if cfg is not None:
+            with open(os.path.join(self.directory, "config.json"), "w") as f:
+                f.write(cfg.to_json())
+
+    # -- save ---------------------------------------------------------------
+
+    def save(
+        self,
+        state,
+        *,
+        epoch: int,
+        best_rsum: float,
+        is_best: bool = False,
+    ) -> None:
+        step = int(state.step)
+        payload = {
+            "params": state.params,
+            "opt_state": state.opt_state,
+            # orbax StandardSave wants arrays, not numpy scalars
+            "step": np.asarray(step, np.int64),
+            "epoch": np.asarray(epoch, np.int64),
+            "best_rsum": np.asarray(best_rsum, np.float64),
+        }
+        self._mgr.save(step, args=ocp.args.StandardSave(payload))
+        self._mgr.wait_until_finished()
+        if is_best:
+            best_dir = os.path.join(self.directory, "best")
+            if os.path.exists(best_dir):
+                import shutil
+
+                shutil.rmtree(best_dir)
+            self._best.save(best_dir, payload)
+            self._best.wait_until_finished()
+
+    # -- restore --------------------------------------------------------------
+
+    def latest_step(self) -> int | None:
+        return self._mgr.latest_step()
+
+    def restore(self, state, step: int | None = None) -> tuple[Any, int, float]:
+        """Restore into the structure of ``state``; returns
+        (new_state, epoch, best_rsum)."""
+        step = step if step is not None else self._mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints in {self.directory}")
+        template = {
+            "params": state.params,
+            "opt_state": state.opt_state,
+            "step": np.asarray(0, np.int64),
+            "epoch": np.asarray(0, np.int64),
+            "best_rsum": np.asarray(0.0, np.float64),
+        }
+        restored = self._mgr.restore(
+            step, args=ocp.args.StandardRestore(template)
+        )
+        new_state = state.replace(
+            step=jax.numpy.asarray(restored["step"], jax.numpy.int32),
+            params=restored["params"],
+            opt_state=restored["opt_state"],
+        )
+        return new_state, int(restored["epoch"]), float(restored["best_rsum"])
+
+    def close(self):
+        self._mgr.close()
+
+
+def restore_for_eval(directory: str):
+    """Rebuild (model, params, cfg) from a checkpoint dir's best/ or latest
+    (the reference's evalrank rebuilds the model from the pickled opt inside
+    the checkpoint; here the config.json plays that role)."""
+    from cmhse_tpu.models import CMHSE
+
+    directory = _abs(directory)
+    with open(os.path.join(directory, "config.json")) as f:
+        cfg = ExperimentConfig.from_json(f.read())
+    model = CMHSE(cfg=cfg.model, vocab_size=cfg.data.vocab_size)
+
+    best_dir = os.path.join(directory, "best")
+    if os.path.exists(best_dir):
+        restored = ocp.StandardCheckpointer().restore(best_dir)
+        return model, restored["params"], cfg
+    mgr = ocp.CheckpointManager(os.path.join(directory, "ckpt"))
+    step = mgr.latest_step()
+    if step is None:
+        raise FileNotFoundError(f"no checkpoints under {directory}")
+    restored = mgr.restore(step)
+    return model, restored["params"], cfg

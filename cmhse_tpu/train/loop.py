@@ -1,0 +1,136 @@
+"""Training loop (rebuilds SURVEY.md C10: the reference ``train.py`` main/
+train/validate trio — epoch loop, per-step logging, lr decay /10 every
+``lr_update`` epochs, periodic validation by rsum, best-checkpoint save,
+resume).
+
+TPU-first: one jitted ``train_step`` shared across 1..N chips (data-parallel
+mesh); batches stream host->device while the previous step runs (dispatch is
+async; we only block on the metrics we print).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import numpy as np
+
+from cmhse_tpu.config import ExperimentConfig
+from cmhse_tpu.data.loader import batches_from_dataset
+from cmhse_tpu.eval.retrieval import format_table, validate_metrics
+from cmhse_tpu.models import CMHSE
+from cmhse_tpu.parallel.mesh import make_mesh
+from cmhse_tpu.parallel.train_dp import place_batch, place_state
+from cmhse_tpu.train.checkpoint import CheckpointManager
+from cmhse_tpu.train.state import create_train_state, set_learning_rate, train_step
+from cmhse_tpu.utils.logging import JsonlLogger, LogCollector
+
+
+def adjust_learning_rate(cfg: ExperimentConfig, epoch: int) -> float:
+    """Reference policy: lr * decay^(epoch // lr_update)."""
+    t = cfg.train
+    return t.lr * (t.lr_decay ** (epoch // max(t.lr_update, 1)))
+
+
+def fit(
+    cfg: ExperimentConfig,
+    train_dataset,
+    val_dataset=None,
+    use_mesh: bool = True,
+) -> tuple:
+    """Full training run; returns (state, best_rsum).
+
+    ``use_mesh``: build a data mesh over all visible devices (size 1 is fine
+    — the same code path runs single-chip).
+    """
+    mesh = make_mesh((-1,), ("data",)) if use_mesh else None
+    logger = JsonlLogger(os.path.join(cfg.train.checkpoint_dir, "log.jsonl"))
+    ckpt = CheckpointManager(cfg.train.checkpoint_dir, cfg)
+    model = CMHSE(cfg=cfg.model, vocab_size=cfg.data.vocab_size)
+
+    sample = next(iter(batches_from_dataset(train_dataset, cfg.data,
+                                            shuffle=False)))
+    rng = jax.random.PRNGKey(cfg.train.seed)
+    state = create_train_state(cfg, rng, sample)
+
+    start_epoch, best_rsum = 0, -np.inf
+    if cfg.train.resume:
+        resume_mgr = (
+            ckpt if os.path.abspath(cfg.train.resume)
+            == os.path.abspath(cfg.train.checkpoint_dir)
+            else CheckpointManager(cfg.train.resume)
+        )
+        state, start_epoch, best_rsum = resume_mgr.restore(state)
+        print(f"resumed from {cfg.train.resume} at epoch {start_epoch}, "
+              f"best_rsum {best_rsum:.2f}")
+
+    if mesh is not None:
+        state = place_state(state, mesh)
+
+    global_step = int(state.step)
+    for epoch in range(start_epoch, cfg.train.num_epochs):
+        lr = adjust_learning_rate(cfg, epoch)
+        state = set_learning_rate(state, lr)
+        collector = LogCollector()
+        t_epoch = time.time()
+        n_pairs = 0
+
+        for batch in batches_from_dataset(
+            train_dataset, cfg.data, shuffle=True,
+            seed=cfg.data.shuffle_seed + epoch,
+        ):
+            if mesh is not None:
+                batch = place_batch(batch, mesh)
+            state, metrics = train_step(state, batch, cfg.loss)
+            global_step += 1
+            n_pairs += int(np.asarray(batch.valid).sum())
+
+            if global_step % cfg.train.log_step == 0:
+                for k, v in metrics.items():
+                    collector.update(k, float(v))
+                print(f"epoch {epoch} step {global_step} lr {lr:.2e} "
+                      f"{collector}")
+                logger.log("train_step", epoch=epoch, step=global_step,
+                           lr=lr, **{k: float(v) for k, v in metrics.items()})
+
+            if (
+                val_dataset is not None
+                and cfg.train.val_step > 0
+                and global_step % cfg.train.val_step == 0
+            ):
+                best_rsum = _validate_and_save(
+                    cfg, model, state, val_dataset, mesh, ckpt, logger,
+                    epoch, best_rsum,  # mid-epoch: resume redoes this epoch
+                )
+
+        dt = time.time() - t_epoch
+        logger.log("epoch_end", epoch=epoch, seconds=dt,
+                   pairs_per_sec=n_pairs / max(dt, 1e-9))
+
+        # end-of-epoch validation + checkpoint; epoch+1 = next epoch to run
+        # on resume (reference saves {'epoch': epoch + 1, ...})
+        if val_dataset is not None:
+            best_rsum = _validate_and_save(
+                cfg, model, state, val_dataset, mesh, ckpt, logger,
+                epoch + 1, best_rsum,
+            )
+        else:
+            ckpt.save(state, epoch=epoch + 1, best_rsum=float(best_rsum))
+
+    logger.close()
+    return state, best_rsum
+
+
+def _validate_and_save(cfg, model, state, val_dataset, mesh, ckpt, logger,
+                       epoch, best_rsum):
+    batches = batches_from_dataset(val_dataset, cfg.data, shuffle=False)
+    metrics = validate_metrics(model, state.params, batches, ks=(1, 5, 10, 50),
+                               mesh=mesh)
+    print(format_table(metrics))
+    logger.log("validate", epoch=epoch, step=int(state.step), **metrics)
+    rsum = metrics["rsum"]
+    is_best = rsum > best_rsum
+    ckpt.save(state, epoch=epoch, best_rsum=float(max(rsum, best_rsum)),
+              is_best=is_best)
+    return max(rsum, best_rsum)

@@ -24,6 +24,24 @@ from cmhse_tpu.ops.loss import (
     positive_mask_from_ids,
     reconstruction_loss,
 )
+from cmhse_tpu.ops.pallas_sim import pallas_contrastive_loss
+
+
+def _rank_loss(emb_a, emb_b, cfg: LossConfig, positive_mask, valid):
+    """Dispatch between the Pallas-fused kernel and the jnp reference path.
+
+    The fused kernel implements the max_violation (VSE++ hardest-negative)
+    variant only; the sum-over-negatives variant always uses the jnp path.
+    """
+    if cfg.use_pallas and cfg.max_violation:
+        return pallas_contrastive_loss(
+            emb_a, emb_b, margin=cfg.margin,
+            positive_mask=positive_mask, valid=valid,
+        )
+    return contrastive_loss(
+        emb_a, emb_b, margin=cfg.margin, max_violation=cfg.max_violation,
+        positive_mask=positive_mask, valid=valid,
+    )
 
 
 def total_loss(
@@ -38,13 +56,9 @@ def total_loss(
     # ---- high level: video <-> paragraph --------------------------------
     if cfg.high_weight:
         high_pos = positive_mask_from_ids(batch.video_ids, batch.video_ids)
-        l_high = contrastive_loss(
-            outputs.video_emb,
-            outputs.para_emb,
-            margin=cfg.margin,
-            max_violation=cfg.max_violation,
-            positive_mask=high_pos,
-            valid=batch.valid,
+        l_high = _rank_loss(
+            outputs.video_emb, outputs.para_emb, cfg,
+            positive_mask=high_pos, valid=batch.valid,
         )
         metrics["loss_high"] = l_high
         loss = loss + cfg.high_weight * l_high
@@ -67,13 +81,8 @@ def total_loss(
         low_valid = (
             outputs.clip_valid.reshape(-1) & outputs.sent_valid.reshape(-1)
         )
-        l_low = contrastive_loss(
-            clips,
-            sents,
-            margin=cfg.margin,
-            max_violation=cfg.max_violation,
-            positive_mask=low_pos,
-            valid=low_valid,
+        l_low = _rank_loss(
+            clips, sents, cfg, positive_mask=low_pos, valid=low_valid,
         )
         metrics["loss_low"] = l_low
         loss = loss + cfg.low_weight * l_low

@@ -1,0 +1,66 @@
+"""Metrics/logging (rebuilds SURVEY.md C14: ``AverageMeter``, ``LogCollector``
+and tensorboard scalars in the reference's ``evaluation.py``/``train.py``).
+
+TPU rebuild policy (SURVEY.md section 5): structured JSONL plus the same
+console line format, so runs can be diffed by eye against reference logs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections import OrderedDict
+
+
+class AverageMeter:
+    """Running average (same semantics as the reference's meter)."""
+
+    def __init__(self) -> None:
+        self.reset()
+
+    def reset(self) -> None:
+        self.val = 0.0
+        self.avg = 0.0
+        self.sum = 0.0
+        self.count = 0
+
+    def update(self, val: float, n: int = 1) -> None:
+        self.val = float(val)
+        self.sum += float(val) * n
+        self.count += n
+        self.avg = self.sum / max(self.count, 1)
+
+    def __str__(self) -> str:
+        return f"{self.val:.4f} ({self.avg:.4f})"
+
+
+class LogCollector:
+    """Named group of meters; one per train step, printed every log_step."""
+
+    def __init__(self) -> None:
+        self.meters: "OrderedDict[str, AverageMeter]" = OrderedDict()
+
+    def update(self, k: str, v: float, n: int = 1) -> None:
+        if k not in self.meters:
+            self.meters[k] = AverageMeter()
+        self.meters[k].update(v, n)
+
+    def __str__(self) -> str:
+        return "  ".join(f"{k} {m}" for k, m in self.meters.items())
+
+
+class JsonlLogger:
+    """Append-only JSONL event log next to the checkpoints."""
+
+    def __init__(self, path: str) -> None:
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        self.path = path
+        self._fh = open(path, "a", buffering=1)
+
+    def log(self, event: str, **fields) -> None:
+        rec = {"t": time.time(), "event": event, **fields}
+        self._fh.write(json.dumps(rec) + "\n")
+
+    def close(self) -> None:
+        self._fh.close()

@@ -1,0 +1,146 @@
+"""Data contract tests: vocab, bucketing, padding, loader (SURVEY.md C1-C3)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from cmhse_tpu.config import DataConfig
+from cmhse_tpu.data import (
+    PrecompDataset,
+    SyntheticHierarchicalDataset,
+    Vocabulary,
+    batches_from_dataset,
+    build_vocab,
+    pad_batch,
+)
+from cmhse_tpu.data.bucketing import BucketSpec, pick_bucket
+
+
+def test_vocab_special_token_layout():
+    v = Vocabulary()
+    assert v("<pad>") == 0
+    assert v("<start>") == 1
+    assert v("<end>") == 2
+    assert v("<unk>") == 3
+    assert v("never-seen-word") == 3
+
+
+def test_build_vocab_threshold_and_encode():
+    caps = ["a cat sits", "a cat runs", "a dog barks"] * 2
+    v = build_vocab(caps, threshold=2)
+    assert "cat" in v.word2idx and "a" in v.word2idx
+    # 'barks' appears twice (caps x2) so it passes threshold=2
+    ids = v.encode("a cat flies")
+    assert ids[0] == 1 and ids[-1] == 2  # <start> ... <end>
+    assert v.idx2word[ids[1]] == "a"
+    assert ids[-2] == 3  # 'flies' unseen -> <unk>
+
+
+def test_vocab_roundtrip_json(tmp_path):
+    v = build_vocab(["hello world hello world"], threshold=1)
+    path = str(tmp_path / "vocab.json")
+    v.save(path)
+    v2 = Vocabulary.load(path)
+    assert v2.word2idx == v.word2idx
+    assert v2("hello") == v("hello")
+
+
+def test_pick_bucket():
+    assert pick_bucket(3, (8, 16, 32)) == 8
+    assert pick_bucket(9, (8, 16, 32)) == 16
+    assert pick_bucket(33, (8, 16, 32)) == 32  # clamps
+
+
+def test_pad_batch_shapes_and_masks():
+    ds = SyntheticHierarchicalDataset(num_videos=5, feat_dim=16, max_clips=4,
+                                      max_frames=10, max_words=8)
+    spec = BucketSpec(batch_size=8, max_clips=4, max_frames=10,
+                      max_sentences=4, max_words=8, feat_dim=16)
+    batch = pad_batch([ds[i] for i in range(5)], spec)
+    assert batch.frames.shape == (8, 4, 10, 16)
+    assert batch.words.shape == (8, 4, 8)
+    assert batch.valid.sum() == 5
+    # lengths consistent with raw data
+    ex0 = ds[0]
+    assert batch.clip_len[0] == len(ex0.clips)
+    for c, clip in enumerate(ex0.clips):
+        assert batch.frame_len[0, c] == min(len(clip), 10)
+        np.testing.assert_array_equal(
+            batch.frames[0, c, : batch.frame_len[0, c]],
+            clip[: batch.frame_len[0, c]],
+        )
+    # padded rows fully zero/invalid
+    assert batch.clip_len[5:].sum() == 0
+    assert (~batch.valid[5:]).all()
+    assert (batch.video_ids[5:] == -1).all()
+
+
+def test_pad_batch_truncates_overlong():
+    ds = SyntheticHierarchicalDataset(num_videos=3, feat_dim=8, max_clips=6,
+                                      max_frames=20, max_words=12)
+    spec = BucketSpec(batch_size=4, max_clips=2, max_frames=5,
+                      max_sentences=2, max_words=4, feat_dim=8)
+    batch = pad_batch([ds[i] for i in range(3)], spec)
+    assert batch.frames.shape == (4, 2, 5, 8)
+    assert batch.frame_len.max() <= 5
+    assert batch.clip_len.max() <= 2
+    assert batch.word_len.max() <= 4
+
+
+def test_loader_fixed_vs_bucketed_shapes():
+    cfg = DataConfig(batch_size=4, feat_dim=8, vocab_size=64, max_clips=3,
+                     max_frames=16, max_sentences=3, max_words=16,
+                     frame_buckets=(4, 8, 16), word_buckets=(4, 8, 16))
+    ds = SyntheticHierarchicalDataset(num_videos=10, feat_dim=8,
+                                      vocab_size=64, max_clips=3,
+                                      max_frames=16, max_words=16)
+    fixed = list(batches_from_dataset(ds, cfg, shuffle=False))
+    assert all(b.frames.shape == (4, 3, 16, 8) for b in fixed)
+    bucketed = list(batches_from_dataset(ds, cfg, shuffle=False,
+                                         fixed_shape=False))
+    # bucketed shapes never exceed the fixed caps and hit bucket edges
+    for b in bucketed:
+        assert b.frames.shape[2] in (4, 8, 16)
+        assert b.words.shape[2] in (4, 8, 16)
+
+
+def test_loader_drop_last():
+    cfg = DataConfig(batch_size=4, feat_dim=8, vocab_size=64, max_clips=2,
+                     max_frames=8, max_sentences=2, max_words=8)
+    ds = SyntheticHierarchicalDataset(num_videos=10, feat_dim=8,
+                                      vocab_size=64, max_clips=2,
+                                      max_frames=8, max_words=8)
+    kept = list(batches_from_dataset(ds, cfg, drop_last=True, shuffle=False))
+    assert len(kept) == 2
+    assert all(b.valid.all() for b in kept)
+
+
+def test_precomp_dataset_roundtrip(tmp_path):
+    """PrecompDataset reads the documented npy+json layout and segments
+    clips by timestamp."""
+    data_path = str(tmp_path)
+    os.makedirs(os.path.join(data_path, "features"))
+    rng = np.random.RandomState(0)
+    captions = {}
+    for key in ("vid_a", "vid_b"):
+        feats = rng.randn(20, 8).astype(np.float32)
+        np.save(os.path.join(data_path, "features", f"{key}.npy"), feats)
+        captions[key] = {
+            "duration": 10.0,
+            "timestamps": [[0.0, 5.0], [5.0, 10.0]],
+            "sentences": ["a cat sits here", "the cat leaves"],
+        }
+    with open(os.path.join(data_path, "val_captions.json"), "w") as f:
+        json.dump(captions, f)
+
+    vocab = build_vocab([s for m in captions.values()
+                         for s in m["sentences"]], threshold=1)
+    ds = PrecompDataset(data_path, "val", vocab, feat_dim=8)
+    assert len(ds) == 2
+    ex = ds[0]
+    assert len(ex.clips) == 2 and len(ex.sentences) == 2
+    assert ex.clips[0].shape == (10, 8)  # first half of 20 frames
+    assert ex.clips[1].shape == (10, 8)
+    assert ex.sentences[0][0] == 1  # <start>

@@ -1,0 +1,95 @@
+"""Integration slice (SURVEY.md section 4.3): small synthetic run through the
+full ``fit`` loop with validation, checkpoint best-save, and resume."""
+
+import glob
+import os
+
+import numpy as np
+import jax
+import pytest
+
+from cmhse_tpu.config import (DataConfig, ExperimentConfig, LossConfig,
+                              ModelConfig, TrainConfig)
+from cmhse_tpu.data import SyntheticHierarchicalDataset, batches_from_dataset
+from cmhse_tpu.eval.retrieval import validate_metrics, format_table
+from cmhse_tpu.models import CMHSE
+from cmhse_tpu.train import create_train_state
+from cmhse_tpu.train.checkpoint import CheckpointManager, restore_for_eval
+from cmhse_tpu.train.loop import adjust_learning_rate, fit
+
+
+def _cfg(tmp_path, epochs=2):
+    return ExperimentConfig(
+        name="e2e",
+        data=DataConfig(batch_size=8, feat_dim=16, vocab_size=64,
+                        max_clips=2, max_frames=6, max_sentences=2,
+                        max_words=6),
+        model=ModelConfig(embed_size=24, word_dim=12, feat_dim=16,
+                          rnn_hidden=24, hierarchical=True),
+        loss=LossConfig(),
+        train=TrainConfig(num_epochs=epochs, lr=1e-3, lr_update=1,
+                          val_step=0, log_step=100,
+                          checkpoint_dir=str(tmp_path / "run")),
+    )
+
+
+def _ds(n, seed=0):
+    return SyntheticHierarchicalDataset(num_videos=n, feat_dim=16,
+                                        vocab_size=64, max_clips=2,
+                                        max_frames=6, max_words=6, seed=seed)
+
+
+def test_fit_validates_checkpoints_and_resumes(tmp_path):
+    cfg = _cfg(tmp_path, epochs=2)
+    state, best = fit(cfg, _ds(16), _ds(8, seed=1))
+    assert np.isfinite(best)
+    assert int(state.step) == 4  # 2 epochs x 2 batches
+    assert os.path.exists(os.path.join(cfg.train.checkpoint_dir, "config.json"))
+    assert os.path.exists(os.path.join(cfg.train.checkpoint_dir, "best"))
+    assert os.path.exists(os.path.join(cfg.train.checkpoint_dir, "log.jsonl"))
+
+    # resume for 1 more epoch from the same dir
+    cfg2 = cfg.replace(
+        train=cfg.train.__class__(
+            **{**cfg.train.__dict__, "num_epochs": 3,
+               "resume": cfg.train.checkpoint_dir},
+        )
+    )
+    state2, _ = fit(cfg2, _ds(16), _ds(8, seed=1))
+    assert int(state2.step) == 6
+
+    # eval-path restore rebuilds model+params from config.json + best/
+    model, params, cfg_restored = restore_for_eval(cfg.train.checkpoint_dir)
+    assert cfg_restored.model.embed_size == 24
+    batches = batches_from_dataset(_ds(8, seed=1), cfg.data, shuffle=False)
+    m = validate_metrics(model, params, batches, ks=(1, 5))
+    assert np.isfinite(m["rsum"])
+    table = format_table(m, ks=(1, 5))
+    assert "Video to Paragraph" in table and "MedR" in table
+
+
+def test_adjust_learning_rate_policy(tmp_path):
+    cfg = _cfg(tmp_path)
+    base = cfg.train.lr
+    assert adjust_learning_rate(cfg, 0) == base
+    cfg15 = cfg.replace(train=cfg.train.__class__(
+        **{**cfg.train.__dict__, "lr_update": 15}))
+    assert adjust_learning_rate(cfg15, 14) == base
+    np.testing.assert_allclose(adjust_learning_rate(cfg15, 15), base * 0.1)
+    np.testing.assert_allclose(adjust_learning_rate(cfg15, 30), base * 0.01)
+
+
+def test_checkpoint_manager_roundtrip(tmp_path):
+    cfg = _cfg(tmp_path)
+    batches = list(batches_from_dataset(_ds(8), cfg.data, shuffle=False))
+    state = create_train_state(cfg, jax.random.PRNGKey(0), batches[0])
+    mgr = CheckpointManager(str(tmp_path / "ck"), cfg)
+    mgr.save(state, epoch=3, best_rsum=42.5, is_best=True)
+
+    state2 = create_train_state(cfg, jax.random.PRNGKey(1), batches[0])
+    restored, epoch, best_rsum = mgr.restore(state2)
+    assert epoch == 3 and best_rsum == 42.5
+    for a, b in zip(jax.tree.leaves(state.params),
+                    jax.tree.leaves(restored.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    mgr.close()
