@@ -308,4 +308,6 @@ def pallas_rank_counts(
             transcendentals=0,
         ),
     )(q_p, g_p, pos_p, gvalid)
-    return counts[0, :q] + 1
+    ranks = counts[0, :q] + 1
+    # NaN positive => worst rank (see ops.ranking.retrieval_ranks)
+    return jnp.where(jnp.isnan(pos_score), n, ranks)

@@ -35,12 +35,16 @@ def retrieval_ranks(sims: Array, positive_idx: Array | None = None) -> Array:
     Returns:
       ``[Nq]`` int32 ranks, 1-based.
     """
-    nq = sims.shape[0]
+    nq, ng = sims.shape
     if positive_idx is None:
         positive_idx = jnp.arange(nq)
     pos_score = jnp.take_along_axis(sims, positive_idx[:, None], axis=1)  # [Nq,1]
     greater = jnp.sum((sims > pos_score).astype(jnp.int32), axis=1)
-    return greater + 1
+    ranks = greater + 1
+    # A NaN positive score compares false against everything, which would
+    # report a (bogus) perfect rank — e.g. from a diverged model. Report the
+    # worst rank instead so broken embeddings can never look like R@1=100.
+    return jnp.where(jnp.isnan(pos_score[:, 0]), ng, ranks)
 
 
 def recall_at_k(ranks: Array, k: int) -> Array:

@@ -7,6 +7,7 @@ cosine-similarity matrix is a single MXU GEMM over L2-normalized rows.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax import Array
 
@@ -16,12 +17,17 @@ EPS = 1e-8
 def l2norm(x: Array, axis: int = -1, eps: float = EPS) -> Array:
     """Row-normalize to unit L2 norm.
 
-    The reference divides by ``norm + eps`` computed in float32; we keep the
-    reduction in float32 even if ``x`` is bfloat16 so downstream cosine
-    similarities stay rank-stable.
+    The reference divides by ``norm + eps`` in float32; we compute
+    ``x * rsqrt(sq + eps^2)`` instead — same value to ~1e-8 relative for any
+    nonzero row, but with a gradient that is finite even for EXACTLY zero
+    rows (which occur for padded clip/sentence slots at init). The naive
+    ``where(sq > 0, 1/sqrt(sq), 0)`` form NaNs in the backward pass there:
+    the untaken branch's infinite derivative meets the zero selector
+    (0 * inf). The reduction stays float32 even for bfloat16 activations so
+    cosine similarities stay rank-stable.
     """
     sq = jnp.sum(jnp.square(x.astype(jnp.float32)), axis=axis, keepdims=True)
-    inv = jnp.where(sq > 0, 1.0 / (jnp.sqrt(sq) + eps), 0.0)
+    inv = jax.lax.rsqrt(sq + eps * eps)
     return (x.astype(jnp.float32) * inv).astype(x.dtype)
 
 

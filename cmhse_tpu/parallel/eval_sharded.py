@@ -85,7 +85,10 @@ def sharded_ranks(
             sims = jnp.dot(v, p.T, preferred_element_type=jnp.float32)
             pos_score = jnp.take_along_axis(sims, pos[:, None], axis=1)
             greater = (sims > pos_score) & gvalid[None, :]
-            return jnp.sum(greater, axis=1).astype(jnp.int32) + 1
+            ranks = jnp.sum(greater, axis=1).astype(jnp.int32) + 1
+            # NaN positive => worst rank, never a bogus rank 1 (see
+            # ops.ranking.retrieval_ranks)
+            return jnp.where(jnp.isnan(pos_score[:, 0]), sims.shape[1], ranks)
 
         ranks = _ranks(v_pad, p_pad, pos_idx, gallery_valid)
 
@@ -115,7 +118,9 @@ def sharded_ranks(
             counts = jax.lax.psum(
                 jnp.sum(greater, axis=1).astype(jnp.int32), axis
             )
-            return counts + 1
+            ranks = counts + 1
+            ntotal = shard_size * jax.lax.axis_size(axis)
+            return jnp.where(jnp.isnan(pos_score), ntotal, ranks)
 
         ranks = _ranks(v_pad, p_pad, pos_idx, gallery_valid)
     else:
