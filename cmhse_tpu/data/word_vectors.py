@@ -1,0 +1,78 @@
+"""Pretrained word-vector initialization (SURVEY.md C5 / BASELINE config 1:
+the reference initializes its ``nn.Embedding`` from word2vec vectors).
+
+Loads either a word2vec-style text file (``word v1 v2 ...`` per line, with an
+optional ``count dim`` header) or an ``.npz`` with ``words`` and ``vectors``
+arrays, and produces an embedding table aligned to a :class:`Vocabulary`.
+Out-of-vocabulary rows keep their random init (the reference's behavior).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from cmhse_tpu.data.vocab import Vocabulary
+
+
+def load_word_vectors(path: str) -> dict[str, np.ndarray]:
+    """Parse a vectors file into {word: vector}."""
+    if path.endswith(".npz"):
+        data = np.load(path, allow_pickle=False)
+        words = [w if isinstance(w, str) else w.decode() for w in data["words"]]
+        return dict(zip(words, np.asarray(data["vectors"], np.float32)))
+    vecs: dict[str, np.ndarray] = {}
+    with open(path, encoding="utf-8", errors="ignore") as f:
+        first = f.readline().rstrip("\n").split(" ")
+        if len(first) == 2 and first[0].isdigit() and first[1].isdigit():
+            pass  # header line: "count dim"
+        elif first and first[0]:
+            vecs[first[0]] = np.asarray(first[1:], np.float32)
+        for line in f:
+            parts = line.rstrip("\n").split(" ")
+            if len(parts) < 2:
+                continue
+            vecs[parts[0]] = np.asarray(parts[1:], np.float32)
+    return vecs
+
+
+def init_embedding_table(
+    vocab: Vocabulary,
+    vectors: dict[str, np.ndarray],
+    word_dim: int,
+    base_table: np.ndarray | None = None,
+    seed: int = 0,
+) -> tuple[np.ndarray, int]:
+    """Build a ``[len(vocab), word_dim]`` table: pretrained rows where the
+    vocab word has a vector, (existing or fresh uniform) random rows
+    otherwise. Returns (table, n_hit)."""
+    n = len(vocab)
+    if base_table is not None:
+        table = np.array(base_table, np.float32, copy=True)
+        if table.shape != (n, word_dim):
+            raise ValueError(f"base table {table.shape} != {(n, word_dim)}")
+    else:
+        rng = np.random.RandomState(seed)
+        table = rng.uniform(-0.1, 0.1, size=(n, word_dim)).astype(np.float32)
+    hits = 0
+    for word, idx in vocab.word2idx.items():
+        vec = vectors.get(word)
+        if vec is not None and vec.shape[0] == word_dim:
+            table[idx] = vec
+            hits += 1
+    table[vocab.word2idx[Vocabulary.PAD]] = 0.0
+    return table, hits
+
+
+def apply_pretrained_embeddings(params, vocab: Vocabulary, vectors_path: str):
+    """Overwrite the model's word-embedding table inside a params pytree
+    (``params['word_embedding']['embedding']``) with pretrained vectors."""
+    import jax.numpy as jnp
+
+    table = np.asarray(params["word_embedding"]["embedding"])
+    vecs = load_word_vectors(vectors_path)
+    new_table, hits = init_embedding_table(
+        vocab, vecs, word_dim=table.shape[1], base_table=table
+    )
+    params = dict(params)
+    params["word_embedding"] = {"embedding": jnp.asarray(new_table)}
+    return params, hits

@@ -1,0 +1,97 @@
+"""word2vec-style embedding init (SURVEY.md C5) + the serving Retriever."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from cmhse_tpu.config import DataConfig, ExperimentConfig, ModelConfig
+from cmhse_tpu.data import SyntheticHierarchicalDataset, batches_from_dataset, build_vocab
+from cmhse_tpu.data.word_vectors import (
+    apply_pretrained_embeddings,
+    init_embedding_table,
+    load_word_vectors,
+)
+from cmhse_tpu.eval.serve import Retriever
+from cmhse_tpu.models import CMHSE
+from cmhse_tpu.train import create_train_state
+
+
+def test_load_word_vectors_text_and_npz(tmp_path):
+    txt = tmp_path / "vecs.txt"
+    txt.write_text("2 3\ncat 1.0 2.0 3.0\ndog 4.0 5.0 6.0\n")
+    vecs = load_word_vectors(str(txt))
+    np.testing.assert_array_equal(vecs["cat"], [1.0, 2.0, 3.0])
+
+    npz = tmp_path / "vecs.npz"
+    np.savez(npz, words=np.array(["cat", "dog"]),
+             vectors=np.array([[1, 2, 3], [4, 5, 6]], np.float32))
+    vecs2 = load_word_vectors(str(npz))
+    np.testing.assert_array_equal(vecs2["dog"], [4.0, 5.0, 6.0])
+
+
+def test_init_embedding_table_hits_and_pad_zero():
+    vocab = build_vocab(["the cat sat", "the dog sat"], threshold=1)
+    vecs = {"cat": np.ones(4, np.float32), "dog": 2 * np.ones(4, np.float32)}
+    table, hits = init_embedding_table(vocab, vecs, word_dim=4, seed=0)
+    assert hits == 2
+    np.testing.assert_array_equal(table[vocab("cat")], np.ones(4))
+    np.testing.assert_array_equal(table[0], np.zeros(4))  # <pad> zeroed
+    # unseen words keep random init (nonzero)
+    assert np.abs(table[vocab("sat")]).sum() > 0
+
+
+def test_apply_pretrained_embeddings_roundtrip(tmp_path):
+    vocab = build_vocab(["alpha beta gamma"] * 2, threshold=1)
+    cfg = ExperimentConfig(
+        data=DataConfig(batch_size=4, feat_dim=8, vocab_size=len(vocab),
+                        max_clips=2, max_frames=4, max_sentences=2,
+                        max_words=4),
+        model=ModelConfig(embed_size=16, word_dim=3, feat_dim=8,
+                          rnn_hidden=16),
+    )
+    ds = SyntheticHierarchicalDataset(num_videos=4, feat_dim=8,
+                                      vocab_size=len(vocab), max_clips=2,
+                                      max_frames=4, max_words=4)
+    b = next(iter(batches_from_dataset(ds, cfg.data, shuffle=False)))
+    state = create_train_state(cfg, jax.random.PRNGKey(0), b)
+
+    txt = tmp_path / "w2v.txt"
+    txt.write_text("alpha 9.0 9.0 9.0\nbeta 8.0 8.0 8.0\n")
+    params, hits = apply_pretrained_embeddings(state.params, vocab, str(txt))
+    assert hits == 2
+    table = np.asarray(params["word_embedding"]["embedding"])
+    np.testing.assert_array_equal(table[vocab("alpha")], [9, 9, 9])
+    # model still runs with the new table
+    model = CMHSE(cfg=cfg.model, vocab_size=len(vocab))
+    out = model.apply({"params": params}, b)
+    assert np.isfinite(np.asarray(out.para_emb)).all()
+
+
+def test_retriever_topk_single_and_sharded():
+    cfg = ExperimentConfig(
+        data=DataConfig(batch_size=8, feat_dim=8, vocab_size=64, max_clips=2,
+                        max_frames=4, max_sentences=2, max_words=4),
+        model=ModelConfig(embed_size=16, word_dim=8, feat_dim=8,
+                          rnn_hidden=16),
+    )
+    ds = SyntheticHierarchicalDataset(num_videos=16, feat_dim=8,
+                                      vocab_size=64, max_clips=2,
+                                      max_frames=4, max_words=4)
+    batches = list(batches_from_dataset(ds, cfg.data, shuffle=False))
+    state = create_train_state(cfg, jax.random.PRNGKey(0), batches[0])
+    model = CMHSE(cfg=cfg.model, vocab_size=cfg.data.vocab_size)
+
+    r = Retriever(model, state.params)
+    r.build_gallery(batches)
+    b = batches[0]
+    scores, idx = r.retrieve(b.words, b.word_len, b.sent_len, k=5)
+    assert scores.shape == (8, 5) and idx.shape == (8, 5)
+    assert (np.diff(scores, axis=1) <= 1e-6).all()  # sorted desc
+
+    from cmhse_tpu.parallel.mesh import make_mesh
+
+    r2 = Retriever(model, state.params, mesh=make_mesh((-1,), ("data",)))
+    r2.build_gallery(batches)
+    scores2, idx2 = r2.retrieve(b.words, b.word_len, b.sent_len, k=5)
+    np.testing.assert_array_equal(idx, idx2)
+    np.testing.assert_allclose(scores, scores2, rtol=1e-5)
