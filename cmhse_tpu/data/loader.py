@@ -16,6 +16,19 @@ from cmhse_tpu.data.batch import Batch
 from cmhse_tpu.data.bucketing import BucketSpec, bucket_for_examples, pad_batch
 
 
+def _packer():
+    """Native C++ packer when buildable, numpy fallback otherwise
+    (parity-tested in tests/test_native.py)."""
+    try:
+        from cmhse_tpu import native
+
+        if native.available():
+            return native.pack_batch_native
+    except Exception:
+        pass
+    return pad_batch
+
+
 def batches_from_dataset(
     dataset,
     cfg: DataConfig,
@@ -35,6 +48,7 @@ def batches_from_dataset(
     order = np.arange(len(dataset))
     if shuffle:
         np.random.RandomState(seed).shuffle(order)
+    pack = _packer()
 
     full_spec = BucketSpec(
         batch_size=cfg.batch_size,
@@ -62,7 +76,7 @@ def batches_from_dataset(
                 frame_buckets=cfg.frame_buckets,
                 word_buckets=cfg.word_buckets,
             )
-        yield pad_batch(examples, spec)
+        yield pack(examples, spec)
 
 
 def epoch_num_batches(n_examples: int, batch_size: int, drop_last: bool = False) -> int:

@@ -1,0 +1,63 @@
+"""Regenerate the stored golden embeddings (SURVEY.md section 4.5 parity
+harness). Run manually on CPU: ``python tests/make_goldens.py``. Commit the
+resulting ``tests/goldens/model_goldens.npz``.
+
+Goldens pin: fixed synthetic inputs + fixed PRNGKey init -> video/paragraph
+embeddings and both-direction retrieval ranks, for the flat, hierarchical,
+and full (attention+reconstruction) model configs.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import numpy as np
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_default_matmul_precision", "highest")
+
+from cmhse_tpu.config import DataConfig, ModelConfig
+from cmhse_tpu.data import SyntheticHierarchicalDataset, batches_from_dataset
+from cmhse_tpu.models import CMHSE
+from cmhse_tpu.ops.ranking import retrieval_ranks
+from cmhse_tpu.ops.similarity import cosine_sim
+
+GOLDEN_PATH = os.path.join(os.path.dirname(__file__), "goldens",
+                           "model_goldens.npz")
+
+CONFIGS = {
+    "flat": ModelConfig(embed_size=32, word_dim=16, feat_dim=20,
+                        rnn_hidden=32, hierarchical=False),
+    "hier": ModelConfig(embed_size=32, word_dim=16, feat_dim=20,
+                        rnn_hidden=32, hierarchical=True),
+    "full": ModelConfig(embed_size=32, word_dim=16, feat_dim=20,
+                        rnn_hidden=32, hierarchical=True,
+                        attention_pool=True, reconstruction=True),
+}
+DATA = DataConfig(batch_size=8, feat_dim=20, vocab_size=64, max_clips=3,
+                  max_frames=6, max_sentences=3, max_words=5)
+
+
+def compute():
+    ds = SyntheticHierarchicalDataset(num_videos=8, feat_dim=20,
+                                      vocab_size=64, max_clips=3,
+                                      max_frames=6, max_words=5, seed=7)
+    batch = next(iter(batches_from_dataset(ds, DATA, shuffle=False)))
+    out = {}
+    for name, mcfg in CONFIGS.items():
+        model = CMHSE(cfg=mcfg, vocab_size=DATA.vocab_size)
+        params = model.init(jax.random.PRNGKey(123), batch)["params"]
+        o = model.apply({"params": params}, batch)
+        sims = cosine_sim(o.video_emb, o.para_emb)
+        out[f"{name}_video_emb"] = np.asarray(o.video_emb)
+        out[f"{name}_para_emb"] = np.asarray(o.para_emb)
+        out[f"{name}_ranks_v2p"] = np.asarray(retrieval_ranks(sims))
+        out[f"{name}_ranks_p2v"] = np.asarray(retrieval_ranks(sims.T))
+    return out
+
+
+if __name__ == "__main__":
+    os.makedirs(os.path.dirname(GOLDEN_PATH), exist_ok=True)
+    np.savez(GOLDEN_PATH, **compute())
+    print(f"wrote {GOLDEN_PATH}")
