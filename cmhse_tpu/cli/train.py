@@ -22,6 +22,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="e.g. anet_precomp / didemo_precomp")
     p.add_argument("--vocab_path", default=None)
     p.add_argument("--margin", type=float, default=None)
+    p.add_argument("--feat_dim", type=int, default=None,
+                   help="video feature dim (500 for the C3D-PCA release)")
     p.add_argument("--embed_size", type=int, default=None)
     p.add_argument("--word_dim", type=int, default=None)
     p.add_argument("--num_epochs", type=int, default=None)
@@ -67,6 +69,9 @@ def apply_overrides(cfg, args):
         d["dataset"] = args.dataset
     if args.batch_size is not None:
         d["batch_size"] = args.batch_size
+    if args.feat_dim is not None:
+        d["feat_dim"] = args.feat_dim
+        m["feat_dim"] = args.feat_dim
     if args.embed_size is not None:
         m["embed_size"] = args.embed_size
     if args.word_dim is not None:

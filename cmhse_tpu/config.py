@@ -60,6 +60,8 @@ class ModelConfig:
     readout: str = "last"  # "last" | "mean" (low-level GRU readout)
     dtype: str = "float32"  # compute dtype for activations
     param_dtype: str = "float32"
+    pallas_gru: bool = False  # fused forward-only GRU kernel; encode paths
+    # flip this on automatically (no VJP — never set for training)
 
 
 @dataclass(frozen=True)

@@ -9,7 +9,7 @@ function per bucket shape, reused across batches.
 
 from __future__ import annotations
 
-from functools import partial
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -20,18 +20,11 @@ from cmhse_tpu.data.batch import Batch
 from cmhse_tpu.models.cmhse import CMHSE
 
 
-def encode_data(
-    model: CMHSE,
-    params,
-    batches,
-    return_low_level: bool = False,
-):
-    """Encode every batch; returns (video_embs [N, E], para_embs [N, E],
-    video_ids [N]) with padded rows dropped, plus optionally the low-level
-    (clip, sentence) embeddings and their masks.
-
-    ``batches`` is any iterable of :class:`Batch` (host or device).
-    """
+@functools.lru_cache(maxsize=32)
+def _jitted_encode(mcfg, vocab_size: int):
+    """One compiled encode program per (ModelConfig, vocab) — reused across
+    encode_data calls so periodic validation never recompiles."""
+    model = CMHSE(cfg=mcfg, vocab_size=vocab_size)
 
     @jax.jit
     def _encode(params, batch: Batch):
@@ -44,6 +37,34 @@ def encode_data(
             method=CMHSE.encode_text,
         )
         return v, p, clip, sent
+
+    return _encode
+
+
+def encode_data(
+    model: CMHSE,
+    params,
+    batches,
+    return_low_level: bool = False,
+    use_pallas_gru: bool | None = None,
+):
+    """Encode every batch; returns (video_embs [N, E], para_embs [N, E],
+    video_ids [N]) with padded rows dropped, plus optionally the low-level
+    (clip, sentence) embeddings and their masks.
+
+    ``batches`` is any iterable of :class:`Batch` (host or device).
+    ``use_pallas_gru``: swap in the fused forward-only Pallas GRU time loop
+    (same params pytree, parity-tested). ``None`` = auto: on for real TPU,
+    off elsewhere (interpret mode would be slower than the scan).
+    """
+    if use_pallas_gru is None:
+        use_pallas_gru = jax.devices()[0].platform == "tpu"
+    mcfg = model.cfg
+    if use_pallas_gru and not mcfg.pallas_gru:
+        import dataclasses
+
+        mcfg = dataclasses.replace(mcfg, pallas_gru=True)
+    _encode = _jitted_encode(mcfg, model.vocab_size)
 
     v_all, p_all, ids_all = [], [], []
     clip_all, sent_all, cmask_all, smask_all = [], [], [], []

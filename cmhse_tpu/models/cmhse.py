@@ -104,27 +104,30 @@ class CMHSE(nn.Module):
         dtype = jnp.dtype(c.dtype)
         low_readout = "attn" if c.attention_pool else c.readout
         high_readout = "attn" if c.attention_pool else "last"
+        pallas_gru = c.pallas_gru
         self.word_embedding = WordEmbedding(
             vocab_size=self.vocab_size, word_dim=c.word_dim
         )
         self.video_low = SequenceEncoder(
             embed_size=c.embed_size, rnn_hidden=c.rnn_hidden,
             readout=low_readout, bidirectional=c.bidirectional, dtype=dtype,
-            name="video_low",
+            use_pallas_gru=pallas_gru, name="video_low",
         )
         self.text_low = SequenceEncoder(
             embed_size=c.embed_size, rnn_hidden=c.rnn_hidden,
             readout=low_readout, bidirectional=c.bidirectional, dtype=dtype,
-            name="text_low",
+            use_pallas_gru=pallas_gru, name="text_low",
         )
         if c.hierarchical:
             self.video_high = SequenceEncoder(
                 embed_size=c.embed_size, rnn_hidden=c.rnn_hidden,
-                readout=high_readout, dtype=dtype, name="video_high",
+                readout=high_readout, dtype=dtype,
+                use_pallas_gru=pallas_gru, name="video_high",
             )
             self.text_high = SequenceEncoder(
                 embed_size=c.embed_size, rnn_hidden=c.rnn_hidden,
-                readout=high_readout, dtype=dtype, name="text_high",
+                readout=high_readout, dtype=dtype,
+                use_pallas_gru=pallas_gru, name="text_high",
             )
         if c.reconstruction:
             self.video_decoder = ReconstructionDecoder(

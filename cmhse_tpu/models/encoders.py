@@ -69,6 +69,7 @@ class SequenceEncoder(nn.Module):
     normalize: bool = True
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    use_pallas_gru: bool = False
 
     @nn.compact
     def __call__(self, x: Array, lengths: Array) -> tuple[Array, Array]:
@@ -78,6 +79,7 @@ class SequenceEncoder(nn.Module):
             bidirectional=self.bidirectional,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
+            use_pallas=self.use_pallas_gru,
             name="gru",
         )(x, lengths)
         if self.readout == "last":

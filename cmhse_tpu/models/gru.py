@@ -142,6 +142,9 @@ class MaskedGRU(nn.Module):
     bidirectional: bool = False
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+    # forward-only fused Pallas time loop (no VJP registered — use on
+    # encode/eval/serving paths only; see ops/pallas_gru.py)
+    use_pallas: bool = False
 
     def _direction_params(self, name: str, in_dim: int):
         h = self.features
@@ -161,13 +164,17 @@ class MaskedGRU(nn.Module):
         or ``[B, 2H]``)."""
         in_dim = x.shape[-1]
         x = x.astype(self.dtype)
+        if self.use_pallas:
+            from cmhse_tpu.ops.pallas_gru import pallas_gru_sequence as seq_fn
+        else:
+            seq_fn = gru_sequence
         w_i, w_h, b_i, b_h = self._direction_params("fwd", in_dim)
-        outs_f, final_f = gru_sequence(x, lengths, w_i, w_h, b_i, b_h)
+        outs_f, final_f = seq_fn(x, lengths, w_i, w_h, b_i, b_h)
         if not self.bidirectional:
             return outs_f, final_f
         w_i, w_h, b_i, b_h = self._direction_params("bwd", in_dim)
         x_rev = flip_padded(x, lengths)
-        outs_b, final_b = gru_sequence(x_rev, lengths, w_i, w_h, b_i, b_h)
+        outs_b, final_b = seq_fn(x_rev, lengths, w_i, w_h, b_i, b_h)
         outs_b = flip_padded(outs_b, lengths)
         return (
             jnp.concatenate([outs_f, outs_b], axis=-1),

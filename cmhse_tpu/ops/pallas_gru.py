@@ -1,0 +1,148 @@
+"""Pallas GRU forward kernel — the TPU-native answer to cuDNN's fused GRU
+(SURVEY.md section 2a).
+
+The XLA ``lax.scan`` GRU is correct but per-step it re-reads the recurrent
+weights and bounces every gate intermediate through HBM. This kernel runs
+the whole time loop inside ONE Pallas program:
+
+  * the recurrent weights ``W_h`` (bf16) are loaded into VMEM once and
+    pinned there for all T steps;
+  * the hidden state lives in a VMEM scratch buffer across grid steps — it
+    never touches HBM until the final write;
+  * per step, the only HBM traffic is streaming in ``x_t @ W_i`` (computed
+    beforehand as one large MXU GEMM) and streaming out ``h_t``;
+  * the batch is chunked over an outer grid dimension so each chunk's
+    working set fits VMEM (w_h bf16 6 MB + xw/outs pipeline buffers).
+
+Grid: ``(num_batch_chunks, T)`` — T innermost, so each chunk's time loop is
+consecutive and the scratch carry is valid.
+
+Used on the inference/encode path (eval, serving, benchmarks) behind the
+same ``gru_sequence`` signature; training keeps the autodiff-friendly scan.
+Parity vs the scan implementation is pinned in tests/test_pallas_gru.py.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import Array
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_TB = 256  # batch-chunk rows per grid step
+
+
+def _use_interpret() -> bool:
+    return jax.devices()[0].platform not in ("tpu",)
+
+
+def _gru_kernel(len_ref, wh_ref, bh_ref, xw_ref, outs_ref, final_ref,
+                h_scratch):
+    t = pl.program_id(1)
+    n_t = pl.num_programs(1)
+
+    @pl.when(t == 0)
+    def _():
+        h_scratch[:] = jnp.zeros_like(h_scratch)
+
+    h = h_scratch[:]  # (TB, H) f32
+    hdtype = wh_ref.dtype
+    hw = jnp.dot(
+        h.astype(hdtype), wh_ref[:], preferred_element_type=jnp.float32
+    ) + bh_ref[0, :][None, :]
+    xw = xw_ref[0].astype(jnp.float32)  # (TB, 3H)
+    hidden = h.shape[-1]
+    xr = xw[:, :hidden]
+    xz = xw[:, hidden : 2 * hidden]
+    xn = xw[:, 2 * hidden :]
+    hr = hw[:, :hidden]
+    hz = hw[:, hidden : 2 * hidden]
+    hn = hw[:, 2 * hidden :]
+    r = jax.nn.sigmoid(xr + hr)
+    z = jax.nn.sigmoid(xz + hz)
+    n = jnp.tanh(xn + r * hn)
+    h_new = (1.0 - z) * n + z * h
+
+    keep = (t < len_ref[0, :])[:, None]  # (TB, 1)
+    h_out = jnp.where(keep, h_new, h)
+    h_scratch[:] = h_out
+    outs_ref[0] = h_out.astype(outs_ref.dtype)
+
+    @pl.when(t == n_t - 1)
+    def _():
+        final_ref[:] = h_out.astype(final_ref.dtype)
+
+
+def pallas_gru_sequence(
+    x: Array,
+    lengths: Array,
+    w_i: Array,
+    w_h: Array,
+    b_i: Array,
+    b_h: Array,
+) -> tuple[Array, Array]:
+    """Forward-only masked GRU with the time loop fused in one kernel.
+
+    Same contract as :func:`cmhse_tpu.models.gru.gru_sequence` (zero initial
+    state): returns (outputs ``[B, T, H]``, final ``[B, H]``).
+    """
+    b, t, _ = x.shape
+    hdim = w_h.shape[0]
+    dtype = x.dtype
+
+    # one big MXU GEMM for all input projections (same as the scan path)
+    xw = (
+        jnp.dot(x, w_i.astype(dtype), preferred_element_type=jnp.float32)
+        + b_i
+    ).astype(dtype)  # [B, T, 3H]
+    xw = jnp.swapaxes(xw, 0, 1)  # [T, B, 3H]
+
+    # pad the batch to a chunk multiple; padded rows have length 0
+    tb = min(_TB, max(8, b))
+    pad = (-b) % tb
+    if pad:
+        xw = jnp.pad(xw, ((0, 0), (0, pad), (0, 0)))
+        lengths = jnp.pad(lengths, (0, pad))
+    bp = b + pad
+    n_chunks = bp // tb
+
+    wh = w_h.astype(jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32)
+    bh2 = b_h.astype(jnp.float32)[None, :]
+    len2 = lengths.astype(jnp.int32)[None, :]
+
+    outs, final = pl.pallas_call(
+        _gru_kernel,
+        grid=(n_chunks, t),
+        in_specs=[
+            pl.BlockSpec((1, tb), lambda c, tt: (0, c),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((hdim, 3 * hdim), lambda c, tt: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * hdim), lambda c, tt: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tb, 3 * hdim), lambda c, tt: (tt, c, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, tb, hdim), lambda c, tt: (tt, c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, hdim), lambda c, tt: (c, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((t, bp, hdim), dtype),
+            jax.ShapeDtypeStruct((bp, hdim), dtype),
+        ),
+        scratch_shapes=[pltpu.VMEM((tb, hdim), jnp.float32)],
+        interpret=_use_interpret(),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * bp * t * hdim * 3 * hdim,
+            bytes_accessed=bp * t * 4 * hdim * 2,
+            transcendentals=bp * t * 3 * hdim,
+        ),
+    )(len2, wh, bh2, xw)
+
+    return jnp.swapaxes(outs, 0, 1)[:b], final[:b]
