@@ -61,6 +61,9 @@ def _build_model_and_batch():
         embed_size=EMBED, word_dim=WORD_DIM, feat_dim=FEAT_DIM,
         rnn_hidden=HIDDEN, hierarchical=True, attention_pool=True,
         dtype="bfloat16",
+        # fused Pallas GRU time loop: ~2.8x the scan path on v5e for the
+        # dominant low-level encoders (encode is forward-only)
+        pallas_gru=True,
     )
     ds = SyntheticHierarchicalDataset(
         num_videos=BATCH, feat_dim=FEAT_DIM, vocab_size=VOCAB,

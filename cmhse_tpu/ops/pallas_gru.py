@@ -66,7 +66,9 @@ def _gru_kernel(len_ref, wh_ref, bh_ref, xw_ref, outs_ref, final_ref,
     n = jnp.tanh(xn + r * hn)
     h_new = (1.0 - z) * n + z * h
 
-    keep = (t < len_ref[0, :])[:, None]  # (TB, 1)
+    # lengths arrive as a (TB, 1) block: the comparison is natively 2D
+    # (Mosaic can't reshape 1-bit vectors to add a minor dim)
+    keep = t < len_ref[:]  # (TB, 1) bool
     h_out = jnp.where(keep, h_new, h)
     h_scratch[:] = h_out
     outs_ref[0] = h_out.astype(outs_ref.dtype)
@@ -111,13 +113,13 @@ def pallas_gru_sequence(
 
     wh = w_h.astype(jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32)
     bh2 = b_h.astype(jnp.float32)[None, :]
-    len2 = lengths.astype(jnp.int32)[None, :]
+    len2 = lengths.astype(jnp.int32)[:, None]  # [Bp, 1]
 
     outs, final = pl.pallas_call(
         _gru_kernel,
         grid=(n_chunks, t),
         in_specs=[
-            pl.BlockSpec((1, tb), lambda c, tt: (0, c),
+            pl.BlockSpec((tb, 1), lambda c, tt: (c, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((hdim, 3 * hdim), lambda c, tt: (0, 0),
                          memory_space=pltpu.VMEM),

@@ -55,25 +55,24 @@ def _cdiv(a: int, b: int) -> int:
 # ---------------------------------------------------------------------------
 
 
-def _simhinge_kernel(
-    a_ref, b_ref, negmask_ref, diag_i_ref, diag_j_ref,
-    rowmax_ref, rowarg_ref, colpmax_ref, colparg_ref,
+def _simhinge_row_kernel(
+    a_ref, b_ref, negmask_ref, diag_ref, rowmax_ref, rowarg_ref,
     *, margin: float,
 ):
+    """One retrieval direction: for each query row i of A, the hardest
+    negative ``max_j margin + (A B^T)[i, j] - diag[i]`` and its argmax.
+    Row tiles are the outer grid dim; column tiles accumulate inner
+    (consecutive revisits of the same output block — the legal pattern)."""
     j = pl.program_id(1)
-    tm, tn = negmask_ref.shape
+    tn = negmask_ref.shape[1]
 
     s = jnp.dot(
         a_ref[:], b_ref[:].T, preferred_element_type=jnp.float32
     )  # (TM, TN)
-    neg = negmask_ref[:] > 0
-
-    # a->b hinge logits: margin + S[i, j] - S[i, i]
-    row_logit = jnp.where(neg, margin + s - diag_i_ref[0, :][:, None], _NEG_INF)
+    neg = negmask_ref[:] > 0.5  # f32 mask: Mosaic can't compare i8 vectors
+    row_logit = jnp.where(neg, margin + s - diag_ref[0, :][:, None], _NEG_INF)
     tile_rmax = jnp.max(row_logit, axis=1)  # (TM,)
-    tile_rarg = (
-        jnp.argmax(row_logit, axis=1).astype(jnp.int32) + j * tn
-    )
+    tile_rarg = jnp.argmax(row_logit, axis=1).astype(jnp.int32) + j * tn
 
     @pl.when(j == 0)
     def _():
@@ -87,38 +86,15 @@ def _simhinge_kernel(
         rowmax_ref[0, :] = jnp.where(upd, tile_rmax, cur)
         rowarg_ref[0, :] = jnp.where(upd, tile_rarg, rowarg_ref[0, :])
 
-    # b->a hinge logits: margin + S[i, j] - S[j, j]; partial max over this
-    # row-tile of queries (reduced across tiles outside the kernel)
-    i = pl.program_id(0)
-    col_logit = jnp.where(neg, margin + s - diag_j_ref[0, :][None, :], _NEG_INF)
-    colpmax_ref[0, :] = jnp.max(col_logit, axis=0)
-    colparg_ref[0, :] = (
-        jnp.argmax(col_logit, axis=0).astype(jnp.int32) + i * tm
-    )
 
-
-def _simhinge_forward(a, b, neg_mask, margin):
-    """Returns (row_max, row_arg, col_max, col_arg) over the padded batch."""
-    bsz, d = a.shape
-    a_p = _pad_rows_2d(a.astype(jnp.float32), _TM)
-    b_p = _pad_rows_2d(b.astype(jnp.float32), _TN)
-    bp = a_p.shape[0]
-    nm = jnp.zeros((bp, bp), jnp.int8)
-    nm = nm.at[:bsz, :bsz].set(neg_mask.astype(jnp.int8))
-    diag = jnp.sum(a_p * b_p, axis=1)[None, :]  # [1, Bp]
-
+def _simhinge_rowpass(a_p, b_p, nm, diag, margin):
+    """Run the row kernel over padded inputs: (row_max [Bp], row_arg [Bp])."""
+    bp, d = a_p.shape
     n_i, n_j = bp // _TM, bp // _TN
-    grid = (n_i, n_j)
-    kernel = functools.partial(_simhinge_kernel, margin=float(margin))
-    out_shape = (
-        jax.ShapeDtypeStruct((1, bp), jnp.float32),  # row max
-        jax.ShapeDtypeStruct((1, bp), jnp.int32),  # row arg
-        jax.ShapeDtypeStruct((n_i, bp), jnp.float32),  # col partial max
-        jax.ShapeDtypeStruct((n_i, bp), jnp.int32),  # col partial arg
-    )
-    rowmax, rowarg, colpmax, colparg = pl.pallas_call(
+    kernel = functools.partial(_simhinge_row_kernel, margin=float(margin))
+    rowmax, rowarg = pl.pallas_call(
         kernel,
-        grid=grid,
+        grid=(n_i, n_j),
         in_specs=[
             pl.BlockSpec((_TM, d), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -128,33 +104,46 @@ def _simhinge_forward(a, b, neg_mask, margin):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _TM), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _TN), lambda i, j: (0, j),
-                         memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, _TM), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _TM), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _TN), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _TN), lambda i, j: (i, j),
-                         memory_space=pltpu.VMEM),
         ),
-        out_shape=out_shape,
+        out_shape=(
+            jax.ShapeDtypeStruct((1, bp), jnp.float32),
+            jax.ShapeDtypeStruct((1, bp), jnp.int32),
+        ),
         interpret=_use_interpret(),
         cost_estimate=pl.CostEstimate(
             flops=2 * bp * bp * d, bytes_accessed=2 * bp * d * 4,
             transcendentals=0,
         ),
-    )(a_p, b_p, nm, diag, diag)
+    )(a_p, b_p, nm, diag)
+    return rowmax[0], rowarg[0]
 
-    # reduce column partials over row tiles
-    col_max = jnp.max(colpmax, axis=0)  # [Bp]
-    which = jnp.argmax(colpmax, axis=0)  # [Bp]
-    col_arg = jnp.take_along_axis(colparg, which[None, :], axis=0)[0]
+
+def _simhinge_forward(a, b, neg_mask, margin):
+    """Returns (row_max, row_arg, col_max, col_arg) over the true batch.
+
+    Two passes of the same row kernel: the b->a direction is the a->b
+    direction of the transposed problem (cost_ba[i, j] uses diag[j], and
+    ``(B A^T)[j, i] = (A B^T)[i, j]``), so a second pass with (b, a,
+    neg_mask^T) yields the column maxima/argmaxes directly.
+    """
+    bsz, _ = a.shape
+    a_p = _pad_rows_2d(a.astype(jnp.float32), _TM)
+    b_p = _pad_rows_2d(b.astype(jnp.float32), _TN)
+    bp = a_p.shape[0]
+    nm = jnp.zeros((bp, bp), jnp.float32)
+    nm = nm.at[:bsz, :bsz].set(neg_mask.astype(jnp.float32))
+    diag = jnp.sum(a_p * b_p, axis=1)[None, :]  # [1, Bp]
+
+    row_max, row_arg = _simhinge_rowpass(a_p, b_p, nm, diag, margin)
+    col_max, col_arg = _simhinge_rowpass(b_p, a_p, nm.T, diag, margin)
     return (
-        rowmax[0, :bsz], rowarg[0, :bsz],
+        row_max[:bsz], row_arg[:bsz],
         col_max[:bsz], col_arg[:bsz],
     )
 
@@ -251,7 +240,7 @@ def _rankcount_kernel(q_ref, g_ref, pos_ref, gvalid_ref, count_ref):
     s = jnp.dot(
         q_ref[:], g_ref[:].T, preferred_element_type=jnp.float32
     )  # (TQ, TN)
-    gt = (s > pos_ref[0, :][:, None]) & (gvalid_ref[0, :] > 0)[None, :]
+    gt = (s > pos_ref[0, :][:, None]) & (gvalid_ref[0, :] > 0.5)[None, :]
     tile_counts = jnp.sum(gt.astype(jnp.int32), axis=1)
 
     @pl.when(j == 0)
@@ -283,7 +272,7 @@ def pallas_rank_counts(
     qp, np_ = q_p.shape[0], g_p.shape[0]
     pos_p = jnp.full((1, qp), jnp.inf, jnp.float32)
     pos_p = pos_p.at[0, :q].set(pos_score.astype(jnp.float32))
-    gvalid = (jnp.arange(np_) < n).astype(jnp.int8)[None, :]
+    gvalid = (jnp.arange(np_) < n).astype(jnp.float32)[None, :]
 
     counts = pl.pallas_call(
         _rankcount_kernel,

@@ -51,16 +51,37 @@ class LogCollector:
 
 
 class JsonlLogger:
-    """Append-only JSONL event log next to the checkpoints."""
+    """Append-only JSONL event log next to the checkpoints, with optional
+    TensorBoard scalars (the reference used ``tensorboard_logger``; here TB
+    is best-effort — enabled when a SummaryWriter implementation is
+    importable, silently skipped otherwise)."""
 
-    def __init__(self, path: str) -> None:
+    def __init__(self, path: str, tensorboard: bool = True) -> None:
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
         self.path = path
         self._fh = open(path, "a", buffering=1)
+        self._tb = None
+        if tensorboard:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self._tb = SummaryWriter(
+                    log_dir=os.path.join(os.path.dirname(os.path.abspath(path)),
+                                         "tb")
+                )
+            except Exception:
+                self._tb = None
 
     def log(self, event: str, **fields) -> None:
         rec = {"t": time.time(), "event": event, **fields}
         self._fh.write(json.dumps(rec) + "\n")
+        if self._tb is not None:
+            step = int(fields.get("step", fields.get("epoch", 0)) or 0)
+            for k, v in fields.items():
+                if isinstance(v, (int, float)) and k not in ("step", "epoch"):
+                    self._tb.add_scalar(f"{event}/{k}", v, step)
 
     def close(self) -> None:
+        if self._tb is not None:
+            self._tb.close()
         self._fh.close()
