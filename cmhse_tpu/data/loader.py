@@ -36,6 +36,7 @@ def batches_from_dataset(
     seed: int = 0,
     drop_last: bool = False,
     fixed_shape: bool = True,
+    group_by_length: bool = False,
 ) -> Iterator[Batch]:
     """Yield fixed-shape :class:`Batch` pytrees from a ragged dataset.
 
@@ -44,10 +45,29 @@ def batches_from_dataset(
     per-batch (frames, words) bucket edges are chosen from the batch's
     longest member — less padding FLOPs at the cost of up to
     ``len(frame_buckets) * len(word_buckets)`` compiles.
+
+    ``group_by_length``: batch together examples of similar max-frame
+    length so short batches actually land in small buckets (otherwise one
+    long member drags the whole batch to the top bucket). Batch ORDER is
+    still shuffled; grouping replaces the reference's sort-by-length collate
+    with an epoch-level equivalent that keeps shapes static per batch.
     """
+    rng = np.random.RandomState(seed)
     order = np.arange(len(dataset))
     if shuffle:
-        np.random.RandomState(seed).shuffle(order)
+        rng.shuffle(order)
+    if group_by_length:
+        max_frames = np.asarray(
+            [max((len(c) for c in dataset[int(i)].clips), default=0)
+             for i in order]
+        )
+        order = order[np.argsort(max_frames, kind="stable")]
+        starts = np.arange(0, len(order), cfg.batch_size)
+        if shuffle:
+            rng.shuffle(starts)
+        order = np.concatenate(
+            [order[s : s + cfg.batch_size] for s in starts]
+        )
     pack = _packer()
 
     full_spec = BucketSpec(

@@ -1,0 +1,68 @@
+"""BASELINE config 4: DiDeMo-style ragged bucketing stress — train across
+MULTIPLE compiled bucket shapes (fixed_shape=False) and verify numerics and
+eval stay consistent with the single-shape path."""
+
+import numpy as np
+import jax
+
+from cmhse_tpu.config import DataConfig, ExperimentConfig, LossConfig, ModelConfig
+from cmhse_tpu.data import SyntheticHierarchicalDataset, batches_from_dataset
+from cmhse_tpu.eval.retrieval import validate_metrics
+from cmhse_tpu.models import CMHSE
+from cmhse_tpu.train import create_train_state, train_step
+
+
+def _didemo_cfg():
+    # small bucket edges to force several compiled shapes
+    return ExperimentConfig(
+        name="didemo_stress",
+        data=DataConfig(batch_size=8, feat_dim=16, vocab_size=64,
+                        max_clips=4, max_frames=24, max_sentences=4,
+                        max_words=12, frame_buckets=(6, 12, 24),
+                        word_buckets=(4, 8, 12)),
+        model=ModelConfig(embed_size=24, word_dim=12, feat_dim=16,
+                          rnn_hidden=24, hierarchical=True,
+                          attention_pool=True),
+        loss=LossConfig(),
+    )
+
+
+def test_bucketed_training_runs_multiple_shapes():
+    cfg = _didemo_cfg()
+    ds = SyntheticHierarchicalDataset(num_videos=64, feat_dim=16,
+                                      vocab_size=64, max_clips=4,
+                                      max_frames=24, max_words=12, seed=9)
+    batches = list(batches_from_dataset(ds, cfg.data, shuffle=False,
+                                        fixed_shape=False,
+                                        group_by_length=True))
+    shapes = {b.frames.shape for b in batches}
+    assert len(shapes) > 1, f"stress test needs >1 bucket shape, got {shapes}"
+
+    state = create_train_state(cfg, jax.random.PRNGKey(0), batches[0])
+    for b in batches:
+        state, m = train_step(state, b, cfg.loss)
+        assert np.isfinite(float(m["loss"])), (b.frames.shape, m)
+
+
+def test_bucketed_vs_fixed_eval_identical_ranks():
+    """Bucket choice only changes PADDING; masked encoders must produce the
+    same embeddings, hence identical retrieval ranks."""
+    cfg = _didemo_cfg()
+    ds = SyntheticHierarchicalDataset(num_videos=16, feat_dim=16,
+                                      vocab_size=64, max_clips=4,
+                                      max_frames=24, max_words=12, seed=10)
+    b0 = next(iter(batches_from_dataset(ds, cfg.data, shuffle=False)))
+    state = create_train_state(cfg, jax.random.PRNGKey(1), b0)
+    model = CMHSE(cfg=cfg.model, vocab_size=cfg.data.vocab_size)
+
+    fixed = batches_from_dataset(ds, cfg.data, shuffle=False,
+                                 fixed_shape=True)
+    bucketed = batches_from_dataset(ds, cfg.data, shuffle=False,
+                                    fixed_shape=False)
+    m_fixed = validate_metrics(model, state.params, fixed, ks=(1, 5))
+    m_buck = validate_metrics(model, state.params, bucketed, ks=(1, 5))
+    for k in m_fixed:
+        np.testing.assert_allclose(
+            m_fixed[k], m_buck[k], rtol=1e-4,
+            err_msg=f"{k} diverged between fixed and bucketed shapes",
+        )
