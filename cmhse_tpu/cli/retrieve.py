@@ -1,0 +1,72 @@
+"""``cmhse-retrieve`` — text->video retrieval against an encoded gallery
+(the serving surface over :class:`cmhse_tpu.eval.serve.Retriever`; the
+reference has no serving path — SURVEY.md section 3.5)."""
+
+from __future__ import annotations
+
+import argparse
+
+import numpy as np
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser("cmhse-retrieve")
+    p.add_argument("checkpoint", help="checkpoint dir (with config.json)")
+    p.add_argument("--data_path", default=None)
+    p.add_argument("--split", default="val", help="gallery split")
+    p.add_argument("--query", action="append", required=True,
+                   help="natural-language query (repeatable)")
+    p.add_argument("-k", type=int, default=5)
+    p.add_argument("--sharded", action="store_true")
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu", "axon"])
+    args = p.parse_args(argv)
+
+    from cmhse_tpu.cli.train import _force_platform
+
+    _force_platform(args.platform)
+
+    from cmhse_tpu.data import PrecompDataset, Vocabulary, batches_from_dataset
+    from cmhse_tpu.eval.serve import Retriever
+    from cmhse_tpu.train.checkpoint import restore_for_eval
+
+    model, params, cfg = restore_for_eval(args.checkpoint)
+    data_path = args.data_path or cfg.data.data_path
+    vocab = Vocabulary.load(f"{data_path}/vocab.json")
+    dataset = PrecompDataset(data_path, args.split, vocab,
+                             feat_dim=cfg.data.feat_dim)
+
+    mesh = None
+    if args.sharded:
+        from cmhse_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh((-1,), ("data",))
+
+    retriever = Retriever(model, params, mesh=mesh)
+    retriever.build_gallery(
+        batches_from_dataset(dataset, cfg.data, shuffle=False),
+        keys=None,
+    )
+
+    # tokenize queries into a one-sentence padded batch
+    smax, wmax = cfg.data.max_sentences, cfg.data.max_words
+    q = len(args.query)
+    words = np.zeros((q, smax, wmax), np.int32)
+    word_len = np.zeros((q, smax), np.int32)
+    sent_len = np.ones((q,), np.int32)
+    for i, text in enumerate(args.query):
+        ids = vocab.encode(text)[:wmax]
+        words[i, 0, : len(ids)] = ids
+        word_len[i, 0] = len(ids)
+
+    scores, idx = retriever.retrieve(words, word_len, sent_len, k=args.k)
+    for i, text in enumerate(args.query):
+        print(f"query: {text!r}")
+        for rank, (j, s) in enumerate(zip(idx[i], scores[i]), start=1):
+            key = dataset.keys[int(retriever.gallery_keys[int(j)])] \
+                if retriever.gallery_keys is not None else int(j)
+            print(f"  {rank}. {key}  score={float(s):.4f}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
