@@ -46,7 +46,7 @@ SCAN_SHORT = 4
 SCAN_LONG = 12
 
 GALLERY = 10_000  # sim-matrix QPS gallery size
-QUERY_BLOCK = 128
+QUERY_BLOCK = 512  # large enough that the timed delta dwarfs dispatch jitter
 
 
 def _build_model_and_batch():
@@ -86,12 +86,24 @@ def _timed_scan(fn_factory, n_iters_pair=(SCAN_SHORT, SCAN_LONG)):
     import jax.numpy as jnp
 
     seed = iter(range(1, 100))
+
+    def call(fn, s, attempts=3):
+        # the remote-compile relay occasionally drops a response mid-body;
+        # retry transient failures so unattended driver runs survive
+        for i in range(attempts):
+            try:
+                return float(fn(jnp.float32(s)))
+            except Exception:
+                if i == attempts - 1:
+                    raise
+                time.sleep(5 * (i + 1))
+
     times = []
     for n in n_iters_pair:
         fn = fn_factory(n)
-        float(fn(jnp.float32(next(seed))))  # compile
+        call(fn, next(seed))  # compile
         t0 = time.perf_counter()
-        float(fn(jnp.float32(next(seed))))
+        call(fn, next(seed))
         times.append(time.perf_counter() - t0)
     n0, n1 = n_iters_pair
     return max((times[1] - times[0]) / (n1 - n0), 1e-12)
@@ -151,7 +163,7 @@ def bench_sim_qps():
             return total
         return run
 
-    sec_per_block = _timed_scan(factory, n_iters_pair=(8, 24))
+    sec_per_block = _timed_scan(factory, n_iters_pair=(10, 60))
     return QUERY_BLOCK / sec_per_block
 
 

@@ -33,6 +33,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _TB = 256  # batch-chunk rows per grid step
+_STEPS = 2  # timesteps processed per grid step (amortizes grid overhead)
 
 
 def _use_interpret() -> bool:
@@ -40,42 +41,45 @@ def _use_interpret() -> bool:
 
 
 def _gru_kernel(len_ref, wh_ref, bh_ref, xw_ref, outs_ref, final_ref,
-                h_scratch):
-    t = pl.program_id(1)
-    n_t = pl.num_programs(1)
+                h_scratch, *, steps: int):
+    tb = pl.program_id(1)  # time-block index
+    n_tb = pl.num_programs(1)
 
-    @pl.when(t == 0)
+    @pl.when(tb == 0)
     def _():
         h_scratch[:] = jnp.zeros_like(h_scratch)
 
-    h = h_scratch[:]  # (TB, H) f32
     hdtype = wh_ref.dtype
-    hw = jnp.dot(
-        h.astype(hdtype), wh_ref[:], preferred_element_type=jnp.float32
-    ) + bh_ref[0, :][None, :]
-    xw = xw_ref[0].astype(jnp.float32)  # (TB, 3H)
-    hidden = h.shape[-1]
-    xr = xw[:, :hidden]
-    xz = xw[:, hidden : 2 * hidden]
-    xn = xw[:, 2 * hidden :]
-    hr = hw[:, :hidden]
-    hz = hw[:, hidden : 2 * hidden]
-    hn = hw[:, 2 * hidden :]
-    r = jax.nn.sigmoid(xr + hr)
-    z = jax.nn.sigmoid(xz + hz)
-    n = jnp.tanh(xn + r * hn)
-    h_new = (1.0 - z) * n + z * h
+    hidden = h_scratch.shape[-1]
+    h = h_scratch[:]  # (TB, H) f32
+    for s in range(steps):  # static unroll: `steps` sequential GRU steps
+        t = tb * steps + s
+        hw = jnp.dot(
+            h.astype(hdtype), wh_ref[:], preferred_element_type=jnp.float32
+        ) + bh_ref[0, :][None, :]
+        xw = xw_ref[s].astype(jnp.float32)  # (TB, 3H)
+        xr = xw[:, :hidden]
+        xz = xw[:, hidden : 2 * hidden]
+        xn = xw[:, 2 * hidden :]
+        hr = hw[:, :hidden]
+        hz = hw[:, hidden : 2 * hidden]
+        hn = hw[:, 2 * hidden :]
+        r = jax.nn.sigmoid(xr + hr)
+        z = jax.nn.sigmoid(xz + hz)
+        n = jnp.tanh(xn + r * hn)
+        h_new = (1.0 - z) * n + z * h
 
-    # lengths arrive as a (TB, 1) block: the comparison is natively 2D
-    # (Mosaic can't reshape 1-bit vectors to add a minor dim)
-    keep = t < len_ref[:]  # (TB, 1) bool
-    h_out = jnp.where(keep, h_new, h)
-    h_scratch[:] = h_out
-    outs_ref[0] = h_out.astype(outs_ref.dtype)
+        # lengths arrive as a (TB, 1) block: the comparison is natively 2D
+        # (Mosaic can't reshape 1-bit vectors to add a minor dim)
+        keep = t < len_ref[:]  # (TB, 1) bool
+        h = jnp.where(keep, h_new, h)
+        outs_ref[s] = h.astype(outs_ref.dtype)
 
-    @pl.when(t == n_t - 1)
+    h_scratch[:] = h
+
+    @pl.when(tb == n_tb - 1)
     def _():
-        final_ref[:] = h_out.astype(final_ref.dtype)
+        final_ref[:] = h.astype(final_ref.dtype)
 
 
 def pallas_gru_sequence(
@@ -102,6 +106,14 @@ def pallas_gru_sequence(
     ).astype(dtype)  # [B, T, 3H]
     xw = jnp.swapaxes(xw, 0, 1)  # [T, B, 3H]
 
+    # pad T to a steps-per-block multiple (padded steps are masked by length)
+    steps = min(_STEPS, t)
+    t_pad = (-t) % steps
+    if t_pad:
+        xw = jnp.pad(xw, ((0, t_pad), (0, 0), (0, 0)))
+    tp = t + t_pad
+    n_tblocks = tp // steps
+
     # pad the batch to a chunk multiple; padded rows have length 0
     tb = min(_TB, max(8, b))
     pad = (-b) % tb
@@ -116,8 +128,8 @@ def pallas_gru_sequence(
     len2 = lengths.astype(jnp.int32)[:, None]  # [Bp, 1]
 
     outs, final = pl.pallas_call(
-        _gru_kernel,
-        grid=(n_chunks, t),
+        functools.partial(_gru_kernel, steps=steps),
+        grid=(n_chunks, n_tblocks),
         in_specs=[
             pl.BlockSpec((tb, 1), lambda c, tt: (c, 0),
                          memory_space=pltpu.VMEM),
@@ -125,26 +137,26 @@ def pallas_gru_sequence(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 3 * hdim), lambda c, tt: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tb, 3 * hdim), lambda c, tt: (tt, c, 0),
+            pl.BlockSpec((steps, tb, 3 * hdim), lambda c, tt: (tt, c, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, tb, hdim), lambda c, tt: (tt, c, 0),
+            pl.BlockSpec((steps, tb, hdim), lambda c, tt: (tt, c, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tb, hdim), lambda c, tt: (c, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((t, bp, hdim), dtype),
+            jax.ShapeDtypeStruct((tp, bp, hdim), dtype),
             jax.ShapeDtypeStruct((bp, hdim), dtype),
         ),
         scratch_shapes=[pltpu.VMEM((tb, hdim), jnp.float32)],
         interpret=_use_interpret(),
         cost_estimate=pl.CostEstimate(
-            flops=2 * bp * t * hdim * 3 * hdim,
-            bytes_accessed=bp * t * 4 * hdim * 2,
-            transcendentals=bp * t * 3 * hdim,
+            flops=2 * bp * tp * hdim * 3 * hdim,
+            bytes_accessed=bp * tp * 4 * hdim * 2,
+            transcendentals=bp * tp * 3 * hdim,
         ),
     )(len2, wh, bh2, xw)
 
-    return jnp.swapaxes(outs, 0, 1)[:b], final[:b]
+    return jnp.swapaxes(outs, 0, 1)[:b, :t], final[:b]
