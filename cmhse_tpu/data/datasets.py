@@ -78,6 +78,19 @@ class SyntheticHierarchicalDataset:
         return RaggedExample(video_id=idx, clips=clips, sentences=sentences,
                              key=f"synthetic_{idx}")
 
+    def max_frame_len(self, idx: int) -> int:
+        """Cheap length probe for length-grouped batching (no feature I/O)."""
+        rng = np.random.RandomState(self.seed * 1_000_003 + idx)
+        n_clips = int(rng.randint(1, self.max_clips + 1))
+        best = 0
+        for _ in range(n_clips):
+            nf = int(rng.randint(4, self.max_frames + 1))
+            rng.randn(nf, self.feat_dim)
+            nw = int(rng.randint(3, self.max_words + 1))
+            rng.randint(4, self.vocab_size, size=nw)
+            best = max(best, nf)
+        return best
+
 
 class PrecompDataset:
     """Precomputed C3D features + tokenized captions (reference ``data.py``).
@@ -119,6 +132,33 @@ class PrecompDataset:
         return np.load(
             os.path.join(self._npy_dir, f"{key}.npy")
         ).astype(np.float32)
+
+    def _feature_rows(self, key: str) -> int:
+        """Row count of a video's feature matrix WITHOUT reading the data
+        (h5 dataset shape / npy header via mmap)."""
+        if os.path.exists(self._h5_path):
+            if self._h5 is None:
+                import h5py
+
+                self._h5 = h5py.File(self._h5_path, "r")
+            return int(self._h5[key].shape[0])
+        arr = np.load(
+            os.path.join(self._npy_dir, f"{key}.npy"), mmap_mode="r"
+        )
+        return int(arr.shape[0])
+
+    def max_frame_len(self, idx: int) -> int:
+        """Cheap length probe for length-grouped batching."""
+        key = self.keys[idx]
+        meta = self.captions[key]
+        n = self._feature_rows(key)
+        duration = float(meta.get("duration", n))
+        best = 1
+        for start, end in meta["timestamps"]:
+            s = max(0, min(n - 1, int(round(start / duration * n))))
+            e = max(s + 1, min(n, int(round(end / duration * n))))
+            best = max(best, e - s)
+        return best
 
     def __getitem__(self, idx: int) -> RaggedExample:
         key = self.keys[idx]

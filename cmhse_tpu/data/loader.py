@@ -57,10 +57,16 @@ def batches_from_dataset(
     if shuffle:
         rng.shuffle(order)
     if group_by_length:
-        max_frames = np.asarray(
-            [max((len(c) for c in dataset[int(i)].clips), default=0)
-             for i in order]
-        )
+        if hasattr(dataset, "max_frame_len"):
+            # cheap probe (no feature I/O)
+            max_frames = np.asarray(
+                [dataset.max_frame_len(int(i)) for i in order]
+            )
+        else:
+            max_frames = np.asarray(
+                [max((len(c) for c in dataset[int(i)].clips), default=0)
+                 for i in order]
+            )
         order = order[np.argsort(max_frames, kind="stable")]
         starts = np.arange(0, len(order), cfg.batch_size)
         if shuffle:

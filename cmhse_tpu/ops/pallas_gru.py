@@ -33,7 +33,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _TB = 256  # batch-chunk rows per grid step
-_STEPS = 2  # timesteps processed per grid step (amortizes grid overhead)
+# timesteps per grid invocation. The VMEM budget caps tb*steps at ~256 for
+# H=1024 (2-step blocks OOM the 16 MB scoped limit even in bf16, measured on
+# v5e), and total grid steps scale as 1/(tb*steps) — so multi-step blocks
+# only help if tb shrinks proportionally, which is a wash. Kept at 1; the
+# machinery supports >1 for smaller models.
+_STEPS = 1
 
 
 def _use_interpret() -> bool:
@@ -106,8 +111,10 @@ def pallas_gru_sequence(
     ).astype(dtype)  # [B, T, 3H]
     xw = jnp.swapaxes(xw, 0, 1)  # [T, B, 3H]
 
-    # pad T to a steps-per-block multiple (padded steps are masked by length)
+    tb = min(_TB, max(8, b))
     steps = min(_STEPS, t)
+
+    # pad T to a steps-per-block multiple (padded steps are masked by length)
     t_pad = (-t) % steps
     if t_pad:
         xw = jnp.pad(xw, ((0, t_pad), (0, 0), (0, 0)))
@@ -115,7 +122,6 @@ def pallas_gru_sequence(
     n_tblocks = tp // steps
 
     # pad the batch to a chunk multiple; padded rows have length 0
-    tb = min(_TB, max(8, b))
     pad = (-b) % tb
     if pad:
         xw = jnp.pad(xw, ((0, 0), (0, pad), (0, 0)))
