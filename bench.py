@@ -138,6 +138,77 @@ def bench_encode_pairs():
     return BATCH / sec_per_batch
 
 
+def bench_train_step():
+    """Training pairs/sec: full forward+loss+backward+Adam, scanned in-graph
+    (params/opt-state threaded through the scan carry)."""
+    import jax
+    import jax.numpy as jnp
+
+    from cmhse_tpu.config import (DataConfig, ExperimentConfig, LossConfig,
+                                  ModelConfig, TrainConfig)
+    from cmhse_tpu.data.bucketing import BucketSpec, pad_batch
+    from cmhse_tpu.data.datasets import SyntheticHierarchicalDataset
+    from cmhse_tpu.models import CMHSE
+    from cmhse_tpu.train.objective import total_loss
+    from cmhse_tpu.train.state import make_optimizer
+    import optax
+
+    bsz = 64
+    cfg = ExperimentConfig(
+        data=DataConfig(batch_size=bsz, feat_dim=FEAT_DIM, vocab_size=VOCAB,
+                        max_clips=MAX_CLIPS, max_frames=MAX_FRAMES,
+                        max_sentences=MAX_SENTENCES, max_words=MAX_WORDS),
+        model=ModelConfig(embed_size=EMBED, word_dim=WORD_DIM,
+                          feat_dim=FEAT_DIM, rnn_hidden=HIDDEN,
+                          hierarchical=True),
+        loss=LossConfig(),
+        train=TrainConfig(),
+    )
+    ds = SyntheticHierarchicalDataset(
+        num_videos=bsz, feat_dim=FEAT_DIM, vocab_size=VOCAB,
+        max_clips=MAX_CLIPS, max_frames=MAX_FRAMES, max_words=MAX_WORDS,
+    )
+    spec = BucketSpec(batch_size=bsz, max_clips=MAX_CLIPS,
+                      max_frames=MAX_FRAMES, max_sentences=MAX_SENTENCES,
+                      max_words=MAX_WORDS, feat_dim=FEAT_DIM)
+    batch = jax.device_put(pad_batch([ds[i] for i in range(bsz)], spec))
+    model = CMHSE(cfg=cfg.model, vocab_size=VOCAB)
+    params0 = model.init(jax.random.PRNGKey(0), batch)["params"]
+    tx = make_optimizer(cfg)
+    opt0 = tx.init(params0)
+
+    def factory(n_iters):
+        @jax.jit
+        def run(seed):
+            def step(carry, i):
+                params, opt_state = carry
+                b = batch.replace(
+                    frames=batch.frames + (seed + i.astype(jnp.float32)) * 1e-3
+                )
+
+                def loss_fn(p):
+                    out = model.apply({"params": p}, b)
+                    l, _ = total_loss(out, b, cfg.loss)
+                    return l
+
+                loss, grads = jax.value_and_grad(loss_fn)(params)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), loss
+
+            (params, _), losses = jax.lax.scan(
+                step, (params0, opt0), jnp.arange(n_iters)
+            )
+            return jnp.sum(losses) + jnp.sum(
+                jax.tree.leaves(params)[0].astype(jnp.float32)
+            )
+
+        return run
+
+    sec_per_step = _timed_scan(factory, n_iters_pair=(2, 6))
+    return bsz / sec_per_step
+
+
 def bench_sim_qps():
     """Queries/sec ranked against a 10k-item gallery (eval/serving hot path)."""
     import jax
@@ -173,6 +244,10 @@ def main():
     platform = jax.devices()[0].platform
     pairs_per_sec = bench_encode_pairs()
     sim_qps = bench_sim_qps()
+    try:
+        train_pps = bench_train_step()
+    except Exception:
+        train_pps = None  # training bench is an extra; never fail the run
     result = {
         "metric": "video-paragraph pairs/sec encoded (hierarchical CMHSE, "
                   f"B={BATCH}, {MAX_CLIPS}x{MAX_FRAMES} frames, bf16)",
@@ -181,6 +256,7 @@ def main():
         "vs_baseline": round(pairs_per_sec / EST_REF_PAIRS_PER_SEC, 2),
         "extras": {
             "sim_matrix_qps_10k_gallery": round(sim_qps, 2),
+            "train_pairs_per_sec": round(train_pps, 2) if train_pps else None,
             "platform": platform,
             "baseline_note": "reference throughput unpublished; denominator "
                              "is the documented estimate "

@@ -51,6 +51,8 @@ def build_parser() -> argparse.ArgumentParser:
     # runtime
     p.add_argument("--platform", default=None, choices=["cpu", "tpu", "axon"],
                    help="force a JAX platform (tests/dev: cpu)")
+    p.add_argument("--profile_dir", default=None,
+                   help="wrap the run in a jax.profiler trace to this dir")
     p.add_argument("--synthetic", action="store_true",
                    help="train on the synthetic dataset (smoke/bench)")
     p.add_argument("--synthetic_videos", type=int, default=256)
@@ -136,7 +138,10 @@ def main(argv=None) -> int:
     _force_platform(args.platform)
 
     from cmhse_tpu.config import get_preset
+    from cmhse_tpu.parallel.mesh import maybe_initialize_distributed
     from cmhse_tpu.train.loop import fit
+
+    maybe_initialize_distributed()
 
     cfg = apply_overrides(get_preset(args.preset), args)
     print(f"config:\n{cfg.to_json()}")
@@ -162,7 +167,10 @@ def main(argv=None) -> int:
         val_ds = PrecompDataset(cfg.data.data_path, "val", vocab,
                                 feat_dim=cfg.data.feat_dim)
 
-    state, best_rsum = fit(cfg, train_ds, val_ds)
+    from cmhse_tpu.utils.timing import profiler_trace
+
+    with profiler_trace(args.profile_dir):
+        state, best_rsum = fit(cfg, train_ds, val_ds)
     print(f"done; best rsum {best_rsum:.2f}")
     return 0
 
