@@ -92,3 +92,38 @@ def encode_data(
         [np.concatenate(x) if x else None
          for x in (clip_all, sent_all, cmask_all, smask_all)],
     )
+
+
+def encode_gallery_device(
+    model: CMHSE,
+    params,
+    batches,
+    use_pallas_gru: bool | None = None,
+) -> tuple[Array, Array, Array]:
+    """Device-resident gallery encode: no per-batch host transfers.
+
+    Returns (video_embs [Np, E], para_embs [Np, E], valid bool[Np]) where
+    padded rows are KEPT in place (aligned across both modalities) and
+    flagged by ``valid`` — the masked metric paths exclude them. This is the
+    production eval path: only the final scalar metrics cross to the host.
+    """
+    if use_pallas_gru is None:
+        use_pallas_gru = jax.devices()[0].platform == "tpu"
+    mcfg = model.cfg
+    if use_pallas_gru and not mcfg.pallas_gru:
+        import dataclasses
+
+        mcfg = dataclasses.replace(mcfg, pallas_gru=True)
+    _encode = _jitted_encode(mcfg, model.vocab_size)
+
+    v_all, p_all, valid_all = [], [], []
+    for batch in batches:
+        v, p, _, _ = _encode(params, batch)
+        v_all.append(v)
+        p_all.append(p)
+        valid_all.append(batch.valid)
+    return (
+        jnp.concatenate(v_all),
+        jnp.concatenate(p_all),
+        jnp.concatenate([jnp.asarray(v) for v in valid_all]),
+    )

@@ -30,14 +30,20 @@ def validate_metrics(
     With ``mesh`` the gallery is sharded (BASELINE config 5); without, the
     single-device on-device path runs. Returns plain floats.
     """
-    video_embs, para_embs, _ = encode_data(model, params, batches)
     if mesh is not None:
+        # fully device-resident path: encode -> sharded rank counting ->
+        # masked reductions; only the final scalars cross to the host
+        from cmhse_tpu.eval.encode import encode_gallery_device
         from cmhse_tpu.parallel.eval_sharded import sharded_retrieval_metrics
 
+        video_embs, para_embs, valid = encode_gallery_device(
+            model, params, batches
+        )
         metrics = sharded_retrieval_metrics(
-            video_embs, para_embs, mesh, ks=ks, mode=mode
+            video_embs, para_embs, mesh, ks=ks, mode=mode, valid=valid
         )
     else:
+        video_embs, para_embs, _ = encode_data(model, params, batches)
         sims = cosine_sim(video_embs, para_embs)
         metrics = bidirectional_metrics(sims, ks=ks)
     return {k: float(v) for k, v in metrics.items()}

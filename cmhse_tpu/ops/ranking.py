@@ -62,6 +62,28 @@ def mean_rank(ranks: Array) -> Array:
     return jnp.mean(ranks.astype(jnp.float32))
 
 
+def masked_recall_at_k(ranks: Array, k: int, valid: Array) -> Array:
+    """R@k over valid queries only (padded gallery rows carry junk ranks)."""
+    nv = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
+    hits = jnp.sum(jnp.where(valid, (ranks <= k).astype(jnp.float32), 0.0))
+    return hits / nv
+
+
+def masked_median_rank(ranks: Array, valid: Array) -> Array:
+    """Median over valid entries (numpy-median midpoint convention)."""
+    big = jnp.where(valid, ranks, jnp.iinfo(jnp.int32).max)
+    srt = jnp.sort(big).astype(jnp.float32)
+    nv = jnp.sum(valid.astype(jnp.int32))
+    lo = srt[jnp.maximum((nv - 1) // 2, 0)]
+    hi = srt[jnp.maximum(nv // 2, 0)]
+    return (lo + hi) / 2.0
+
+
+def masked_mean_rank(ranks: Array, valid: Array) -> Array:
+    nv = jnp.maximum(jnp.sum(valid.astype(jnp.float32)), 1.0)
+    return jnp.sum(jnp.where(valid, ranks.astype(jnp.float32), 0.0)) / nv
+
+
 def retrieval_metrics(
     sims: Array,
     ks: tuple[int, ...] = (1, 5, 10, 50),

@@ -52,6 +52,7 @@ def sharded_ranks(
     mesh: Mesh,
     axis: str = "data",
     mode: str = "query",
+    valid: Array | None = None,
 ) -> Array:
     """1-based rank of the aligned positive for every query row.
 
@@ -70,8 +71,12 @@ def sharded_ranks(
     npad = v_pad.shape[0]
     pos_idx = jnp.arange(npad, dtype=jnp.int32)
     # padded gallery rows are all-zero => sim 0; guard by masking them out of
-    # the counts with an explicit validity vector.
+    # the counts with an explicit validity vector. Caller-supplied ``valid``
+    # (device-resident galleries keep in-place padding rows) is folded in.
     gallery_valid = (jnp.arange(npad) < n)
+    if valid is not None:
+        valid_pad, _ = _pad_rows(valid, ndev)
+        gallery_valid = gallery_valid & valid_pad
 
     if mode == "query":
 
@@ -136,23 +141,42 @@ def sharded_retrieval_metrics(
     ks: tuple[int, ...] = (1, 5, 10, 50),
     axis: str = "data",
     mode: str = "query",
+    valid: Array | None = None,
 ) -> dict[str, Array]:
     """Bidirectional R@k / MedR / MeanR over a sharded gallery.
 
     Mirrors :func:`cmhse_tpu.ops.ranking.bidirectional_metrics` but scales to
     galleries that don't fit one device. The final reductions (mean/median
     over ``[N]`` ranks) are negligible and run wherever XLA puts them.
+
+    ``valid``: bool[N] row validity for device-resident galleries that keep
+    padded rows in place (see ``encode_gallery_device``); invalid rows are
+    excluded as both queries and gallery items.
     """
+    from cmhse_tpu.ops.ranking import (
+        masked_mean_rank,
+        masked_median_rank,
+        masked_recall_at_k,
+    )
+
     out: dict[str, Array] = {}
     for prefix, (a, b) in (
         ("v2p", (v_emb, p_emb)),
         ("p2v", (p_emb, v_emb)),
     ):
-        ranks = sharded_ranks(a, b, mesh, axis=axis, mode=mode)
-        for k in ks:
-            out[f"{prefix}_r@{k}"] = recall_at_k(ranks, k) * 100.0
-        out[f"{prefix}_medr"] = jnp.median(ranks.astype(jnp.float32))
-        out[f"{prefix}_meanr"] = jnp.mean(ranks.astype(jnp.float32))
+        ranks = sharded_ranks(a, b, mesh, axis=axis, mode=mode, valid=valid)
+        if valid is None:
+            for k in ks:
+                out[f"{prefix}_r@{k}"] = recall_at_k(ranks, k) * 100.0
+            out[f"{prefix}_medr"] = jnp.median(ranks.astype(jnp.float32))
+            out[f"{prefix}_meanr"] = jnp.mean(ranks.astype(jnp.float32))
+        else:
+            for k in ks:
+                out[f"{prefix}_r@{k}"] = (
+                    masked_recall_at_k(ranks, k, valid) * 100.0
+                )
+            out[f"{prefix}_medr"] = masked_median_rank(ranks, valid)
+            out[f"{prefix}_meanr"] = masked_mean_rank(ranks, valid)
     out["rsum"] = sum(
         out[f"{d}_r@{k}"] for d in ("v2p", "p2v") for k in ks if k <= 10
     )
