@@ -39,6 +39,37 @@ DATA = DataConfig(batch_size=8, feat_dim=20, vocab_size=64, max_clips=3,
                   max_frames=6, max_sentences=3, max_words=5)
 
 
+def compute_train_curve():
+    """BASELINE config-1 integration slice (SURVEY.md section 4.3): flat
+    model, fixed data + init, 8 optimization steps -> the loss curve."""
+    import jax
+
+    from cmhse_tpu.config import ExperimentConfig, LossConfig, TrainConfig
+    from cmhse_tpu.train import create_train_state, train_step
+
+    cfg = ExperimentConfig(
+        name="golden_curve",
+        data=DATA,
+        model=CONFIGS["flat"].__class__(
+            embed_size=32, word_dim=16, feat_dim=20, rnn_hidden=32,
+            hierarchical=False,
+        ),
+        loss=LossConfig(low_weight=0.0, recon_weight=0.0),
+        train=TrainConfig(lr=1e-3, seed=0),
+    )
+    ds = SyntheticHierarchicalDataset(num_videos=16, feat_dim=20,
+                                      vocab_size=64, max_clips=3,
+                                      max_frames=6, max_words=5, seed=11)
+    batches = list(batches_from_dataset(ds, DATA, shuffle=False))
+    state = create_train_state(cfg, jax.random.PRNGKey(7), batches[0])
+    losses = []
+    for _ in range(4):
+        for b in batches:
+            state, m = train_step(state, b, cfg.loss)
+            losses.append(float(m["loss"]))
+    return np.asarray(losses, np.float64)
+
+
 def compute():
     ds = SyntheticHierarchicalDataset(num_videos=8, feat_dim=20,
                                       vocab_size=64, max_clips=3,
@@ -59,5 +90,7 @@ def compute():
 
 if __name__ == "__main__":
     os.makedirs(os.path.dirname(GOLDEN_PATH), exist_ok=True)
-    np.savez(GOLDEN_PATH, **compute())
+    payload = compute()
+    payload["train_curve"] = compute_train_curve()
+    np.savez(GOLDEN_PATH, **payload)
     print(f"wrote {GOLDEN_PATH}")

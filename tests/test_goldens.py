@@ -43,3 +43,15 @@ def test_ranks_match_goldens_exactly(goldens, current, name):
     np.testing.assert_array_equal(
         current[f"{name}_ranks_p2v"], goldens[f"{name}_ranks_p2v"]
     )
+
+
+def test_train_loss_curve_matches_golden(goldens):
+    """Config-1 integration slice: 8-step loss curve pinned (SURVEY 4.3).
+    Guards the objective, optimizer wiring, and grad-clip numerics."""
+    if "train_curve" not in goldens:
+        pytest.skip("train_curve golden not generated")
+    from tests.make_goldens import compute_train_curve
+
+    got = compute_train_curve()
+    np.testing.assert_allclose(got, goldens["train_curve"], rtol=1e-4,
+                               atol=1e-6)
