@@ -48,6 +48,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--low_weight", type=float, default=None)
     p.add_argument("--high_weight", type=float, default=None)
     p.add_argument("--dtype", default=None, choices=["float32", "bfloat16"])
+    p.add_argument("--pallas_gru", action="store_true", default=None,
+                   help="fused Pallas GRU kernels (fwd+BPTT); default: auto "
+                        "on real TPU, off elsewhere")
+    p.add_argument("--no_pallas_gru", dest="pallas_gru", action="store_false")
     # runtime
     p.add_argument("--platform", default=None, choices=["cpu", "tpu", "axon"],
                    help="force a JAX platform (tests/dev: cpu)")
@@ -86,6 +90,14 @@ def apply_overrides(cfg, args):
         m["reconstruction"] = args.reconstruction
     if args.dtype is not None:
         m["dtype"] = args.dtype
+    if args.pallas_gru is None:
+        # auto: fused kernels on real TPU, scan elsewhere (interpret mode
+        # would be slower than the scan on CPU)
+        import jax
+
+        m["pallas_gru"] = jax.devices()[0].platform == "tpu"
+    else:
+        m["pallas_gru"] = args.pallas_gru
     if args.margin is not None:
         l["margin"] = args.margin
     if args.max_violation is not None:

@@ -142,8 +142,8 @@ class MaskedGRU(nn.Module):
     bidirectional: bool = False
     dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
-    # forward-only fused Pallas time loop (no VJP registered — use on
-    # encode/eval/serving paths only; see ops/pallas_gru.py)
+    # fused Pallas time loop with a fused BPTT custom VJP (see
+    # ops/pallas_gru.py + ops/pallas_gru_grad.py); usable for training
     use_pallas: bool = False
 
     def _direction_params(self, name: str, in_dim: int):
@@ -165,7 +165,11 @@ class MaskedGRU(nn.Module):
         in_dim = x.shape[-1]
         x = x.astype(self.dtype)
         if self.use_pallas:
-            from cmhse_tpu.ops.pallas_gru import pallas_gru_sequence as seq_fn
+            # custom-VJP wrapper: fused Pallas time loop in BOTH directions,
+            # so this path is valid for training as well as encode
+            from cmhse_tpu.ops.pallas_gru_grad import (
+                pallas_gru_trainable as seq_fn,
+            )
         else:
             seq_fn = gru_sequence
         w_i, w_h, b_i, b_h = self._direction_params("fwd", in_dim)

@@ -1,0 +1,75 @@
+"""Gradient parity: the Pallas BPTT backward vs jax.grad of the scan GRU
+(interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from cmhse_tpu.models.gru import gru_sequence
+from cmhse_tpu.ops.pallas_gru_grad import pallas_gru_trainable
+
+
+def _setup(B, T, D, H, seed=0):
+    rng = np.random.RandomState(seed)
+    x = jnp.asarray(rng.randn(B, T, D).astype(np.float32))
+    lengths = jnp.asarray(rng.randint(0, T + 1, B).astype(np.int32))
+    w_i = jnp.asarray((rng.randn(D, 3 * H) * 0.15).astype(np.float32))
+    w_h = jnp.asarray((rng.randn(H, 3 * H) * 0.15).astype(np.float32))
+    b_i = jnp.asarray((rng.randn(3 * H) * 0.1).astype(np.float32))
+    b_h = jnp.asarray((rng.randn(3 * H) * 0.1).astype(np.float32))
+    return x, lengths, w_i, w_h, b_i, b_h
+
+
+def _loss_from(seq_fn):
+    def loss(x, lengths, w_i, w_h, b_i, b_h, key):
+        outs, final = seq_fn(x, lengths, w_i, w_h, b_i, b_h)
+        # exercise gradients through BOTH outputs with random cotangents
+        co = jax.random.normal(key, outs.shape)
+        cf = jax.random.normal(jax.random.fold_in(key, 1), final.shape)
+        return jnp.sum(outs * co) + jnp.sum(final * cf)
+
+    return loss
+
+
+@pytest.mark.parametrize("B,T,D,H", [
+    (6, 5, 8, 16),
+    (140, 7, 12, 8),  # batch not a multiple of the backward chunk
+])
+def test_bptt_matches_autodiff(B, T, D, H):
+    args = _setup(B, T, D, H)
+    key = jax.random.PRNGKey(42)
+
+    grads_ref = jax.grad(_loss_from(gru_sequence),
+                         argnums=(0, 2, 3, 4, 5))(*args, key)
+    grads_pal = jax.grad(_loss_from(pallas_gru_trainable),
+                         argnums=(0, 2, 3, 4, 5))(*args, key)
+
+    names = ("dx", "dW_i", "dW_h", "db_i", "db_h")
+    for name, g_ref, g_pal in zip(names, grads_ref, grads_pal):
+        np.testing.assert_allclose(
+            np.asarray(g_pal), np.asarray(g_ref), rtol=2e-4, atol=2e-5,
+            err_msg=f"{name} diverged",
+        )
+
+
+def test_bptt_forward_matches_scan():
+    args = _setup(10, 6, 8, 8, seed=3)
+    outs_ref, final_ref = gru_sequence(*args)
+    outs_pal, final_pal = pallas_gru_trainable(*args)
+    np.testing.assert_allclose(np.asarray(outs_pal), np.asarray(outs_ref),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(final_pal), np.asarray(final_ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_bptt_zero_length_rows_zero_grads():
+    x, lengths, w_i, w_h, b_i, b_h = _setup(5, 4, 6, 8, seed=4)
+    lengths = lengths.at[0].set(0)
+
+    def loss(x):
+        outs, final = pallas_gru_trainable(x, lengths, w_i, w_h, b_i, b_h)
+        return jnp.sum(final**2)
+
+    dx = jax.grad(loss)(x)
+    np.testing.assert_array_equal(np.asarray(dx)[0], np.zeros_like(x[0]))
