@@ -160,7 +160,7 @@ def bench_train_step():
                         max_sentences=MAX_SENTENCES, max_words=MAX_WORDS),
         model=ModelConfig(embed_size=EMBED, word_dim=WORD_DIM,
                           feat_dim=FEAT_DIM, rnn_hidden=HIDDEN,
-                          hierarchical=True,
+                          hierarchical=True, dtype="bfloat16",
                           # fused fwd+BPTT kernels: 1.4x the scan train step
                           pallas_gru=True),
         loss=LossConfig(),

@@ -104,8 +104,3 @@ def batches_from_dataset(
             )
         yield pack(examples, spec)
 
-
-def epoch_num_batches(n_examples: int, batch_size: int, drop_last: bool = False) -> int:
-    if drop_last:
-        return n_examples // batch_size
-    return -(-n_examples // batch_size)

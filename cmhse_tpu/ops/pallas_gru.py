@@ -111,7 +111,11 @@ def pallas_gru_sequence(
     ).astype(dtype)  # [B, T, 3H]
     xw = jnp.swapaxes(xw, 0, 1)  # [T, B, 3H]
 
-    tb = min(_TB, max(8, b))
+    # f32 streams double the VMEM of bf16 and W_h alone is 12.6 MB at H=1024;
+    # halve the batch chunk so the pipeline buffers fit the scoped limit
+    # (observed OOM at tb=256/f32 inside larger training graphs)
+    tb_cap = _TB if dtype == jnp.bfloat16 else _TB // 2
+    tb = min(tb_cap, max(8, b))
     steps = min(_STEPS, t)
 
     # pad T to a steps-per-block multiple (padded steps are masked by length)

@@ -1,0 +1,83 @@
+"""CLI flag surface (SURVEY.md C13): reference flag names must map onto the
+config dataclasses correctly."""
+
+import pytest
+
+from cmhse_tpu.cli.train import apply_overrides, build_parser
+from cmhse_tpu.config import get_preset
+
+
+def _cfg(argv):
+    args = build_parser().parse_args(argv)
+    return apply_overrides(get_preset(args.preset), args)
+
+
+def test_defaults_pass_through():
+    cfg = _cfg(["--preset", "hier_anet"])
+    assert cfg.model.hierarchical is True
+    assert cfg.loss.margin == 0.2
+    assert cfg.loss.max_violation is True
+
+
+def test_reference_flags_map():
+    cfg = _cfg([
+        "--preset", "hier_anet",
+        "--margin", "0.3",
+        "--embed_size", "512",
+        "--word_dim", "200",
+        "--num_epochs", "7",
+        "--batch_size", "16",
+        "--lr", "2e-4",
+        "--lr_update", "10",
+        "--grad_clip", "1.5",
+        "--logger_name", "/tmp/xyz",
+        "--data_path", "/data/anet",
+        "--data_name", "anet_precomp",
+        "--feat_dim", "2048",
+    ])
+    assert cfg.loss.margin == 0.3
+    assert cfg.model.embed_size == 512
+    assert cfg.model.word_dim == 200
+    assert cfg.train.num_epochs == 7
+    assert cfg.data.batch_size == 16
+    assert cfg.train.lr == 2e-4
+    assert cfg.train.lr_update == 10
+    assert cfg.train.grad_clip == 1.5
+    assert cfg.train.checkpoint_dir == "/tmp/xyz"
+    assert cfg.data.data_path == "/data/anet"
+    assert cfg.data.dataset == "anet_precomp"
+    assert cfg.data.feat_dim == 2048 and cfg.model.feat_dim == 2048
+
+
+def test_flat_and_loss_structure_flags():
+    cfg = _cfg(["--preset", "hier_anet", "--flat", "--no_max_violation",
+                "--low_weight", "0.0", "--recon_weight", "0.001"])
+    assert cfg.model.hierarchical is False
+    assert cfg.loss.max_violation is False
+    assert cfg.loss.low_weight == 0.0
+    assert cfg.loss.recon_weight == 0.001
+
+
+def test_pallas_gru_flag_tristate():
+    cfg_on = _cfg(["--pallas_gru"])
+    assert cfg_on.model.pallas_gru is True
+    cfg_off = _cfg(["--no_pallas_gru"])
+    assert cfg_off.model.pallas_gru is False
+    # default: auto-detected from the platform (cpu in tests -> False)
+    cfg_auto = _cfg([])
+    assert cfg_auto.model.pallas_gru is False
+
+
+def test_unknown_preset_raises():
+    with pytest.raises(KeyError):
+        _cfg(["--preset", "nope"])
+
+
+def test_config_json_roundtrip_through_overrides():
+    from cmhse_tpu.config import ExperimentConfig
+
+    cfg = _cfg(["--preset", "cmhse_full", "--margin", "0.25"])
+    cfg2 = ExperimentConfig.from_json(cfg.to_json())
+    assert cfg2.loss.margin == 0.25
+    assert cfg2.model.attention_pool is True
+    assert cfg2.model.reconstruction is True
