@@ -46,7 +46,7 @@ SCAN_SHORT = 4
 SCAN_LONG = 12
 
 GALLERY = 10_000  # sim-matrix QPS gallery size
-QUERY_BLOCK = 512  # large enough that the timed delta dwarfs dispatch jitter
+QUERY_BLOCK = 2048  # large enough that the timed delta dwarfs dispatch jitter
 
 
 def _build_model_and_batch():
@@ -85,7 +85,7 @@ def _timed_scan(fn_factory, n_iters_pair=(SCAN_SHORT, SCAN_LONG)):
     argument so the relay's identical-execution memoization never hits."""
     import jax.numpy as jnp
 
-    seed = iter(range(1, 100))
+    seed = iter(range(1, 1000))
 
     def call(fn, s, attempts=3):
         # the remote-compile relay occasionally drops a response mid-body;
@@ -98,15 +98,21 @@ def _timed_scan(fn_factory, n_iters_pair=(SCAN_SHORT, SCAN_LONG)):
                     raise
                 time.sleep(5 * (i + 1))
 
-    times = []
-    for n in n_iters_pair:
-        fn = fn_factory(n)
-        call(fn, next(seed))  # compile
-        t0 = time.perf_counter()
-        call(fn, next(seed))
-        times.append(time.perf_counter() - t0)
     n0, n1 = n_iters_pair
-    return max((times[1] - times[0]) / (n1 - n0), 1e-12)
+    fn0, fn1 = fn_factory(n0), fn_factory(n1)
+    call(fn0, next(seed))  # compile
+    call(fn1, next(seed))
+    slopes = []
+    for _ in range(3):  # median-of-3: dispatch jitter can exceed the delta
+        t0 = time.perf_counter()
+        call(fn0, next(seed))
+        ta = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        call(fn1, next(seed))
+        tb = time.perf_counter() - t0
+        slopes.append((tb - ta) / (n1 - n0))
+    slope = sorted(slopes)[1]
+    return max(slope, 1e-12)
 
 
 def bench_encode_pairs():
@@ -236,7 +242,7 @@ def bench_sim_qps():
             return total
         return run
 
-    sec_per_block = _timed_scan(factory, n_iters_pair=(10, 60))
+    sec_per_block = _timed_scan(factory, n_iters_pair=(100, 500))
     return QUERY_BLOCK / sec_per_block
 
 
