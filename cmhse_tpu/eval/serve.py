@@ -37,14 +37,7 @@ class Retriever:
                                  sent_len, method=CMHSE.encode_text)
             return emb
 
-        @jax.jit
-        def _topk_dense(queries, gallery, k_arr):
-            sims = jnp.dot(queries, gallery.T,
-                           preferred_element_type=jnp.float32)
-            return jax.lax.top_k(sims, k_arr)
-
         self._encode_text = _encode_text
-        self._topk_dense = _topk_dense
 
     def build_gallery(self, batches, keys: list | None = None) -> None:
         """Encode video batches into the on-device gallery."""

@@ -25,7 +25,6 @@ from jax import Array
 from cmhse_tpu.config import ModelConfig
 from cmhse_tpu.data.batch import Batch
 from cmhse_tpu.models.encoders import SequenceEncoder, WordEmbedding
-from cmhse_tpu.models.gru import MaskedGRU
 
 
 @struct.dataclass
@@ -65,8 +64,7 @@ class ReconstructionDecoder(nn.Module):
         shifted = jnp.concatenate(
             [jnp.zeros((b, 1, e), low_seq.dtype), low_seq[:, :-1]], axis=1
         )
-        gru = MaskedGRU(features=self.rnn_hidden, dtype=self.dtype, name="gru")
-        # run the scan manually with custom h0 via the functional core
+        # custom h0 (the high-level embedding) needs the functional core
         from cmhse_tpu.models.gru import gru_sequence
 
         w_i = self.param(
@@ -83,7 +81,6 @@ class ReconstructionDecoder(nn.Module):
         )
         b_i = self.param("b_i", nn.initializers.zeros, (3 * self.rnn_hidden,), jnp.float32)
         b_h = self.param("b_h", nn.initializers.zeros, (3 * self.rnn_hidden,), jnp.float32)
-        del gru
         outs, _ = gru_sequence(shifted, lengths, w_i, w_h, b_i, b_h, h0=h0)
         return nn.Dense(self.embed_size, dtype=self.dtype, name="out")(outs)
 

@@ -33,6 +33,21 @@ def adjust_learning_rate(cfg: ExperimentConfig, epoch: int) -> float:
     return t.lr * (t.lr_decay ** (epoch // max(t.lr_update, 1)))
 
 
+def _prefetch(batch_iter, mesh, lookahead: int = 2):
+    """Double-buffered host->device pipeline: device_put is async, so pushing
+    the next batch while the current step runs hides the transfer (the
+    reference relied on DataLoader worker processes for the same overlap)."""
+    from collections import deque
+
+    buf = deque()
+    for batch in batch_iter:
+        buf.append(place_batch(batch, mesh) if mesh is not None else batch)
+        if len(buf) >= lookahead:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()
+
+
 def fit(
     cfg: ExperimentConfig,
     train_dataset,
@@ -76,12 +91,11 @@ def fit(
         t_epoch = time.time()
         n_pairs = 0
 
-        for batch in batches_from_dataset(
+        batch_iter = batches_from_dataset(
             train_dataset, cfg.data, shuffle=True,
             seed=cfg.data.shuffle_seed + epoch,
-        ):
-            if mesh is not None:
-                batch = place_batch(batch, mesh)
+        )
+        for batch in _prefetch(batch_iter, mesh):
             state, metrics = train_step(state, batch, cfg.loss)
             global_step += 1
             n_pairs += int(np.asarray(batch.valid).sum())

@@ -38,17 +38,10 @@ def make_optimizer(cfg: ExperimentConfig) -> optax.GradientTransformation:
     """Adam + global-norm clip + stepwise lr schedule (reference: Adam with
     clip_grad_norm(2.0) and lr/10 every ``lr_update`` epochs, SURVEY.md C10)."""
     t = cfg.train
-    schedule = optax.exponential_decay(
-        init_value=t.lr,
-        transition_steps=max(t.lr_update, 1),
-        decay_rate=t.lr_decay,
-        staircase=True,
-    )
-    # NOTE: transition_steps is in *epochs*; the loop passes epoch-scaled
-    # counts via inject_hyperparams when it owns the schedule. For the basic
-    # path we decay by steps-per-epoch at loop level instead; here we keep a
-    # constant lr and let the loop swap it (see loop.adjust_learning_rate).
-    del schedule
+    # lr decay is an EPOCH-level policy (reference: /10 every lr_update
+    # epochs) and steps-per-epoch isn't known here, so the lr is an injected
+    # hyperparameter the loop rewrites each epoch (set_learning_rate +
+    # loop.adjust_learning_rate).
     return optax.chain(
         optax.clip_by_global_norm(t.grad_clip),
         optax.inject_hyperparams(optax.adam)(learning_rate=t.lr),
