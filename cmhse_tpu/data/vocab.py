@@ -90,15 +90,26 @@ class Vocabulary:
             vocab.idx = len(w2i)
             return vocab
         with open(path, "rb") as f:
-            obj = pickle.load(f)
+            obj = _TolerantUnpickler(f).load()
         if isinstance(obj, cls):
             return obj
-        # tolerate a reference-era pickled Vocabulary (same attrs, alien class)
+        # reference-era pickled Vocabulary (same attrs, alien class)
         vocab = cls.__new__(cls)
         vocab.word2idx = dict(obj.word2idx)
         vocab.idx2word = {int(i): w for i, w in obj.idx2word.items()}
         vocab.idx = len(vocab.word2idx)
         return vocab
+
+
+class _TolerantUnpickler(pickle.Unpickler):
+    """Resolve any pickled ``*.Vocabulary`` class to ours, so vocab pickles
+    written by the reference's ``vocab.py`` module (not importable here)
+    still load."""
+
+    def find_class(self, module, name):
+        if name == "Vocabulary":
+            return Vocabulary
+        return super().find_class(module, name)
 
 
 def build_vocab(

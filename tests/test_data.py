@@ -144,3 +144,34 @@ def test_precomp_dataset_roundtrip(tmp_path):
     assert ex.clips[0].shape == (10, 8)  # first half of 20 frames
     assert ex.clips[1].shape == (10, 8)
     assert ex.sentences[0][0] == 1  # <start>
+
+
+def test_vocab_loads_reference_era_pickle(tmp_path):
+    """A vocab pickled by the reference's own ``vocab`` module (not
+    importable here) must still load (MIGRATION.md claim)."""
+    import pickle
+    import sys
+    import types
+
+    mod = types.ModuleType("vocab")
+
+    class RefVocabulary:
+        def __init__(self):
+            self.word2idx = {"<pad>": 0, "<start>": 1, "<end>": 2,
+                             "<unk>": 3, "cat": 4}
+            self.idx2word = {i: w for w, i in self.word2idx.items()}
+            self.idx = 5
+
+    RefVocabulary.__name__ = "Vocabulary"
+    RefVocabulary.__qualname__ = "Vocabulary"
+    RefVocabulary.__module__ = "vocab"
+    mod.Vocabulary = RefVocabulary
+    sys.modules["vocab"] = mod
+    blob = pickle.dumps(RefVocabulary())
+    del sys.modules["vocab"]
+
+    path = tmp_path / "ref_vocab.pkl"
+    path.write_bytes(blob)
+    v = Vocabulary.load(str(path))
+    assert v("cat") == 4
+    assert v("never-seen") == 3
