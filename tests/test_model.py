@@ -122,3 +122,18 @@ def test_bf16_forward_finite():
     out = model.apply({"params": params}, b)
     assert out.video_emb.dtype == jnp.bfloat16
     assert np.isfinite(np.asarray(out.video_emb, dtype=np.float32)).all()
+
+
+def test_bidirectional_model_forward():
+    dcfg = DataConfig(batch_size=4, feat_dim=12, vocab_size=50, max_clips=2,
+                      max_frames=5, max_sentences=2, max_words=4)
+    mcfg = ModelConfig(embed_size=16, word_dim=8, feat_dim=12, rnn_hidden=16,
+                       hierarchical=True, bidirectional=True)
+    b = _batch(dcfg, n=4)
+    model = CMHSE(cfg=mcfg, vocab_size=50)
+    params = model.init(jax.random.PRNGKey(0), b)["params"]
+    out = model.apply({"params": params}, b)
+    assert out.video_emb.shape == (4, 16)
+    assert np.isfinite(np.asarray(out.video_emb)).all()
+    # bidirectional low encoders have both direction param sets
+    assert "bwd_w_i" in params["video_low"]["gru"]
