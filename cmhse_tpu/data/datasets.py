@@ -122,13 +122,21 @@ class PrecompDataset:
     def __len__(self) -> int:
         return len(self.keys)
 
+    def _h5_node(self, key: str):
+        if self._h5 is None:
+            import h5py
+
+            self._h5 = h5py.File(self._h5_path, "r")
+        node = self._h5[key]
+        # the ActivityNet-challenge C3D release nests the matrix in a group
+        # (e.g. f[key]['c3d_features']); take the group's first dataset
+        if hasattr(node, "keys"):
+            node = node[next(iter(node.keys()))]
+        return node
+
     def _load_features(self, key: str) -> np.ndarray:
         if os.path.exists(self._h5_path):
-            if self._h5 is None:
-                import h5py
-
-                self._h5 = h5py.File(self._h5_path, "r")
-            return np.asarray(self._h5[key], np.float32)
+            return np.asarray(self._h5_node(key), np.float32)
         return np.load(
             os.path.join(self._npy_dir, f"{key}.npy")
         ).astype(np.float32)
@@ -137,11 +145,7 @@ class PrecompDataset:
         """Row count of a video's feature matrix WITHOUT reading the data
         (h5 dataset shape / npy header via mmap)."""
         if os.path.exists(self._h5_path):
-            if self._h5 is None:
-                import h5py
-
-                self._h5 = h5py.File(self._h5_path, "r")
-            return int(self._h5[key].shape[0])
+            return int(self._h5_node(key).shape[0])
         arr = np.load(
             os.path.join(self._npy_dir, f"{key}.npy"), mmap_mode="r"
         )

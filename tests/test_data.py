@@ -175,3 +175,35 @@ def test_vocab_loads_reference_era_pickle(tmp_path):
     v = Vocabulary.load(str(path))
     assert v("cat") == 4
     assert v("never-seen") == 3
+
+
+def test_precomp_dataset_h5_layouts(tmp_path):
+    """Both HDF5 layouts load: flat dataset per key, and the challenge
+    release's group-per-key with a nested 'c3d_features' dataset."""
+    import h5py
+
+    data_path = str(tmp_path)
+    rng = np.random.RandomState(1)
+    captions = {
+        "flat_vid": {"duration": 4.0, "timestamps": [[0.0, 4.0]],
+                     "sentences": ["a thing happens"]},
+        "group_vid": {"duration": 4.0, "timestamps": [[0.0, 2.0], [2.0, 4.0]],
+                      "sentences": ["first part", "second part"]},
+    }
+    with open(os.path.join(data_path, "val_captions.json"), "w") as f:
+        json.dump(captions, f)
+    with h5py.File(os.path.join(data_path, "val_features.h5"), "w") as f:
+        f.create_dataset("flat_vid", data=rng.randn(8, 6).astype(np.float32))
+        g = f.create_group("group_vid")
+        g.create_dataset("c3d_features",
+                         data=rng.randn(12, 6).astype(np.float32))
+
+    vocab = build_vocab([s for m in captions.values()
+                         for s in m["sentences"]], threshold=1)
+    ds = PrecompDataset(data_path, "val", vocab, feat_dim=6)
+    ex_flat = ds[ds.keys.index("flat_vid")]
+    ex_group = ds[ds.keys.index("group_vid")]
+    assert ex_flat.clips[0].shape == (8, 6)
+    assert len(ex_group.clips) == 2
+    assert ex_group.clips[0].shape == (6, 6)
+    assert ds.max_frame_len(ds.keys.index("group_vid")) == 6

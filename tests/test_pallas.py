@@ -100,3 +100,33 @@ def test_rank_counts_matches_dense(q, n):
         pallas_rank_counts(queries, gallery, jnp.asarray(pos_score))
     )
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_fused_loss_gradient_fuzz(seed):
+    """Randomized shapes/masks: fused-kernel grads == jnp-path grads."""
+    rng = np.random.RandomState(100 + seed)
+    bsz = int(rng.randint(3, 70))
+    d = int(rng.choice([8, 17, 64]))
+    a, b = _embs(bsz, d, seed=200 + seed)
+    group = rng.randint(1, 4)
+    ids = jnp.asarray(np.arange(bsz) // group)
+    pos = positive_mask_from_ids(ids, ids)
+    valid = jnp.asarray(rng.rand(bsz) > 0.2)
+    margin = float(rng.uniform(0.05, 0.5))
+
+    ga_w, gb_w = jax.grad(
+        lambda x, y: contrastive_loss(x, y, margin=margin,
+                                      max_violation=True,
+                                      positive_mask=pos, valid=valid),
+        argnums=(0, 1),
+    )(a, b)
+    ga_g, gb_g = jax.grad(
+        lambda x, y: pallas_contrastive_loss(x, y, margin=margin,
+                                             positive_mask=pos, valid=valid),
+        argnums=(0, 1),
+    )(a, b)
+    np.testing.assert_allclose(np.asarray(ga_g), np.asarray(ga_w),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gb_g), np.asarray(gb_w),
+                               rtol=1e-4, atol=1e-6)
