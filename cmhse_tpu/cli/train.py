@@ -84,6 +84,9 @@ def apply_overrides(cfg, args):
         m["word_dim"] = args.word_dim
     if args.flat:
         m["hierarchical"] = False
+        # the flat model consumes one whole-video clip + the joined paragraph
+        d["max_clips"] = 1
+        d["max_sentences"] = 1
     if args.attention_pool is not None:
         m["attention_pool"] = args.attention_pool
     if args.reconstruction is not None:
@@ -174,10 +177,11 @@ def main(argv=None) -> int:
 
         vocab_path = args.vocab_path or f"{cfg.data.data_path}/vocab.json"
         vocab = Vocabulary.load(vocab_path)
+        flat = not cfg.model.hierarchical
         train_ds = PrecompDataset(cfg.data.data_path, "train", vocab,
-                                  feat_dim=cfg.data.feat_dim)
+                                  feat_dim=cfg.data.feat_dim, flat=flat)
         val_ds = PrecompDataset(cfg.data.data_path, "val", vocab,
-                                feat_dim=cfg.data.feat_dim)
+                                feat_dim=cfg.data.feat_dim, flat=flat)
 
     from cmhse_tpu.utils.timing import profiler_trace
 

@@ -60,8 +60,10 @@ class ModelConfig:
     readout: str = "last"  # "last" | "mean" (low-level GRU readout)
     dtype: str = "float32"  # compute dtype for activations
     param_dtype: str = "float32"
-    pallas_gru: bool = False  # fused forward-only GRU kernel; encode paths
-    # flip this on automatically (no VJP — never set for training)
+    pallas_gru: bool = False  # fused Pallas GRU kernels (forward time loop +
+    # BPTT custom VJP) — valid for training AND encode; off by default
+    # because interpret mode is slower than the scan off-TPU. Encode paths
+    # and the train CLI auto-enable it on real TPU.
 
 
 @dataclass(frozen=True)

@@ -106,11 +106,16 @@ class PrecompDataset:
         split: str,
         vocab: Vocabulary,
         feat_dim: int = 500,
+        flat: bool = False,
     ) -> None:
+        """``flat=True`` emits ONE clip (the whole feature matrix) and ONE
+        sentence (the paragraph joined) per video — the VSE-style input of
+        the non-hierarchical FSE baseline (BASELINE config 1)."""
         self.data_path = data_path
         self.split = split
         self.vocab = vocab
         self.feat_dim = feat_dim
+        self.flat = flat
         cap_path = os.path.join(data_path, f"{split}_captions.json")
         with open(cap_path) as f:
             self.captions: dict = json.load(f)
@@ -156,6 +161,8 @@ class PrecompDataset:
         key = self.keys[idx]
         meta = self.captions[key]
         n = self._feature_rows(key)
+        if self.flat:
+            return n
         duration = float(meta.get("duration", n))
         best = 1
         for start, end in meta["timestamps"]:
@@ -168,6 +175,14 @@ class PrecompDataset:
         key = self.keys[idx]
         meta = self.captions[key]
         feats = self._load_features(key)  # [T, feat_dim]
+        if self.flat:
+            paragraph = " ".join(meta["sentences"])
+            return RaggedExample(
+                video_id=idx, clips=[feats],
+                sentences=[np.asarray(self.vocab.encode(paragraph),
+                                      np.int32)],
+                key=key,
+            )
         duration = float(meta.get("duration", len(feats)))
         n = feats.shape[0]
         clips, sentences = [], []

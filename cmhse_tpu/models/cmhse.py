@@ -65,19 +65,19 @@ class ReconstructionDecoder(nn.Module):
             [jnp.zeros((b, 1, e), low_seq.dtype), low_seq[:, :-1]], axis=1
         )
         # custom h0 (the high-level embedding) needs the functional core
+        import jax
+
         from cmhse_tpu.models.gru import gru_sequence
 
+        scale = 1.0 / self.rnn_hidden**0.5
+        init = lambda key, shape, dtype: jax.random.uniform(
+            key, shape, dtype, -scale, scale
+        )  # symmetric, matching MaskedGRU / torch GRU reset_parameters
         w_i = self.param(
-            "w_i",
-            nn.initializers.uniform(scale=1.0 / self.rnn_hidden**0.5),
-            (e, 3 * self.rnn_hidden),
-            jnp.float32,
+            "w_i", init, (e, 3 * self.rnn_hidden), jnp.float32,
         )
         w_h = self.param(
-            "w_h",
-            nn.initializers.uniform(scale=1.0 / self.rnn_hidden**0.5),
-            (self.rnn_hidden, 3 * self.rnn_hidden),
-            jnp.float32,
+            "w_h", init, (self.rnn_hidden, 3 * self.rnn_hidden), jnp.float32,
         )
         b_i = self.param("b_i", nn.initializers.zeros, (3 * self.rnn_hidden,), jnp.float32)
         b_h = self.param("b_h", nn.initializers.zeros, (3 * self.rnn_hidden,), jnp.float32)
@@ -149,6 +149,14 @@ class CMHSE(nn.Module):
         clip_emb, _ = self.video_low(flat, flat_len)  # [B*C, E]
         clip_emb = clip_emb.reshape(b, cmax, -1)
         if not self.cfg.hierarchical:
+            if cmax != 1:
+                raise ValueError(
+                    "flat (non-hierarchical) model requires max_clips == 1 "
+                    f"(got Cmax={cmax}); load the data with flat=True "
+                    "(PrecompDataset/SyntheticHierarchicalDataset) or set "
+                    "DataConfig.max_clips=1 — otherwise clips beyond slot 0 "
+                    "would be silently discarded"
+                )
             return clip_emb[:, 0], clip_emb
         video_emb, _ = self.video_high(clip_emb, clip_len)
         return video_emb, clip_emb
@@ -163,6 +171,12 @@ class CMHSE(nn.Module):
         sent_emb, _ = self.text_low(vecs, flat_len)  # [B*S, E]
         sent_emb = sent_emb.reshape(b, smax, -1)
         if not self.cfg.hierarchical:
+            if smax != 1:
+                raise ValueError(
+                    "flat (non-hierarchical) model requires "
+                    f"max_sentences == 1 (got Smax={smax}); load the data "
+                    "with flat=True or set DataConfig.max_sentences=1"
+                )
             return sent_emb[:, 0], sent_emb
         para_emb, _ = self.text_high(sent_emb, sent_len)
         return para_emb, sent_emb

@@ -109,10 +109,14 @@ class WordEmbedding(nn.Module):
 
     @nn.compact
     def __call__(self, token_ids: Array) -> Array:
+        # symmetric +-0.1 init (the reference's nn.Embedding
+        # init_weights uniform_(-0.1, 0.1); note flax's
+        # nn.initializers.uniform samples [0, scale) — positive-only)
+        init = lambda key, shape, dtype: jax.random.uniform(
+            key, shape, dtype, -0.1, 0.1
+        )
         table = self.param(
-            "embedding",
-            nn.initializers.uniform(scale=0.1),
-            (self.vocab_size, self.word_dim),
+            "embedding", init, (self.vocab_size, self.word_dim),
             self.param_dtype,
         )
         return jnp.take(table, token_ids, axis=0)

@@ -113,9 +113,11 @@ def pallas_gru_sequence(
 
     # f32 streams double the VMEM of bf16 and W_h alone is 12.6 MB at H=1024;
     # halve the batch chunk so the pipeline buffers fit the scoped limit
-    # (observed OOM at tb=256/f32 inside larger training graphs)
+    # (observed OOM at tb=256/f32 inside larger training graphs).
+    # tb must be a multiple of 8 (Mosaic sublane tiling) — round small
+    # batches UP; the batch-padding below absorbs the excess rows.
     tb_cap = _TB if dtype == jnp.bfloat16 else _TB // 2
-    tb = min(tb_cap, max(8, b))
+    tb = min(tb_cap, max(8, -(-b // 8) * 8))
     steps = min(_STEPS, t)
 
     # pad T to a steps-per-block multiple (padded steps are masked by length)

@@ -116,7 +116,8 @@ def _gru_bwd_pallas(xw, h_prev_seq, douts, lengths, w_h, b_h):
     hprev_t = jnp.swapaxes(h_prev_seq, 0, 1)  # [T, B, H]
     douts_t = jnp.swapaxes(douts, 0, 1)  # [T, B, H]
 
-    tb = min(_TB_BWD, max(8, b))
+    # multiple of 8 for Mosaic sublane tiling; padding absorbs excess rows
+    tb = min(_TB_BWD, max(8, -(-b // 8) * 8))
     pad = (-b) % tb
     if pad:
         xw_t = jnp.pad(xw_t, ((0, 0), (0, pad), (0, 0)))

@@ -37,6 +37,9 @@ CONFIGS = {
 }
 DATA = DataConfig(batch_size=8, feat_dim=20, vocab_size=64, max_clips=3,
                   max_frames=6, max_sentences=3, max_words=5)
+# the flat model requires single-slot batches (whole video = one clip)
+DATA_FLAT = DataConfig(batch_size=8, feat_dim=20, vocab_size=64, max_clips=1,
+                       max_frames=6, max_sentences=1, max_words=5)
 
 
 def compute_train_curve():
@@ -49,7 +52,7 @@ def compute_train_curve():
 
     cfg = ExperimentConfig(
         name="golden_curve",
-        data=DATA,
+        data=DATA_FLAT,
         model=CONFIGS["flat"].__class__(
             embed_size=32, word_dim=16, feat_dim=20, rnn_hidden=32,
             hierarchical=False,
@@ -58,9 +61,9 @@ def compute_train_curve():
         train=TrainConfig(lr=1e-3, seed=0),
     )
     ds = SyntheticHierarchicalDataset(num_videos=16, feat_dim=20,
-                                      vocab_size=64, max_clips=3,
+                                      vocab_size=64, max_clips=1,
                                       max_frames=6, max_words=5, seed=11)
-    batches = list(batches_from_dataset(ds, DATA, shuffle=False))
+    batches = list(batches_from_dataset(ds, DATA_FLAT, shuffle=False))
     state = create_train_state(cfg, jax.random.PRNGKey(7), batches[0])
     losses = []
     for _ in range(4):
@@ -75,11 +78,17 @@ def compute():
                                       vocab_size=64, max_clips=3,
                                       max_frames=6, max_words=5, seed=7)
     batch = next(iter(batches_from_dataset(ds, DATA, shuffle=False)))
+    ds_flat = SyntheticHierarchicalDataset(num_videos=8, feat_dim=20,
+                                           vocab_size=64, max_clips=1,
+                                           max_frames=6, max_words=5, seed=7)
+    batch_flat = next(iter(batches_from_dataset(ds_flat, DATA_FLAT,
+                                                shuffle=False)))
     out = {}
     for name, mcfg in CONFIGS.items():
+        b = batch_flat if name == "flat" else batch
         model = CMHSE(cfg=mcfg, vocab_size=DATA.vocab_size)
-        params = model.init(jax.random.PRNGKey(123), batch)["params"]
-        o = model.apply({"params": params}, batch)
+        params = model.init(jax.random.PRNGKey(123), b)["params"]
+        o = model.apply({"params": params}, b)
         sims = cosine_sim(o.video_emb, o.para_emb)
         out[f"{name}_video_emb"] = np.asarray(o.video_emb)
         out[f"{name}_para_emb"] = np.asarray(o.para_emb)
