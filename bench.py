@@ -246,9 +246,25 @@ def bench_sim_qps():
     return QUERY_BLOCK / sec_per_block
 
 
+def _enable_compile_cache():
+    """Persistent compilation cache: verified to work through the axon
+    remote-compile relay (81s -> 0.5s on a cache hit), so repeated bench
+    runs skip the ~10 min of TPU compiles."""
+    import os
+
+    import jax
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def main():
     import jax
 
+    _enable_compile_cache()
     platform = jax.devices()[0].platform
     pairs_per_sec = bench_encode_pairs()
     sim_qps = bench_sim_qps()
