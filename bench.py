@@ -42,8 +42,8 @@ HIDDEN = 1024
 WORD_DIM = 300
 VOCAB = 10000
 
-SCAN_SHORT = 4
-SCAN_LONG = 12
+SCAN_SHORT = 8
+SCAN_LONG = 40  # 32-batch delta (~160 ms) so relay jitter stays under ~10%
 
 GALLERY = 10_000  # sim-matrix QPS gallery size
 QUERY_BLOCK = 2048  # large enough that the timed delta dwarfs dispatch jitter
