@@ -88,11 +88,14 @@ def _timed_scan(fn_factory, n_iters_pair=(SCAN_SHORT, SCAN_LONG)):
     seed = iter(range(1, 1000))
 
     def call(fn, s, attempts=3):
-        # the remote-compile relay occasionally drops a response mid-body;
-        # retry transient failures so unattended driver runs survive
+        """Returns (value, retried): the relay occasionally drops a response
+        mid-body; retry transient failures so unattended driver runs survive.
+        ``retried`` lets timed callers DISCARD the measurement — the backoff
+        sleep would otherwise land inside the timed region and corrupt the
+        slope (ADVICE.md round 1)."""
         for i in range(attempts):
             try:
-                return float(fn(jnp.float32(s)))
+                return float(fn(jnp.float32(s))), i > 0
             except Exception:
                 if i == attempts - 1:
                     raise
@@ -103,15 +106,21 @@ def _timed_scan(fn_factory, n_iters_pair=(SCAN_SHORT, SCAN_LONG)):
     call(fn0, next(seed))  # compile
     call(fn1, next(seed))
     slopes = []
-    for _ in range(3):  # median-of-3: dispatch jitter can exceed the delta
+    attempts_left = 10  # bound re-measurement when the relay keeps dropping
+    while len(slopes) < 3 and attempts_left > 0:  # median-of-3 clean slopes
+        attempts_left -= 1
         t0 = time.perf_counter()
-        call(fn0, next(seed))
+        _, r0 = call(fn0, next(seed))
         ta = time.perf_counter() - t0
         t0 = time.perf_counter()
-        call(fn1, next(seed))
+        _, r1 = call(fn1, next(seed))
         tb = time.perf_counter() - t0
+        if r0 or r1:
+            continue  # a retry's sleep landed in ta/tb: re-measure this pair
         slopes.append((tb - ta) / (n1 - n0))
-    slope = sorted(slopes)[1]
+    if not slopes:
+        raise RuntimeError("relay too flaky: no clean timing pair in 10 tries")
+    slope = sorted(slopes)[len(slopes) // 2]
     return max(slope, 1e-12)
 
 

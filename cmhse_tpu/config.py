@@ -93,7 +93,7 @@ class TrainConfig:
     seed: int = 42
     checkpoint_dir: str = "runs/checkpoint"
     resume: str = ""  # path to checkpoint to resume from
-    mesh_shape: tuple[int, ...] = (1,)  # data-parallel devices
+    mesh_shape: tuple[int, ...] = (-1,)  # -1 = all visible devices
     mesh_axes: tuple[str, ...] = ("data",)
 
 
@@ -179,6 +179,7 @@ def _preset_4() -> ExperimentConfig:
                         max_sentences=6, max_words=32,
                         frame_buckets=(12, 24, 48), word_buckets=(8, 16, 32)),
         model=ModelConfig(hierarchical=True, attention_pool=True),
+        loss=LossConfig(recon_weight=0.0),  # model has no recon decoders
     )
 
 
@@ -190,6 +191,7 @@ def _preset_5() -> ExperimentConfig:
         name="large_gallery_eval",
         data=DataConfig(batch_size=512),
         model=ModelConfig(hierarchical=True),
+        loss=LossConfig(recon_weight=0.0),  # model has no recon decoders
         train=TrainConfig(mesh_shape=(8,), mesh_axes=("data",)),
     )
 

@@ -37,8 +37,9 @@ class ModelOutputs:
     sent_emb: Array  # [B, Smax, E]
     clip_valid: Array  # bool[B, Cmax]
     sent_valid: Array  # bool[B, Smax]
-    video_recon: Array  # [B, Cmax, E] decoder predictions (zeros if disabled)
-    text_recon: Array  # [B, Smax, E]
+    video_recon: Array | None  # [B, Cmax, E] decoder predictions; None when
+    # the model has no reconstruction decoders (the objective skips the term)
+    text_recon: Array | None  # [B, Smax, E]
 
 
 class ReconstructionDecoder(nn.Module):
@@ -196,8 +197,10 @@ class CMHSE(nn.Module):
             )
             text_recon = self.text_decoder(para_emb, sent_emb, batch.sent_len)
         else:
-            video_recon = jnp.zeros_like(clip_emb)
-            text_recon = jnp.zeros_like(sent_emb)
+            # None (not zeros): the objective must not compute an MSE between
+            # a placeholder and the real embeddings when no decoder exists
+            video_recon = None
+            text_recon = None
         return ModelOutputs(
             video_emb=video_emb,
             para_emb=para_emb,

@@ -91,9 +91,11 @@ def sharded_ranks(
             pos_score = jnp.take_along_axis(sims, pos[:, None], axis=1)
             greater = (sims > pos_score) & gvalid[None, :]
             ranks = jnp.sum(greater, axis=1).astype(jnp.int32) + 1
-            # NaN positive => worst rank, never a bogus rank 1 (see
-            # ops.ranking.retrieval_ranks)
-            return jnp.where(jnp.isnan(pos_score[:, 0]), sims.shape[1], ranks)
+            # NaN positive => worst rank, never a bogus rank 1. Sentinel is
+            # the TRUE gallery size n (not the padded size) so these ranks
+            # match the single-device retrieval_ranks path exactly even when
+            # N is not a multiple of the device count (ADVICE.md round 1).
+            return jnp.where(jnp.isnan(pos_score[:, 0]), n, ranks)
 
         ranks = _ranks(v_pad, p_pad, pos_idx, gallery_valid)
 
@@ -124,8 +126,8 @@ def sharded_ranks(
                 jnp.sum(greater, axis=1).astype(jnp.int32), axis
             )
             ranks = counts + 1
-            ntotal = shard_size * jax.lax.axis_size(axis)
-            return jnp.where(jnp.isnan(pos_score), ntotal, ranks)
+            # true-size sentinel: see the query-mode comment above
+            return jnp.where(jnp.isnan(pos_score), n, ranks)
 
         ranks = _ranks(v_pad, p_pad, pos_idx, gallery_valid)
     else:

@@ -59,7 +59,10 @@ def fit(
     ``use_mesh``: build a data mesh over all visible devices (size 1 is fine
     — the same code path runs single-chip).
     """
-    mesh = make_mesh((-1,), ("data",)) if use_mesh else None
+    mesh = (
+        make_mesh(cfg.train.mesh_shape, cfg.train.mesh_axes)
+        if use_mesh else None
+    )
     logger = JsonlLogger(os.path.join(cfg.train.checkpoint_dir, "log.jsonl"))
     ckpt = CheckpointManager(cfg.train.checkpoint_dir, cfg)
     model = CMHSE(cfg=cfg.model, vocab_size=cfg.data.vocab_size)
@@ -118,6 +121,10 @@ def fit(
                     epoch, best_rsum,  # mid-epoch: resume redoes this epoch
                 )
 
+        # fence outstanding device work before timing: train_step dispatch is
+        # async, so without this up to log_step-1 in-flight steps would count
+        # as completed and overstate throughput (ADVICE.md round 1)
+        jax.block_until_ready(state.params)
         dt = time.time() - t_epoch
         logger.log("epoch_end", epoch=epoch, seconds=dt,
                    pairs_per_sec=n_pairs / max(dt, 1e-9))

@@ -88,7 +88,10 @@ def total_loss(
         loss = loss + cfg.low_weight * l_low
 
     # ---- layer-wise reconstruction (tau term, C8) ------------------------
-    if cfg.recon_weight:
+    # Gated on the model actually producing decoder outputs, not just on the
+    # weight: a config with recon_weight>0 but ModelConfig.reconstruction=False
+    # must not score an MSE against a placeholder (ADVICE.md round 1).
+    if cfg.recon_weight and outputs.video_recon is not None:
         l_rec_v = reconstruction_loss(
             outputs.video_recon, outputs.clip_emb, outputs.clip_valid
         )

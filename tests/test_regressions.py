@@ -78,6 +78,36 @@ def test_nan_positive_ranks_worst_sharded():
         assert ranks[3] == n, (mode, ranks)
 
 
+def test_recon_term_skipped_without_decoders():
+    """ADVICE round 1 (medium): recon_weight>0 with reconstruction=False must
+    NOT score an MSE between a placeholder and the real embeddings — the term
+    is gated on the model actually having decoders."""
+    from cmhse_tpu.models import CMHSE
+    from cmhse_tpu.train.objective import total_loss
+
+    data = DataConfig(batch_size=4, feat_dim=16, vocab_size=100,
+                      max_clips=2, max_frames=4, max_sentences=2, max_words=4)
+    ds = SyntheticHierarchicalDataset(
+        num_videos=4, feat_dim=16, vocab_size=100, max_clips=2, max_frames=4,
+        max_words=4, seed=0)
+    b = next(iter(batches_from_dataset(ds, data, shuffle=False)))
+    loss_cfg = LossConfig(recon_weight=5e-4, use_pallas=False)
+
+    def run(reconstruction: bool):
+        mcfg = ModelConfig(embed_size=8, word_dim=8, feat_dim=16,
+                           rnn_hidden=8, hierarchical=True,
+                           reconstruction=reconstruction)
+        model = CMHSE(cfg=mcfg, vocab_size=100)
+        params = model.init(jax.random.PRNGKey(0), b)["params"]
+        out = model.apply({"params": params}, b)
+        return total_loss(out, b, loss_cfg)
+
+    _, metrics_off = run(False)
+    assert "loss_recon" not in metrics_off  # no spurious near-constant term
+    _, metrics_on = run(True)
+    assert float(metrics_on["loss_recon"]) > 0.0  # real decoders still score
+
+
 def test_nan_positive_ranks_worst_pallas():
     rng = np.random.RandomState(1)
     q = jnp.asarray(rng.randn(4, 8).astype(np.float32))
