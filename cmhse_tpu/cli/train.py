@@ -21,6 +21,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--data_name", dest="dataset", default=None,
                    help="e.g. anet_precomp / didemo_precomp")
     p.add_argument("--vocab_path", default=None)
+    p.add_argument("--word2vec_path", default=None,
+                   help="pretrained word vectors (.txt word2vec format or "
+                        ".npz) to initialize the embedding table from "
+                        "(the reference's word2vec-initialized text encoder)")
     p.add_argument("--margin", type=float, default=None)
     p.add_argument("--feat_dim", type=int, default=None,
                    help="video feature dim (500 for the C3D-PCA release)")
@@ -73,6 +77,8 @@ def apply_overrides(cfg, args):
         d["data_path"] = args.data_path
     if args.dataset is not None:
         d["dataset"] = args.dataset
+    if args.word2vec_path is not None:
+        d["word2vec_path"] = args.word2vec_path
     if args.batch_size is not None:
         d["batch_size"] = args.batch_size
     if args.feat_dim is not None:
@@ -161,6 +167,7 @@ def main(argv=None) -> int:
     cfg = apply_overrides(get_preset(args.preset), args)
     print(f"config:\n{cfg.to_json()}")
 
+    vocab = None
     if args.synthetic:
         from cmhse_tpu.data import SyntheticHierarchicalDataset
 
@@ -172,6 +179,16 @@ def main(argv=None) -> int:
         )
         train_ds = mk(args.synthetic_videos, 0)
         val_ds = mk(max(args.synthetic_videos // 4, 8), 1)
+        if cfg.data.word2vec_path:
+            # synthetic token ids carry no words; a real vocab is required
+            # to look vectors up
+            if not args.vocab_path:
+                raise SystemExit(
+                    "--word2vec_path with --synthetic requires --vocab_path"
+                )
+            from cmhse_tpu.data import Vocabulary
+
+            vocab = Vocabulary.load(args.vocab_path)
     else:
         from cmhse_tpu.data import PrecompDataset, Vocabulary, batches_from_dataset
 
@@ -186,7 +203,7 @@ def main(argv=None) -> int:
     from cmhse_tpu.utils.timing import profiler_trace
 
     with profiler_trace(args.profile_dir):
-        state, best_rsum = fit(cfg, train_ds, val_ds)
+        state, best_rsum = fit(cfg, train_ds, val_ds, vocab=vocab)
     print(f"done; best rsum {best_rsum:.2f}")
     return 0
 

@@ -43,6 +43,9 @@ class DataConfig:
     frame_buckets: tuple[int, ...] = (16, 32, 64)
     word_buckets: tuple[int, ...] = (8, 16, 32)
     shuffle_seed: int = 0
+    # Pretrained word2vec vectors applied to the embedding table after init
+    # (reference [B:7]: word2vec-initialized text encoder). Empty = random.
+    word2vec_path: str = ""
 
 
 @dataclass(frozen=True)

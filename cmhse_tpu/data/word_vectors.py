@@ -48,8 +48,13 @@ def init_embedding_table(
     n = len(vocab)
     if base_table is not None:
         table = np.array(base_table, np.float32, copy=True)
-        if table.shape != (n, word_dim):
-            raise ValueError(f"base table {table.shape} != {(n, word_dim)}")
+        # the model's table may be PADDED beyond the vocab (static vocab_size
+        # rounded up is TPU-friendly); it must never be smaller
+        if table.shape[0] < n or table.shape[1] != word_dim:
+            raise ValueError(
+                f"base table {table.shape} too small for vocab "
+                f"({n} words, dim {word_dim})"
+            )
     else:
         rng = np.random.RandomState(seed)
         table = rng.uniform(-0.1, 0.1, size=(n, word_dim)).astype(np.float32)

@@ -53,11 +53,15 @@ def fit(
     train_dataset,
     val_dataset=None,
     use_mesh: bool = True,
+    vocab=None,
 ) -> tuple:
     """Full training run; returns (state, best_rsum).
 
     ``use_mesh``: build a data mesh over all visible devices (size 1 is fine
     — the same code path runs single-chip).
+    ``vocab``: the :class:`Vocabulary` the dataset was tokenized with;
+    required when ``cfg.data.word2vec_path`` is set (the reference
+    initializes its embedding table from word2vec, SURVEY.md C5 [B:7]).
     """
     mesh = (
         make_mesh(cfg.train.mesh_shape, cfg.train.mesh_axes)
@@ -71,6 +75,26 @@ def fit(
                                             shuffle=False)))
     rng = jax.random.PRNGKey(cfg.train.seed)
     state = create_train_state(cfg, rng, sample)
+
+    if cfg.data.word2vec_path:
+        # reference recipe: overwrite the random embedding table with
+        # pretrained vectors BEFORE training; a resume below still wins
+        # (restored params replace these, as in the reference)
+        if vocab is None:
+            raise ValueError(
+                "cfg.data.word2vec_path is set but fit() got no vocab; pass "
+                "the Vocabulary the dataset was tokenized with"
+            )
+        from cmhse_tpu.data.word_vectors import apply_pretrained_embeddings
+
+        params, hits = apply_pretrained_embeddings(
+            dict(state.params), vocab, cfg.data.word2vec_path
+        )
+        state = state.replace(params=params)
+        print(f"word2vec init: {hits}/{len(vocab)} vocabulary rows "
+              f"loaded from {cfg.data.word2vec_path}")
+        logger.log("word2vec_init", hits=hits, vocab_size=len(vocab),
+                   path=cfg.data.word2vec_path)
 
     start_epoch, best_rsum = 0, -np.inf
     if cfg.train.resume:

@@ -34,7 +34,9 @@ def test_reference_flags_map():
         "--data_path", "/data/anet",
         "--data_name", "anet_precomp",
         "--feat_dim", "2048",
+        "--word2vec_path", "/data/vec.npz",
     ])
+    assert cfg.data.word2vec_path == "/data/vec.npz"
     assert cfg.loss.margin == 0.3
     assert cfg.model.embed_size == 512
     assert cfg.model.word_dim == 200

@@ -68,6 +68,47 @@ def test_fit_validates_checkpoints_and_resumes(tmp_path):
     assert "Video to Paragraph" in table and "MedR" in table
 
 
+def test_fit_applies_word2vec_init(tmp_path):
+    """SURVEY C5 [B:7]: the reference's word2vec-initialized training recipe
+    must be reachable end-to-end — fit() overwrites the embedding table rows
+    for vocabulary words present in the vectors file and logs the hit count."""
+    import json
+
+    from cmhse_tpu.data.vocab import Vocabulary
+
+    vocab = Vocabulary()
+    for w in ("dog", "runs", "fast", "cat"):
+        vocab.add_word(w)
+    # vocab_size in cfg must cover len(vocab); ids: pad=0..unk=3, dog=4..cat=7
+    word_dim = 12
+    vecs_path = str(tmp_path / "vectors.npz")
+    rng = np.random.RandomState(0)
+    known = {"dog": rng.randn(word_dim).astype(np.float32),
+             "fast": rng.randn(word_dim).astype(np.float32)}
+    np.savez(vecs_path, words=np.array(list(known)),
+             vectors=np.stack(list(known.values())))
+
+    cfg = _cfg(tmp_path, epochs=1)
+    cfg = cfg.replace(data=cfg.data.__class__(
+        **{**cfg.data.__dict__, "word2vec_path": vecs_path}))
+
+    with pytest.raises(ValueError, match="vocab"):
+        fit(cfg, _ds(8), None)  # word2vec_path set but no vocab passed
+
+    state, _ = fit(cfg, _ds(8), None, vocab=vocab)
+    table = np.asarray(state.params["word_embedding"]["embedding"])
+    # pretrained rows were installed before training; one Adam epoch moves
+    # them only slightly, so match loosely but far tighter than random init
+    for w, v in known.items():
+        assert np.abs(table[vocab(w)] - v).max() < 0.05
+    # a word without a vector keeps a random (+-0.1 uniform) row
+    assert np.abs(table[vocab("runs")]).max() < 0.2
+    events = [json.loads(l) for l in
+              open(os.path.join(cfg.train.checkpoint_dir, "log.jsonl"))]
+    w2v = [e for e in events if e.get("event") == "word2vec_init"]
+    assert w2v and w2v[0]["hits"] == 2
+
+
 def test_adjust_learning_rate_policy(tmp_path):
     cfg = _cfg(tmp_path)
     base = cfg.train.lr
