@@ -52,6 +52,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--low_weight", type=float, default=None)
     p.add_argument("--high_weight", type=float, default=None)
     p.add_argument("--dtype", default=None, choices=["float32", "bfloat16"])
+    p.add_argument("--bucketed", action="store_true", default=None,
+                   help="length-bucketed batches (fixed_shape=False + "
+                        "group_by_length): less padding, a few more compiles")
+    p.add_argument("--fixed_shape", dest="bucketed", action="store_false",
+                   help="force single-bucket maximal-cap batches")
     p.add_argument("--pallas_gru", action="store_true", default=None,
                    help="fused Pallas GRU kernels (fwd+BPTT); default: auto "
                         "on real TPU, off elsewhere")
@@ -79,6 +84,9 @@ def apply_overrides(cfg, args):
         d["dataset"] = args.dataset
     if args.word2vec_path is not None:
         d["word2vec_path"] = args.word2vec_path
+    if args.bucketed is not None:
+        d["fixed_shape"] = not args.bucketed
+        d["group_by_length"] = args.bucketed
     if args.batch_size is not None:
         d["batch_size"] = args.batch_size
     if args.feat_dim is not None:

@@ -42,6 +42,15 @@ class DataConfig:
     # bucket; bounds XLA recompiles (SURVEY.md "hard parts" item 3).
     frame_buckets: tuple[int, ...] = (16, 32, 64)
     word_buckets: tuple[int, ...] = (8, 16, 32)
+    # fixed_shape=True: every batch uses the maximal caps — ONE compiled
+    # program per epoch. False: per-batch bucket edges from the batch's
+    # longest member — fewer padding FLOPs, up to
+    # len(frame_buckets) x len(word_buckets) compiles.
+    fixed_shape: bool = True
+    # batch together examples of similar frame length so short batches land
+    # in small buckets (epoch-level equivalent of the reference's
+    # sort-by-length collate; batch ORDER stays shuffled)
+    group_by_length: bool = False
     shuffle_seed: int = 0
     # Pretrained word2vec vectors applied to the embedding table after init
     # (reference [B:7]: word2vec-initialized text encoder). Empty = random.
@@ -180,7 +189,10 @@ def _preset_4() -> ExperimentConfig:
         name="didemo",
         data=DataConfig(dataset="didemo_precomp", max_clips=6, max_frames=48,
                         max_sentences=6, max_words=32,
-                        frame_buckets=(12, 24, 48), word_buckets=(8, 16, 32)),
+                        frame_buckets=(12, 24, 48), word_buckets=(8, 16, 32),
+                        # DiDeMo's moment clips are highly variable-length:
+                        # bucketed batches cut the padding FLOPs (B:10)
+                        fixed_shape=False, group_by_length=True),
         model=ModelConfig(hierarchical=True, attention_pool=True),
         loss=LossConfig(recon_weight=0.0),  # model has no recon decoders
     )

@@ -71,8 +71,11 @@ def fit(
     ckpt = CheckpointManager(cfg.train.checkpoint_dir, cfg)
     model = CMHSE(cfg=cfg.model, vocab_size=cfg.data.vocab_size)
 
+    # init sample always uses the maximal (fixed) shapes so parameter init is
+    # independent of the bucketing mode
     sample = next(iter(batches_from_dataset(train_dataset, cfg.data,
-                                            shuffle=False)))
+                                            shuffle=False,
+                                            fixed_shape=True)))
     rng = jax.random.PRNGKey(cfg.train.seed)
     state = create_train_state(cfg, rng, sample)
 
@@ -121,6 +124,8 @@ def fit(
         batch_iter = batches_from_dataset(
             train_dataset, cfg.data, shuffle=True,
             seed=cfg.data.shuffle_seed + epoch,
+            fixed_shape=cfg.data.fixed_shape,
+            group_by_length=cfg.data.group_by_length,
         )
         for batch in _prefetch(batch_iter, mesh):
             state, metrics = train_step(state, batch, cfg.loss)
