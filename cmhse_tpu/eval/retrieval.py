@@ -13,8 +13,69 @@ import jax.numpy as jnp
 import numpy as np
 
 from cmhse_tpu.eval.encode import encode_data
+from cmhse_tpu.ops.pallas_sim import pallas_rank_counts, should_stream
 from cmhse_tpu.ops.ranking import bidirectional_metrics
 from cmhse_tpu.ops.similarity import cosine_sim
+
+
+def streaming_bidirectional_metrics(
+    v_emb,
+    p_emb,
+    ks: tuple[int, ...] = (1, 5, 10, 50),
+    valid=None,
+) -> dict:
+    """Bidirectional R@k / MedR / MeanR via the streaming rank-count kernel:
+    gallery tiles flow through VMEM and the ``[N, N]`` similarity matrix is
+    never materialized in HBM (SURVEY.md section 2a, eval-side kernel).
+
+    Rank semantics match :func:`cmhse_tpu.ops.ranking.bidirectional_metrics`
+    (strict-greater counting, NaN positives rank worst). The positive score
+    is the row-wise dot instead of the GEMM diagonal; both are the same
+    reduction over D in float32.
+
+    ``valid``: bool[N] row validity for device-resident galleries that keep
+    padding rows in place; invalid rows are excluded as queries AND gallery.
+    """
+    from cmhse_tpu.ops.ranking import (
+        masked_mean_rank,
+        masked_median_rank,
+        masked_recall_at_k,
+        mean_rank,
+        median_rank,
+        recall_at_k,
+    )
+
+    pos_score = jnp.sum(
+        v_emb.astype(jnp.float32) * p_emb.astype(jnp.float32), axis=1
+    )
+    if valid is not None:
+        # invalid rows must not look like (possibly NaN) real queries
+        pos_score = jnp.where(valid, pos_score, jnp.inf)
+    out: dict = {}
+    for prefix, (a, b) in (
+        ("v2p", (v_emb, p_emb)),
+        ("p2v", (p_emb, v_emb)),
+    ):
+        ranks = pallas_rank_counts(
+            a, b, pos_score, gallery_valid=valid,
+            pos_idx=jnp.arange(a.shape[0], dtype=jnp.int32),
+        )
+        if valid is None:
+            for k in ks:
+                out[f"{prefix}_r@{k}"] = recall_at_k(ranks, k) * 100.0
+            out[f"{prefix}_medr"] = median_rank(ranks)
+            out[f"{prefix}_meanr"] = mean_rank(ranks)
+        else:
+            for k in ks:
+                out[f"{prefix}_r@{k}"] = (
+                    masked_recall_at_k(ranks, k, valid) * 100.0
+                )
+            out[f"{prefix}_medr"] = masked_median_rank(ranks, valid)
+            out[f"{prefix}_meanr"] = masked_mean_rank(ranks, valid)
+    out["rsum"] = sum(
+        out[f"{d}_r@{k}"] for d in ("v2p", "p2v") for k in ks if k <= 10
+    )
+    return out
 
 
 def validate_metrics(
@@ -24,11 +85,14 @@ def validate_metrics(
     ks: tuple[int, ...] = (1, 5, 10, 50),
     mesh=None,
     mode: str = "query",
+    streaming: bool | None = None,
 ) -> dict[str, float]:
     """Encode a split and compute bidirectional retrieval metrics.
 
     With ``mesh`` the gallery is sharded (BASELINE config 5); without, the
-    single-device on-device path runs. Returns plain floats.
+    single-device on-device path runs. ``streaming`` selects the Pallas
+    rank-count kernel (no [Q, N] materialization); None = auto (on for
+    TPU galleries >= STREAMING_GALLERY_MIN). Returns plain floats.
     """
     if mesh is not None:
         # fully device-resident path: encode -> sharded rank counting ->
@@ -40,12 +104,23 @@ def validate_metrics(
             model, params, batches
         )
         metrics = sharded_retrieval_metrics(
-            video_embs, para_embs, mesh, ks=ks, mode=mode, valid=valid
+            video_embs, para_embs, mesh, ks=ks, mode=mode, valid=valid,
+            streaming=streaming,
         )
     else:
-        video_embs, para_embs, _ = encode_data(model, params, batches)
-        sims = cosine_sim(video_embs, para_embs)
-        metrics = bidirectional_metrics(sims, ks=ks)
+        from cmhse_tpu.eval.encode import encode_gallery_device
+
+        video_embs, para_embs, valid = encode_gallery_device(
+            model, params, batches
+        )
+        if should_stream(video_embs.shape[0], streaming):
+            metrics = streaming_bidirectional_metrics(
+                video_embs, para_embs, ks=ks, valid=valid
+            )
+        else:
+            keep = jnp.asarray(valid)
+            sims = cosine_sim(video_embs[keep], para_embs[keep])
+            metrics = bidirectional_metrics(sims, ks=ks)
     return {k: float(v) for k, v in metrics.items()}
 
 

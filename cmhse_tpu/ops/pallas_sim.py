@@ -234,13 +234,38 @@ def pallas_contrastive_loss(
 # 2. streaming rank-count kernel (eval / serving)
 # ---------------------------------------------------------------------------
 
+# Galleries at or above this size take the streaming kernel automatically on
+# TPU (the dense [Q, N] similarity block starts to dominate HBM traffic and,
+# well before it stops fitting, evicts everything else); below it XLA's
+# fused GEMM+compare on the materialized block is at bandwidth already.
+STREAMING_GALLERY_MIN = 8192
 
-def _rankcount_kernel(q_ref, g_ref, pos_ref, gvalid_ref, count_ref):
+
+def should_stream(n_gallery: int, force: bool | None = None) -> bool:
+    """Dispatch policy for rank counting: explicit ``force`` wins; otherwise
+    stream on real TPU for galleries >= STREAMING_GALLERY_MIN (interpret mode
+    off-TPU would be slower than the dense jnp path)."""
+    if force is not None:
+        return force
+    return (
+        jax.devices()[0].platform == "tpu"
+        and n_gallery >= STREAMING_GALLERY_MIN
+    )
+
+
+def _rankcount_kernel(q_ref, g_ref, pos_ref, posidx_ref, gvalid_ref,
+                      count_ref):
     j = pl.program_id(1)
+    tn = g_ref.shape[0]
     s = jnp.dot(
         q_ref[:], g_ref[:].T, preferred_element_type=jnp.float32
     )  # (TQ, TN)
     gt = (s > pos_ref[0, :][:, None]) & (gvalid_ref[0, :] > 0.5)[None, :]
+    # Exclude each query's own positive column BY INDEX: its in-tile GEMM
+    # score can differ from the separately-reduced pos_score by 1 ulp, which
+    # would make the positive count as its own violator (off-by-one rank).
+    col_ids = j * tn + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    gt = gt & (col_ids != posidx_ref[0, :][:, None])
     tile_counts = jnp.sum(gt.astype(jnp.int32), axis=1)
 
     @pl.when(j == 0)
@@ -252,18 +277,36 @@ def _rankcount_kernel(q_ref, g_ref, pos_ref, gvalid_ref, count_ref):
         count_ref[0, :] = count_ref[0, :] + tile_counts
 
 
-def pallas_rank_counts(
+def pallas_violation_counts(
     queries: Array,
     gallery: Array,
     pos_score: Array,
+    gallery_valid: Array | None = None,
+    pos_idx: Array | None = None,
 ) -> Array:
-    """1-based rank of each query's positive, streaming the gallery through
-    VMEM in (TQ x TN) similarity tiles without materializing [Q, N].
+    """Raw strictly-greater counts ``[Q]`` int32: how many (valid) gallery
+    rows score above each query's positive, streaming gallery tiles through
+    VMEM without materializing ``[Q, N]``.
+
+    This is the building block shared by the single-device streaming metrics
+    and the sharded gallery mode (where per-shard counts are ``psum``-ed).
 
     Args:
       queries: ``[Q, D]`` query embeddings.
       gallery: ``[N, D]`` gallery embeddings.
       pos_score: ``[Q]`` each query's similarity to its positive.
+      gallery_valid: optional bool ``[N]``; False rows never count (device-
+        resident galleries keep padded rows in place).
+      pos_idx: optional int32 ``[Q]`` gallery index of each query's positive
+        (out-of-range for "not in this gallery"); that column is excluded by
+        index so a 1-ulp difference between the kernel's GEMM score and the
+        separately-reduced ``pos_score`` can never count the positive as its
+        own violator. None = no exclusion (positive not in this gallery, or
+        pos_score came from the same GEMM).
+
+    Inside ``shard_map`` callers must pass ``check_vma=False`` — the
+    varying-mesh-axes checker cannot see through interpret-mode pallas
+    block slicing (see parallel/eval_sharded.py).
     """
     q, d = queries.shape
     n = gallery.shape[0]
@@ -272,7 +315,15 @@ def pallas_rank_counts(
     qp, np_ = q_p.shape[0], g_p.shape[0]
     pos_p = jnp.full((1, qp), jnp.inf, jnp.float32)
     pos_p = pos_p.at[0, :q].set(pos_score.astype(jnp.float32))
-    gvalid = (jnp.arange(np_) < n).astype(jnp.float32)[None, :]
+    posidx_p = jnp.full((1, qp), -1, jnp.int32)
+    if pos_idx is not None:
+        posidx_p = posidx_p.at[0, :q].set(pos_idx.astype(jnp.int32))
+    gvalid_vec = jnp.arange(np_) < n
+    if gallery_valid is not None:
+        gvalid_vec = gvalid_vec & jnp.pad(
+            gallery_valid.astype(bool), (0, np_ - n)
+        )
+    gvalid = gvalid_vec.astype(jnp.float32)[None, :]
 
     counts = pl.pallas_call(
         _rankcount_kernel,
@@ -281,6 +332,8 @@ def pallas_rank_counts(
             pl.BlockSpec((_TM, d), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((_TN, d), lambda i, j: (j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _TM), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _TM), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
@@ -296,7 +349,22 @@ def pallas_rank_counts(
             bytes_accessed=(qp + np_) * d * 4,
             transcendentals=0,
         ),
-    )(q_p, g_p, pos_p, gvalid)
-    ranks = counts[0, :q] + 1
+    )(q_p, g_p, pos_p, posidx_p, gvalid)
+    return counts[0, :q]
+
+
+def pallas_rank_counts(
+    queries: Array,
+    gallery: Array,
+    pos_score: Array,
+    gallery_valid: Array | None = None,
+    pos_idx: Array | None = None,
+) -> Array:
+    """1-based rank of each query's positive via the streaming count kernel
+    (see :func:`pallas_violation_counts`); NaN positives rank worst."""
+    n = gallery.shape[0]
+    ranks = pallas_violation_counts(
+        queries, gallery, pos_score, gallery_valid, pos_idx=pos_idx
+    ) + 1
     # NaN positive => worst rank (see ops.ranking.retrieval_ranks)
     return jnp.where(jnp.isnan(pos_score), n, ranks)

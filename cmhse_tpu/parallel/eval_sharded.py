@@ -34,6 +34,7 @@ from jax import Array
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
+from cmhse_tpu.ops.pallas_sim import pallas_violation_counts, should_stream
 from cmhse_tpu.ops.ranking import recall_at_k
 
 
@@ -53,6 +54,7 @@ def sharded_ranks(
     axis: str = "data",
     mode: str = "query",
     valid: Array | None = None,
+    streaming: bool | None = None,
 ) -> Array:
     """1-based rank of the aligned positive for every query row.
 
@@ -61,6 +63,9 @@ def sharded_ranks(
       p_emb: ``[N, D]`` gallery embeddings; row i is query i's positive.
       mesh: device mesh with axis ``axis``.
       mode: "query" (shard queries) or "gallery" (shard gallery columns).
+      streaming: use the Pallas rank-count kernel inside each shard, so the
+        per-device ``[Q, N/ndev]`` similarity block never reaches HBM.
+        None = auto (TPU and per-device gallery >= STREAMING_GALLERY_MIN).
 
     Returns: ``[N]`` int32 ranks (same values as the single-device path).
     """
@@ -77,59 +82,96 @@ def sharded_ranks(
     if valid is not None:
         valid_pad, _ = _pad_rows(valid, ndev)
         gallery_valid = gallery_valid & valid_pad
+    stream = should_stream(npad // ndev, streaming)
+    # the positives are the ALIGNED rows, so each query's positive score is a
+    # row-wise dot — same float32 reduction the GEMM diagonal would produce
+    pos_score_full = jnp.sum(
+        v_pad.astype(jnp.float32) * p_pad.astype(jnp.float32), axis=1
+    )
 
     if mode == "query":
 
         @partial(
             shard_map,
             mesh=mesh,
-            in_specs=(P(axis, None), P(None, None), P(axis), P(None)),
+            in_specs=(P(axis, None), P(None, None), P(axis), P(None),
+                      P(axis)),
             out_specs=P(axis),
+            # the vma checker cannot see through interpret-mode pallas_call
+            # block slicing; the streaming variant is parity-tested against
+            # the dense path (which keeps the checker) instead
+            check_vma=not stream,
         )
-        def _ranks(v, p, pos, gvalid):
-            sims = jnp.dot(v, p.T, preferred_element_type=jnp.float32)
-            pos_score = jnp.take_along_axis(sims, pos[:, None], axis=1)
-            greater = (sims > pos_score) & gvalid[None, :]
-            ranks = jnp.sum(greater, axis=1).astype(jnp.int32) + 1
+        def _ranks(v, p, pos, gvalid, pos_score_shard):
+            if stream:
+                counts = pallas_violation_counts(
+                    v, p, pos_score_shard, gallery_valid=gvalid,
+                    pos_idx=pos,  # global row idx == global gallery idx
+                )
+                pos_score = pos_score_shard
+            else:
+                sims = jnp.dot(v, p.T, preferred_element_type=jnp.float32)
+                ps = jnp.take_along_axis(sims, pos[:, None], axis=1)
+                greater = (sims > ps) & gvalid[None, :]
+                counts = jnp.sum(greater, axis=1).astype(jnp.int32)
+                pos_score = ps[:, 0]
+            ranks = counts + 1
             # NaN positive => worst rank, never a bogus rank 1. Sentinel is
             # the TRUE gallery size n (not the padded size) so these ranks
             # match the single-device retrieval_ranks path exactly even when
             # N is not a multiple of the device count (ADVICE.md round 1).
-            return jnp.where(jnp.isnan(pos_score[:, 0]), n, ranks)
+            return jnp.where(jnp.isnan(pos_score), n, ranks)
 
-        ranks = _ranks(v_pad, p_pad, pos_idx, gallery_valid)
+        ranks = _ranks(v_pad, p_pad, pos_idx, gallery_valid, pos_score_full)
 
     elif mode == "gallery":
 
         @partial(
             shard_map,
             mesh=mesh,
-            in_specs=(P(None, None), P(axis, None), P(None), P(axis)),
+            in_specs=(P(None, None), P(axis, None), P(None), P(axis),
+                      P(None)),
             out_specs=P(None),
+            # see the query-mode comment: checker off only for streaming
+            check_vma=not stream,
         )
-        def _ranks(v, p_shard, pos, gvalid_shard):
-            # local similarity block: all queries x my gallery shard
-            sims = jnp.dot(v, p_shard.T, preferred_element_type=jnp.float32)
+        def _ranks(v, p_shard, pos, gvalid_shard, pos_score):
             shard_size = p_shard.shape[0]
-            shard_id = jax.lax.axis_index(axis)
-            local_start = shard_id * shard_size
-            # positive score: only the shard that owns pos_i contributes
-            local_pos = pos - local_start
-            in_shard = (local_pos >= 0) & (local_pos < shard_size)
-            safe_pos = jnp.clip(local_pos, 0, shard_size - 1)
-            pos_local = jnp.take_along_axis(sims, safe_pos[:, None], axis=1)[:, 0]
-            pos_score = jax.lax.psum(
-                jnp.where(in_shard, pos_local, 0.0), axis
-            )
-            greater = (sims > pos_score[:, None]) & gvalid_shard[None, :]
-            counts = jax.lax.psum(
-                jnp.sum(greater, axis=1).astype(jnp.int32), axis
-            )
+            if stream:
+                # positive column index local to this gallery shard
+                # (out-of-range when another shard owns it)
+                local_pos = pos - jax.lax.axis_index(axis) * shard_size
+                local_counts = pallas_violation_counts(
+                    v, p_shard, pos_score, gallery_valid=gvalid_shard,
+                    pos_idx=local_pos,
+                )
+            else:
+                # local similarity block: all queries x my gallery shard
+                sims = jnp.dot(
+                    v, p_shard.T, preferred_element_type=jnp.float32
+                )
+                # positive score FROM THE SAME GEMM (only the owning shard
+                # contributes): keeps the dense path bit-identical to the
+                # single-device ranks — a separately-reduced dot can differ
+                # in the last ulps and flip near-tie comparisons
+                shard_id = jax.lax.axis_index(axis)
+                local_pos_d = pos - shard_id * shard_size
+                in_shard = (local_pos_d >= 0) & (local_pos_d < shard_size)
+                safe_pos = jnp.clip(local_pos_d, 0, shard_size - 1)
+                pos_local = jnp.take_along_axis(
+                    sims, safe_pos[:, None], axis=1
+                )[:, 0]
+                pos_score = jax.lax.psum(
+                    jnp.where(in_shard, pos_local, 0.0), axis
+                )
+                greater = (sims > pos_score[:, None]) & gvalid_shard[None, :]
+                local_counts = jnp.sum(greater, axis=1).astype(jnp.int32)
+            counts = jax.lax.psum(local_counts, axis)
             ranks = counts + 1
             # true-size sentinel: see the query-mode comment above
             return jnp.where(jnp.isnan(pos_score), n, ranks)
 
-        ranks = _ranks(v_pad, p_pad, pos_idx, gallery_valid)
+        ranks = _ranks(v_pad, p_pad, pos_idx, gallery_valid, pos_score_full)
     else:
         raise ValueError(f"unknown mode {mode!r}")
 
@@ -144,6 +186,7 @@ def sharded_retrieval_metrics(
     axis: str = "data",
     mode: str = "query",
     valid: Array | None = None,
+    streaming: bool | None = None,
 ) -> dict[str, Array]:
     """Bidirectional R@k / MedR / MeanR over a sharded gallery.
 
@@ -166,7 +209,8 @@ def sharded_retrieval_metrics(
         ("v2p", (v_emb, p_emb)),
         ("p2v", (p_emb, v_emb)),
     ):
-        ranks = sharded_ranks(a, b, mesh, axis=axis, mode=mode, valid=valid)
+        ranks = sharded_ranks(a, b, mesh, axis=axis, mode=mode, valid=valid,
+                              streaming=streaming)
         if valid is None:
             for k in ks:
                 out[f"{prefix}_r@{k}"] = recall_at_k(ranks, k) * 100.0
@@ -191,6 +235,7 @@ def sharded_sim_topk(
     k: int,
     mesh: Mesh,
     axis: str = "data",
+    valid: Array | None = None,
 ) -> tuple[Array, Array]:
     """Serving path: top-k gallery hits for a query block against a
     column-sharded gallery (the "sim-matrix QPS" entry point, BASELINE.json:2;
@@ -205,6 +250,11 @@ def sharded_sim_topk(
     g_pad, n = _pad_rows(gallery, ndev)
     npad = g_pad.shape[0]
     gallery_valid = jnp.arange(npad) < n
+    if valid is not None:
+        # device-resident galleries keep padding rows in place; they must
+        # never surface in a top-k
+        valid_pad, _ = _pad_rows(valid, ndev)
+        gallery_valid = gallery_valid & valid_pad
 
     @partial(
         shard_map,

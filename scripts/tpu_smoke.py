@@ -40,6 +40,38 @@ got_r = np.asarray(jax.jit(pallas_rank_counts)(q, g, pos_score))
 print("rank counts equal:", (want_r == got_r).all(), flush=True)
 assert (want_r == got_r).all()
 
+# 3b) streaming-metrics variant: aligned positives excluded BY INDEX plus a
+# caller gallery-validity mask (exact-arithmetic one-hot queries so the
+# comparison is reduction-order independent)
+n2 = 200
+vq = jnp.eye(D, dtype=jnp.float32)[:n2]
+gq = jnp.asarray((np.round(rng.randn(n2, D) * 8) / 64).astype(np.float32))
+pos_q = jnp.sum(vq * gq, axis=1)
+valid2 = jnp.asarray(np.arange(n2) % 7 != 0)
+sims2 = np.asarray(jnp.dot(vq, gq.T))
+pos2 = np.asarray(pos_q)
+want_q = ((sims2 > pos2[:, None])
+          & np.asarray(valid2)[None, :]
+          & (np.arange(n2)[None, :] != np.arange(n2)[:, None])).sum(1) + 1
+got_q = np.asarray(jax.jit(
+    lambda v, g, ps, gv: pallas_rank_counts(
+        v, g, ps, gallery_valid=gv,
+        pos_idx=jnp.arange(n2, dtype=jnp.int32))
+)(vq, gq, pos_q, valid2))
+print("rank counts (pos_idx+valid) equal:", (want_q == got_q).all(), flush=True)
+assert (want_q == got_q).all()
+
+# 3c) streaming rank counting inside shard_map (1-device mesh on hardware)
+from cmhse_tpu.parallel.mesh import make_mesh
+from cmhse_tpu.parallel.eval_sharded import sharded_ranks
+mesh1 = make_mesh((1,), ("data",))
+for mode in ("query", "gallery"):
+    got_sh = np.asarray(sharded_ranks(vq, gq, mesh1, mode=mode,
+                                      streaming=True))
+    want_sh = np.asarray(retrieval_ranks(jnp.dot(vq, gq.T)))
+    assert (got_sh == want_sh).all(), mode
+print("sharded streaming rank counts OK", flush=True)
+
 # 4) pallas GRU vs scan on-device (f32)
 from cmhse_tpu.models.gru import gru_sequence
 from cmhse_tpu.ops.pallas_gru import pallas_gru_sequence

@@ -50,6 +50,117 @@ def test_sharded_metrics_match_single_device(mesh, mode):
         )
 
 
+def _exact_embs(n, seed):
+    """Embeddings whose pairwise similarities are EXACT in float32 under any
+    reduction order: queries are one-hot rows (the dot picks a single
+    element), gallery entries are quantized to a 1/64 grid. This isolates
+    the rank-counting logic from backend GEMM reassociation noise (CPU
+    oneDNN's [N,N] GEMM and an elementwise row dot can differ by ~5e-4;
+    TPU f32 GEMMs are consistent to ~1e-7)."""
+    rng = np.random.RandomState(seed)
+    v = np.eye(n, dtype=np.float32)
+    p = np.round(rng.randn(n, n) * 8) / 64.0
+    return jnp.asarray(v), jnp.asarray(p.astype(np.float32))
+
+
+@pytest.mark.parametrize("mode", ["query", "gallery"])
+@pytest.mark.parametrize("n", [64, 100])
+def test_sharded_ranks_streaming_bit_identical(mesh, mode, n):
+    """The Pallas streaming path inside each shard (interpret mode on CPU)
+    must produce the same ranks as both the dense sharded path and the
+    single-device path — this pins the dispatch boundary (VERDICT item 3)."""
+    v, p = _exact_embs(n, seed=4)
+    single = np.asarray(retrieval_ranks(jnp.dot(v, p.T)))
+    streamed = np.asarray(
+        sharded_ranks(v, p, mesh, mode=mode, streaming=True)
+    )
+    np.testing.assert_array_equal(streamed, single)
+    dense = np.asarray(sharded_ranks(v, p, mesh, mode=mode, streaming=False))
+    np.testing.assert_array_equal(dense, single)
+
+
+def test_sharded_ranks_streaming_nan_and_valid(mesh):
+    v, p = _exact_embs(40, seed=5)
+    v = v.at[7].set(jnp.nan)
+    valid = jnp.asarray(np.arange(40) % 9 != 0)  # a few invalid rows
+    for mode in ("query", "gallery"):
+        dense = np.asarray(
+            sharded_ranks(v, p, mesh, mode=mode, valid=valid, streaming=False)
+        )
+        streamed = np.asarray(
+            sharded_ranks(v, p, mesh, mode=mode, valid=valid, streaming=True)
+        )
+        np.testing.assert_array_equal(streamed, dense)
+    assert streamed[7] == 40  # NaN positive still worst-ranked
+
+
+def test_streaming_bidirectional_metrics_match_dense():
+    from cmhse_tpu.eval.retrieval import streaming_bidirectional_metrics
+
+    v, p = _exact_embs(100, seed=6)
+    want = bidirectional_metrics(jnp.dot(v, p.T), ks=(1, 5, 10))
+    got = streaming_bidirectional_metrics(v, p, ks=(1, 5, 10))
+    for key in want:
+        np.testing.assert_allclose(
+            float(got[key]), float(want[key]), rtol=1e-6,
+            err_msg=f"metric {key} diverged (streaming single-device)",
+        )
+    # masked variant: padding rows interleaved must not change the metrics
+    valid = np.ones(110, bool)
+    valid[[3, 50, 77, 90, 101, 105, 106, 107, 108, 109]] = False
+    v2 = np.zeros((110, 100), np.float32)
+    p2 = np.zeros((110, 100), np.float32)
+    v2[valid] = np.asarray(v)
+    p2[valid] = np.asarray(p)
+    want2 = bidirectional_metrics(
+        jnp.dot(jnp.asarray(v2[valid]), jnp.asarray(p2[valid]).T),
+        ks=(1, 5, 10),
+    )
+    got2 = streaming_bidirectional_metrics(
+        jnp.asarray(v2), jnp.asarray(p2), ks=(1, 5, 10),
+        valid=jnp.asarray(valid),
+    )
+    for key in want2:
+        np.testing.assert_allclose(
+            float(got2[key]), float(want2[key]), rtol=1e-6,
+            err_msg=f"metric {key} diverged (masked streaming)",
+        )
+
+
+def test_validate_metrics_streaming_dispatch_matches():
+    """validate_metrics(streaming=True) == validate_metrics(streaming=False)
+    on the same model/split — the production dispatch boundary."""
+    from cmhse_tpu.config import DataConfig, ExperimentConfig, ModelConfig
+    from cmhse_tpu.data import SyntheticHierarchicalDataset, batches_from_dataset
+    from cmhse_tpu.eval.retrieval import validate_metrics
+    from cmhse_tpu.models import CMHSE
+    from cmhse_tpu.train import create_train_state
+
+    cfg = ExperimentConfig(
+        data=DataConfig(batch_size=8, feat_dim=16, vocab_size=64, max_clips=2,
+                        max_frames=6, max_sentences=2, max_words=6),
+        model=ModelConfig(embed_size=24, word_dim=12, feat_dim=16,
+                          rnn_hidden=24, hierarchical=True),
+    )
+    ds = SyntheticHierarchicalDataset(num_videos=20, feat_dim=16,
+                                      vocab_size=64, max_clips=2,
+                                      max_frames=6, max_words=6, seed=11)
+    b0 = next(iter(batches_from_dataset(ds, cfg.data, shuffle=False)))
+    state = create_train_state(cfg, jax.random.PRNGKey(0), b0)
+    model = CMHSE(cfg=cfg.model, vocab_size=cfg.data.vocab_size)
+
+    mk = lambda: batches_from_dataset(ds, cfg.data, shuffle=False)
+    dense = validate_metrics(model, state.params, mk(), ks=(1, 5),
+                             streaming=False)
+    streamed = validate_metrics(model, state.params, mk(), ks=(1, 5),
+                                streaming=True)
+    for key in dense:
+        np.testing.assert_allclose(
+            streamed[key], dense[key], rtol=1e-6,
+            err_msg=f"metric {key} diverged across the dispatch boundary",
+        )
+
+
 def test_sharded_topk_matches_dense(mesh):
     rng = np.random.RandomState(2)
     q = jnp.asarray(rng.randn(10, 16).astype(np.float32))
