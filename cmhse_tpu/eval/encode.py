@@ -2,9 +2,17 @@
 ``evaluation.py`` ``encode_data(model, loader)`` which collected all
 embeddings into host numpy arrays).
 
-TPU-first difference: embeddings stay ON DEVICE as stacked jnp arrays; only
-the final metrics cross back to the host. The encode itself is one jitted
-function per bucket shape, reused across batches.
+Two paths:
+  * :func:`encode_data` — reference-shaped HOST collection: every batch's
+    embeddings round-trip to numpy and padded rows are dropped. Use it when
+    downstream code wants compact host arrays (offline analysis, export).
+  * :func:`encode_gallery_device` — the PRODUCTION path: embeddings stay on
+    device, padded rows are kept in place and flagged via ``valid``, and
+    only final scalars ever cross to the host (what SURVEY.md section 3.2
+    demands). Eval and serving build on this one.
+
+The encode itself is one jitted function per bucket shape, cached at module
+level so periodic validation and new Retriever instances never recompile.
 """
 
 from __future__ import annotations
@@ -41,6 +49,23 @@ def _jitted_encode(mcfg, vocab_size: int):
     return _encode
 
 
+@functools.lru_cache(maxsize=32)
+def _jitted_text_encode(mcfg, vocab_size: int):
+    """One compiled text-encode program per (ModelConfig, vocab) — shared by
+    every Retriever instance so constructing a new one never recompiles."""
+    model = CMHSE(cfg=mcfg, vocab_size=vocab_size)
+
+    @jax.jit
+    def _encode(params, words, word_len, sent_len):
+        emb, _ = model.apply(
+            {"params": params}, words, word_len, sent_len,
+            method=CMHSE.encode_text,
+        )
+        return emb
+
+    return _encode
+
+
 def encode_data(
     model: CMHSE,
     params,
@@ -48,9 +73,11 @@ def encode_data(
     return_low_level: bool = False,
     use_pallas_gru: bool | None = None,
 ):
-    """Encode every batch; returns (video_embs [N, E], para_embs [N, E],
-    video_ids [N]) with padded rows dropped, plus optionally the low-level
-    (clip, sentence) embeddings and their masks.
+    """HOST-collecting encode (reference ``encode_data`` shape): returns
+    (video_embs [N, E], para_embs [N, E], video_ids [N]) with padded rows
+    dropped, plus optionally the low-level (clip, sentence) embeddings and
+    their masks. Each batch's embeddings cross to host numpy — prefer
+    :func:`encode_gallery_device` on hot paths.
 
     ``batches`` is any iterable of :class:`Batch` (host or device).
     ``use_pallas_gru``: swap in the fused forward-only Pallas GRU time loop
@@ -99,13 +126,18 @@ def encode_gallery_device(
     params,
     batches,
     use_pallas_gru: bool | None = None,
-) -> tuple[Array, Array, Array]:
+    return_ids: bool = False,
+):
     """Device-resident gallery encode: no per-batch host transfers.
 
     Returns (video_embs [Np, E], para_embs [Np, E], valid bool[Np]) where
     padded rows are KEPT in place (aligned across both modalities) and
     flagged by ``valid`` — the masked metric paths exclude them. This is the
     production eval path: only the final scalar metrics cross to the host.
+
+    ``return_ids``: additionally return ``video_ids`` int32[Np] (host array;
+    ids live on the host already, so this costs no device transfer). Used by
+    serving to map gallery row indices back to dataset keys.
     """
     if use_pallas_gru is None:
         use_pallas_gru = jax.devices()[0].platform == "tpu"
@@ -116,14 +148,19 @@ def encode_gallery_device(
         mcfg = dataclasses.replace(mcfg, pallas_gru=True)
     _encode = _jitted_encode(mcfg, model.vocab_size)
 
-    v_all, p_all, valid_all = [], [], []
+    v_all, p_all, valid_all, ids_all = [], [], [], []
     for batch in batches:
         v, p, _, _ = _encode(params, batch)
         v_all.append(v)
         p_all.append(p)
         valid_all.append(batch.valid)
-    return (
+        if return_ids:
+            ids_all.append(np.asarray(batch.video_ids))
+    out = (
         jnp.concatenate(v_all),
         jnp.concatenate(p_all),
         jnp.concatenate([jnp.asarray(v) for v in valid_all]),
     )
+    if return_ids:
+        return out + (np.concatenate(ids_all),)
+    return out

@@ -2,8 +2,9 @@
 BASELINE.json:2; the reference has no serving path — SURVEY.md section 3.5 —
 so this is a new, thin layer over the eval stack).
 
-Typical use: encode a gallery once with :func:`build_gallery`, then answer
-text->video (or video->text) queries with :meth:`Retriever.retrieve`.
+Typical use: encode a gallery once with :meth:`Retriever.build_gallery`,
+then answer text->video (or video->text) queries with
+:meth:`Retriever.retrieve`.
 """
 
 from __future__ import annotations
@@ -22,45 +23,58 @@ class Retriever:
     Single-chip path uses one fused GEMM + ``top_k``; with a mesh the gallery
     is column-sharded and :func:`cmhse_tpu.parallel.eval_sharded.
     sharded_sim_topk` runs the distributed top-k.
+
+    The gallery is built by the DEVICE-RESIDENT encode path
+    (``encode_gallery_device``): batches never round-trip through host numpy
+    (SURVEY.md section 3.2/3.5); padding rows stay in place, masked out of
+    every top-k. The text-encode program is cached at module level, so
+    constructing a new Retriever never recompiles.
     """
 
     def __init__(self, model: CMHSE, params, mesh=None):
+        from cmhse_tpu.eval.encode import _jitted_text_encode
+
         self.model = model
         self.params = params
         self.mesh = mesh
         self.gallery: Array | None = None
+        self.gallery_valid: Array | None = None
         self.gallery_keys: list | None = None
-
-        @jax.jit
-        def _encode_text(params, words, word_len, sent_len):
-            emb, _ = model.apply({"params": params}, words, word_len,
-                                 sent_len, method=CMHSE.encode_text)
-            return emb
-
-        self._encode_text = _encode_text
+        self._encode_text = _jitted_text_encode(model.cfg, model.vocab_size)
 
     def build_gallery(self, batches, keys: list | None = None) -> None:
-        """Encode video batches into the on-device gallery."""
-        from cmhse_tpu.eval.encode import encode_data
+        """Encode video batches into the on-device gallery (no per-batch
+        host transfers; see ``encode_gallery_device``)."""
+        from cmhse_tpu.eval.encode import encode_gallery_device
 
-        v, _, ids = encode_data(self.model, self.params, batches)
+        v, _, valid, ids = encode_gallery_device(
+            self.model, self.params, batches, return_ids=True
+        )
         self.gallery = v
+        self.gallery_valid = jnp.asarray(valid)
+        # row-aligned keys (padding rows keep a -1/None placeholder so
+        # returned indices map directly)
         self.gallery_keys = keys if keys is not None else list(ids)
 
     def retrieve(
         self, words: Array, word_len: Array, sent_len: Array, k: int = 10
     ) -> tuple[np.ndarray, np.ndarray]:
-        """Top-k gallery indices + scores for a batch of tokenized queries."""
+        """Top-k gallery indices + scores for a batch of tokenized queries.
+
+        Padding gallery rows are masked to ``-inf`` and can never appear in
+        the result (provided k <= number of valid rows)."""
         if self.gallery is None:
             raise RuntimeError("call build_gallery() first")
         q = self._encode_text(self.params, words, word_len, sent_len)
         if self.mesh is not None:
             from cmhse_tpu.parallel.eval_sharded import sharded_sim_topk
 
-            scores, idx = sharded_sim_topk(q, self.gallery, k, self.mesh)
-        else:
-            scores, idx = jax.lax.top_k(
-                jnp.dot(q, self.gallery.T,
-                        preferred_element_type=jnp.float32), k
+            scores, idx = sharded_sim_topk(
+                q, self.gallery, k, self.mesh, valid=self.gallery_valid
             )
+        else:
+            sims = jnp.dot(q, self.gallery.T,
+                           preferred_element_type=jnp.float32)
+            sims = jnp.where(self.gallery_valid[None, :], sims, -jnp.inf)
+            scores, idx = jax.lax.top_k(sims, k)
         return np.asarray(scores), np.asarray(idx)

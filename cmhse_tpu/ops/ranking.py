@@ -70,13 +70,16 @@ def masked_recall_at_k(ranks: Array, k: int, valid: Array) -> Array:
 
 
 def masked_median_rank(ranks: Array, valid: Array) -> Array:
-    """Median over valid entries (numpy-median midpoint convention)."""
+    """Median over valid entries (numpy-median midpoint convention).
+
+    An all-invalid gallery returns NaN (matching ``np.median([])``), never a
+    garbage int32-max midpoint."""
     big = jnp.where(valid, ranks, jnp.iinfo(jnp.int32).max)
     srt = jnp.sort(big).astype(jnp.float32)
     nv = jnp.sum(valid.astype(jnp.int32))
     lo = srt[jnp.maximum((nv - 1) // 2, 0)]
     hi = srt[jnp.maximum(nv // 2, 0)]
-    return (lo + hi) / 2.0
+    return jnp.where(nv > 0, (lo + hi) / 2.0, jnp.nan)
 
 
 def masked_mean_rank(ranks: Array, valid: Array) -> Array:

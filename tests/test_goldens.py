@@ -3,12 +3,31 @@ reproduce the stored golden embeddings element-wise and the retrieval ranks
 exactly. Regenerate with ``python tests/make_goldens.py`` ONLY when a
 numerics change is intentional, and say so in the commit message."""
 
+import hashlib
 import os
 
 import numpy as np
 import pytest
 
 from tests.make_goldens import GOLDEN_PATH, compute
+
+# sha256 of the checked-in goldens file. Regenerating the goldens requires
+# updating this constant, so a regeneration can never slip through review
+# silently (VERDICT round 1 weak item 7). Last approved regeneration:
+# commit 1fa4918 ("symmetric inits", round 1).
+GOLDEN_SHA256 = "b2d5a23f37b9744634b748c8bcc9701631e8a60686041186cb7e5ceba5ad8b80"
+
+
+def test_golden_file_checksum_pinned():
+    if not os.path.exists(GOLDEN_PATH):
+        pytest.skip("goldens not generated; run tests/make_goldens.py")
+    with open(GOLDEN_PATH, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()
+    assert digest == GOLDEN_SHA256, (
+        "tests/goldens/model_goldens.npz changed. If the numerics change is "
+        "intentional, update GOLDEN_SHA256 and call the regeneration out in "
+        "the commit message."
+    )
 
 
 @pytest.fixture(scope="module")
