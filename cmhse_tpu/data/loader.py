@@ -37,6 +37,8 @@ def batches_from_dataset(
     drop_last: bool = False,
     fixed_shape: bool = True,
     group_by_length: bool = False,
+    process_index: int = 0,
+    process_count: int = 1,
 ) -> Iterator[Batch]:
     """Yield fixed-shape :class:`Batch` pytrees from a ragged dataset.
 
@@ -51,7 +53,22 @@ def batches_from_dataset(
     long member drags the whole batch to the top bucket). Batch ORDER is
     still shuffled; grouping replaces the reference's sort-by-length collate
     with an epoch-level equivalent that keeps shapes static per batch.
+
+    ``process_index``/``process_count``: multi-host sharding (SURVEY.md
+    section 2c). Every process iterates the SAME global order (same seed =>
+    identical shuffle) but yields only its contiguous slice of each global
+    batch — ``cfg.batch_size`` must divide by ``process_count`` and each
+    local Batch has ``batch_size / process_count`` rows. Concatenating the
+    locals in process order reproduces the single-process batches exactly
+    (``place_batch_global`` relies on this row-major layout).
     """
+    if process_count > 1 and cfg.batch_size % process_count:
+        raise ValueError(
+            f"batch_size {cfg.batch_size} must divide by process_count "
+            f"{process_count}"
+        )
+    local_rows = cfg.batch_size // process_count
+    lo, hi = process_index * local_rows, (process_index + 1) * local_rows
     rng = np.random.RandomState(seed)
     order = np.arange(len(dataset))
     if shuffle:
@@ -74,10 +91,16 @@ def batches_from_dataset(
         order = np.concatenate(
             [order[s : s + cfg.batch_size] for s in starts]
         )
+    if process_count > 1 and not fixed_shape:
+        raise ValueError(
+            "bucketed (fixed_shape=False) batches are not supported "
+            "multi-host: bucket edges chosen from per-process local rows "
+            "could diverge across processes and deadlock the global jit"
+        )
     pack = _packer()
 
     full_spec = BucketSpec(
-        batch_size=cfg.batch_size,
+        batch_size=local_rows,
         max_clips=cfg.max_clips,
         max_frames=cfg.max_frames,
         max_sentences=cfg.max_sentences,
@@ -89,13 +112,17 @@ def batches_from_dataset(
         idxs = order[start : start + cfg.batch_size]
         if drop_last and len(idxs) < cfg.batch_size:
             return
+        if process_count > 1:
+            # contiguous slice of the GLOBAL batch; only these rows' feature
+            # I/O happens on this process
+            idxs = idxs[lo:hi]
         examples = [dataset[int(i)] for i in idxs]
         if fixed_shape:
             spec = full_spec
         else:
             spec = bucket_for_examples(
                 examples,
-                batch_size=cfg.batch_size,
+                batch_size=local_rows,
                 feat_dim=cfg.feat_dim,
                 max_clips=cfg.max_clips,
                 max_sentences=cfg.max_sentences,

@@ -126,6 +126,10 @@ def fit(
             seed=cfg.data.shuffle_seed + epoch,
             fixed_shape=cfg.data.fixed_shape,
             group_by_length=cfg.data.group_by_length,
+            # multi-host: each process loads + feeds only its slice of every
+            # global batch; place_batch assembles the global sharded array
+            process_index=jax.process_index(),
+            process_count=jax.process_count(),
         )
         for batch in _prefetch(batch_iter, mesh):
             state, metrics = train_step(state, batch, cfg.loss)

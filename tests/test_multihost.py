@@ -1,0 +1,84 @@
+"""Multi-host data-path correctness (SURVEY.md section 2c), tested
+single-process: the loader's per-process slicing math and the
+process-local -> global sharded-array assembly.
+
+A real v5e pod slice with >1 host can't exist in this image, so the tests
+pin the two invariants multi-host training relies on:
+  1. concatenating every process's local batches in process order
+     reproduces the single-process batches exactly (row-major layout that
+     ``place_batch_global`` assumes);
+  2. ``place_batch_global`` builds arrays with the same content and
+     sharding that the single-process ``device_put`` path produces.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from cmhse_tpu.config import DataConfig
+from cmhse_tpu.data import SyntheticHierarchicalDataset, batches_from_dataset
+from cmhse_tpu.parallel.mesh import make_mesh
+from cmhse_tpu.parallel.train_dp import place_batch, place_batch_global
+
+CFG = DataConfig(batch_size=8, feat_dim=8, vocab_size=32, max_clips=2,
+                 max_frames=4, max_sentences=2, max_words=4)
+
+
+def _ds(n):
+    return SyntheticHierarchicalDataset(num_videos=n, feat_dim=8,
+                                        vocab_size=32, max_clips=2,
+                                        max_frames=4, max_words=4, seed=3)
+
+
+@pytest.mark.parametrize("n_videos", [32, 30])  # 30: ragged final batch
+def test_process_slices_reassemble_to_global_batches(n_videos):
+    pc = 4
+    ds = _ds(n_videos)
+    global_batches = list(batches_from_dataset(ds, CFG, shuffle=True, seed=7))
+    per_proc = [
+        list(batches_from_dataset(ds, CFG, shuffle=True, seed=7,
+                                  process_index=pi, process_count=pc))
+        for pi in range(pc)
+    ]
+    assert all(len(b) == len(global_batches) for b in per_proc)
+    for bi, gb in enumerate(global_batches):
+        locals_ = [per_proc[pi][bi] for pi in range(pc)]
+        assert all(lb.frames.shape[0] == CFG.batch_size // pc
+                   for lb in locals_)
+        for field in ("frames", "frame_len", "clip_len", "words", "word_len",
+                      "sent_len", "video_ids", "valid"):
+            got = np.concatenate(
+                [np.asarray(getattr(lb, field)) for lb in locals_]
+            )
+            np.testing.assert_array_equal(
+                got, np.asarray(getattr(gb, field)),
+                err_msg=f"batch {bi} field {field}",
+            )
+
+
+def test_process_count_must_divide_batch():
+    with pytest.raises(ValueError, match="divide"):
+        next(iter(batches_from_dataset(_ds(16), CFG, process_index=0,
+                                       process_count=3)))
+
+
+def test_bucketed_multihost_rejected():
+    with pytest.raises(ValueError, match="multi-host"):
+        next(iter(batches_from_dataset(_ds(16), CFG, fixed_shape=False,
+                                       process_index=0, process_count=2)))
+
+
+def test_place_batch_global_matches_device_put():
+    mesh = make_mesh((-1,), ("data",))
+    batch = next(iter(batches_from_dataset(_ds(16), CFG, shuffle=False)))
+    via_put = place_batch(batch, mesh)  # single-process branch
+    via_global = place_batch_global(batch, mesh, process_count=1)
+    for leaf_put, leaf_glob in zip(jax.tree.leaves(via_put),
+                                   jax.tree.leaves(via_global)):
+        assert leaf_glob.sharding == leaf_put.sharding
+        np.testing.assert_array_equal(np.asarray(leaf_glob),
+                                      np.asarray(leaf_put))
+    # the assembled batch feeds the jitted step exactly like device_put does
+    s = jnp.sum(via_global.frames) + jnp.sum(via_global.word_len)
+    assert np.isfinite(float(s))
