@@ -1,11 +1,23 @@
 """Vocabulary builder (rebuilds SURVEY.md C1, the reference's ``vocab.py``).
 
-Tokenization is kept byte-compatible with the reference: NLTK's Punkt
+Tokenization is kept byte-compatible with the reference: NLTK
 ``word_tokenize`` lowercased, with a frequency threshold, and the same four
 special tokens in the same index order (``<pad>``=0, ``<start>``, ``<end>``,
 ``<unk>``) — retrieval parity is impossible if token ids diverge
-(SURVEY.md section 3.4). Falls back to a regex tokenizer when NLTK data is
-unavailable (offline images), flagged on the instance.
+(SURVEY.md section 3.4).
+
+Fallback ladder when the Punkt sentence model is not downloadable (offline
+images), reported by :func:`tokenizer_backend`:
+  1. ``punkt``    — full ``word_tokenize`` (Punkt sentence split + Treebank
+     word split); exactly the reference.
+  2. ``treebank`` — ``TreebankWordTokenizer`` alone (data-free). For
+     SINGLE-SENTENCE captions — which is what both ActivityNet Captions and
+     DiDeMo provide (one caption per clip/moment) — this is byte-identical
+     to ``word_tokenize``; multi-sentence strings may keep a sentence-final
+     period attached mid-string. tests/test_tokenizer_fixture.py pins the
+     exact ids.
+  3. ``regex``    — last resort if nltk itself is missing; token ids DIVERGE
+     from the reference. A loud warning is emitted once.
 """
 
 from __future__ import annotations
@@ -13,24 +25,49 @@ from __future__ import annotations
 import json
 import pickle
 import re
+import warnings
 from collections import Counter
 from typing import Iterable
 
 _FALLBACK_RE = re.compile(r"[a-z0-9]+|[^\sa-z0-9]")
 
+# chosen lazily on first tokenize() call: "punkt" | "treebank" | "regex"
+_BACKEND: list = [None, None]  # [name, callable]
 
-def tokenize(caption: str) -> list[str]:
-    """Lowercase word tokenization; NLTK Punkt when available."""
-    text = str(caption).lower()
+
+def _choose_backend():
     try:
         import nltk
-
-        return nltk.tokenize.word_tokenize(text)
-    except LookupError:
-        # punkt model not downloadable offline — regex fallback
-        return _FALLBACK_RE.findall(text)
     except ImportError:
-        return _FALLBACK_RE.findall(text)
+        warnings.warn(
+            "nltk is not installed: falling back to a REGEX tokenizer whose "
+            "token ids DIVERGE from the reference vocabulary. Retrieval "
+            "parity against reference checkpoints is not possible this way.",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+        return "regex", _FALLBACK_RE.findall
+    try:
+        nltk.tokenize.word_tokenize("probe")
+        return "punkt", nltk.tokenize.word_tokenize
+    except LookupError:
+        # Punkt sentence model not available offline; the Treebank word
+        # tokenizer is data-free and byte-identical for single sentences
+        return "treebank", nltk.tokenize.TreebankWordTokenizer().tokenize
+
+
+def tokenizer_backend() -> str:
+    """Which tokenizer actually runs: "punkt" | "treebank" | "regex"."""
+    if _BACKEND[0] is None:
+        _BACKEND[0], _BACKEND[1] = _choose_backend()
+    return _BACKEND[0]
+
+
+def tokenize(caption: str) -> list[str]:
+    """Lowercase word tokenization (see the module docstring for the
+    backend ladder)."""
+    tokenizer_backend()
+    return _BACKEND[1](str(caption).lower())
 
 
 class Vocabulary:
@@ -116,7 +153,14 @@ def build_vocab(
     captions: Iterable[str], threshold: int = 4
 ) -> Vocabulary:
     """Frequency-thresholded vocabulary from an iterable of caption strings
-    (reference ``build_vocab``: count -> filter by threshold -> add)."""
+    (reference ``build_vocab``: count -> filter by threshold -> add).
+
+    Prints the tokenizer backend in use so a vocabulary accidentally built
+    with the non-parity regex fallback is visible in the build log."""
+    backend = tokenizer_backend()
+    print(f"build_vocab: tokenizer backend = {backend}"
+          + (" (WARNING: token ids diverge from the reference!)"
+             if backend == "regex" else ""))
     counter: Counter[str] = Counter()
     for cap in captions:
         counter.update(tokenize(cap))
