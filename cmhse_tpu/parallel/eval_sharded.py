@@ -229,6 +229,27 @@ def sharded_retrieval_metrics(
     return out
 
 
+def _sim_topk_body(q, g_shard, gvalid_shard, *, axis: str, k: int):
+    """Per-device body of :func:`sharded_sim_topk`; module-level so the
+    replication test (tests/test_sharded_eval.py) can run the SAME body with
+    per-device out_specs and assert every device holds identical candidates
+    after the all_gather — the property ``check_vma=False`` stops the
+    compiler from checking."""
+    shard_size = g_shard.shape[0]
+    shard_id = jax.lax.axis_index(axis)
+    sims = jnp.dot(q, g_shard.T, preferred_element_type=jnp.float32)
+    sims = jnp.where(gvalid_shard[None, :], sims, -jnp.inf)
+    kk = min(k, shard_size)
+    loc_scores, loc_idx = jax.lax.top_k(sims, kk)  # [Q, kk]
+    glob_idx = loc_idx + shard_id * shard_size
+    # gather candidates from all shards: [Q, kk*ndev]
+    all_scores = jax.lax.all_gather(loc_scores, axis, axis=1, tiled=True)
+    all_idx = jax.lax.all_gather(glob_idx, axis, axis=1, tiled=True)
+    fin_scores, fin_pos = jax.lax.top_k(all_scores, k)
+    fin_idx = jnp.take_along_axis(all_idx, fin_pos, axis=1)
+    return fin_scores, fin_idx
+
+
 def sharded_sim_topk(
     queries: Array,
     gallery: Array,
@@ -262,22 +283,12 @@ def sharded_sim_topk(
         in_specs=(P(None, None), P(axis, None), P(axis)),
         out_specs=(P(None), P(None)),
         # after the all_gather the candidates are replicated across the axis,
-        # but the varying-mesh-axes checker can't infer that statically
+        # but the varying-mesh-axes checker can't infer that statically.
+        # Replication is asserted dynamically instead: the same body runs
+        # with per-device outputs in tests/test_sharded_eval.py.
         check_vma=False,
     )
     def _topk(q, g_shard, gvalid_shard):
-        shard_size = g_shard.shape[0]
-        shard_id = jax.lax.axis_index(axis)
-        sims = jnp.dot(q, g_shard.T, preferred_element_type=jnp.float32)
-        sims = jnp.where(gvalid_shard[None, :], sims, -jnp.inf)
-        kk = min(k, shard_size)
-        loc_scores, loc_idx = jax.lax.top_k(sims, kk)  # [Q, kk]
-        glob_idx = loc_idx + shard_id * shard_size
-        # gather candidates from all shards: [Q, kk*ndev]
-        all_scores = jax.lax.all_gather(loc_scores, axis, axis=1, tiled=True)
-        all_idx = jax.lax.all_gather(glob_idx, axis, axis=1, tiled=True)
-        fin_scores, fin_pos = jax.lax.top_k(all_scores, k)
-        fin_idx = jnp.take_along_axis(all_idx, fin_pos, axis=1)
-        return fin_scores, fin_idx
+        return _sim_topk_body(q, g_shard, gvalid_shard, axis=axis, k=k)
 
     return _topk(queries, g_pad, gallery_valid)

@@ -78,6 +78,45 @@ def test_gru_matches_torch_packed(seed):
         )
 
 
+@pytest.mark.parametrize("dtype,max_tol,mean_tol", [
+    ("float32", 1e-5, 1e-6),
+    ("bfloat16", 2e-2, 2e-3),
+])
+def test_gru_matches_torch_production_shape(dtype, max_tol, mean_tol):
+    """Torch parity at the production hidden size (H=1024, T=64, D=500) in
+    BOTH dtypes (VERDICT round 1 item 9). The bf16 band pins the dtype-cast
+    boundaries in models/gru.py (bf16 activations, f32 params cast per-GEMM,
+    f32 accumulation): measured drift vs the f32 torch reference is
+    max ~3e-3 / mean ~6e-4 over 64 steps, so the band has ~5x headroom
+    without being loose enough to hide a broken cast. B=16 rather than the
+    production 64 keeps the 1-core CPU runtime sane — per-row numerics do
+    not depend on batch size."""
+    B, T, D, H = 16, 64, 500, 1024
+    rng = np.random.RandomState(42)
+    x = rng.randn(B, T, D).astype(np.float32)
+    lengths = rng.randint(1, T + 1, size=B).astype(np.int64)
+    lengths[0] = T  # cover the full-length row
+    for i, l in enumerate(lengths):
+        x[i, l:] = 0.0
+
+    torch.manual_seed(42)
+    tgru = torch.nn.GRU(D, H, batch_first=True)
+    _, t_hn = _torch_gru_reference(x, lengths, tgru)
+
+    w_i, w_h, b_i, b_h = _copy_torch_weights(tgru)
+    # activations in the test dtype, params f32 — exactly what MaskedGRU
+    # does in bf16 training (x.astype(dtype); weights cast inside gru_step)
+    xj = jnp.asarray(x).astype(jnp.dtype(dtype))
+    _, final = gru_sequence(
+        xj, jnp.asarray(lengths.astype(np.int32)),
+        jnp.asarray(w_i), jnp.asarray(w_h), jnp.asarray(b_i), jnp.asarray(b_h),
+    )
+    final = np.asarray(final.astype(jnp.float32))
+    err = np.abs(final - t_hn[0])
+    assert err.max() < max_tol, f"max err {err.max():.2e} over {max_tol}"
+    assert err.mean() < mean_tol, f"mean err {err.mean():.2e} over {mean_tol}"
+
+
 def test_gru_zero_length_rows():
     B, T, D, H = 3, 4, 6, 8
     rng = np.random.RandomState(0)

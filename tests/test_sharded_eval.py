@@ -181,3 +181,46 @@ def test_sharded_topk_gallery_smaller_than_k_per_shard(mesh):
     dense = np.asarray(jnp.dot(q, g.T))
     want_idx = np.argsort(-dense, axis=1)[:, :3]
     np.testing.assert_array_equal(np.asarray(idx), want_idx)
+
+
+def test_sharded_topk_output_replicated_across_devices(mesh):
+    """sharded_sim_topk runs with check_vma=False (the checker can't see that
+    the post-all_gather candidates are replicated). This asserts the
+    replication DYNAMICALLY: the same body (`_sim_topk_body`) run with
+    per-device out_specs must produce identical results on every device —
+    if the body ever changes so devices disagree, the production out_specs
+    P(None) would silently keep one device's answer (VERDICT round 1 weak
+    item 6)."""
+    from functools import partial
+
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from cmhse_tpu.parallel.eval_sharded import _pad_rows, _sim_topk_body
+
+    rng = np.random.RandomState(4)
+    k = 5
+    q = jnp.asarray(rng.randn(10, 16).astype(np.float32))
+    g_pad, n = _pad_rows(jnp.asarray(rng.randn(100, 16).astype(np.float32)),
+                         mesh.shape["data"])
+    gvalid = jnp.arange(g_pad.shape[0]) < n
+
+    body = partial(_sim_topk_body, axis="data", k=k)
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(None, None), P("data", None), P("data")),
+        out_specs=(P("data"), P("data")),
+        check_vma=False,
+    )
+    def _per_device(qq, gg, vv):
+        s, i = body(qq, gg, vv)
+        return s[None], i[None]  # leading device axis
+
+    per_scores, per_idx = _per_device(q, g_pad, gvalid)
+    per_scores, per_idx = np.asarray(per_scores), np.asarray(per_idx)
+    ndev = mesh.shape["data"]
+    assert per_scores.shape[0] == ndev
+    for d in range(1, ndev):
+        np.testing.assert_array_equal(per_scores[d], per_scores[0])
+        np.testing.assert_array_equal(per_idx[d], per_idx[0])
