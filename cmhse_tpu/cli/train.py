@@ -30,6 +30,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="video feature dim (500 for the C3D-PCA release)")
     p.add_argument("--embed_size", type=int, default=None)
     p.add_argument("--word_dim", type=int, default=None)
+    p.add_argument("--rnn_hidden", type=int, default=None,
+                   help="GRU hidden size (default 1024, the reference's)")
+    p.add_argument("--vocab_size", type=int, default=None)
+    # sequence caps (static batch shapes; SURVEY.md section 7 data contract)
+    p.add_argument("--max_clips", type=int, default=None)
+    p.add_argument("--max_frames", type=int, default=None)
+    p.add_argument("--max_sentences", type=int, default=None)
+    p.add_argument("--max_words", type=int, default=None)
     p.add_argument("--num_epochs", type=int, default=None)
     p.add_argument("--batch_size", type=int, default=None)
     p.add_argument("--lr", "--learning_rate", type=float, default=None)
@@ -69,6 +77,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--synthetic", action="store_true",
                    help="train on the synthetic dataset (smoke/bench)")
     p.add_argument("--synthetic_videos", type=int, default=256)
+    p.add_argument("--correlated", action="store_true",
+                   help="with --synthetic: use the cross-modally correlated "
+                        "generator (learnable; held-out retrieval converges "
+                        "above chance — see scripts/convergence_demo.py)")
     return p
 
 
@@ -96,6 +108,14 @@ def apply_overrides(cfg, args):
         m["embed_size"] = args.embed_size
     if args.word_dim is not None:
         m["word_dim"] = args.word_dim
+    if args.rnn_hidden is not None:
+        m["rnn_hidden"] = args.rnn_hidden
+    if args.vocab_size is not None:
+        d["vocab_size"] = args.vocab_size
+    for cap in ("max_clips", "max_frames", "max_sentences", "max_words"):
+        v = getattr(args, cap)
+        if v is not None:
+            d[cap] = v
     if args.flat:
         m["hierarchical"] = False
         # the flat model consumes one whole-video clip + the joined paragraph
@@ -177,9 +197,12 @@ def main(argv=None) -> int:
 
     vocab = None
     if args.synthetic:
-        from cmhse_tpu.data import SyntheticHierarchicalDataset
+        from cmhse_tpu.data import (CorrelatedSyntheticDataset,
+                                    SyntheticHierarchicalDataset)
 
-        mk = lambda n, seed: SyntheticHierarchicalDataset(
+        ds_cls = (CorrelatedSyntheticDataset if args.correlated
+                  else SyntheticHierarchicalDataset)
+        mk = lambda n, seed: ds_cls(
             num_videos=n, feat_dim=cfg.data.feat_dim,
             vocab_size=cfg.data.vocab_size, max_clips=cfg.data.max_clips,
             max_frames=cfg.data.max_frames, max_words=cfg.data.max_words,
