@@ -1,0 +1,163 @@
+"""``cmhse-import`` — convert a reference PyTorch checkpoint into this
+framework's checkpoint layout (SURVEY.md C9 serialization: the reference
+saved ``torch.save({'model': state_dict, ...})`` each epoch).
+
+The model hyperparameters are INFERRED from the state_dict's tensor shapes
+and key presence (``cmhse_tpu.interop.infer_model_structure``), so the
+minimal invocation is just ``cmhse-import ref.pth.tar runs/imported`` — the
+output directory then works directly with ``cmhse-eval`` and
+``cmhse-retrieve`` (``restore_for_eval`` reads its ``config.json`` +
+``best/``).
+
+Accepted inputs:
+  * ``.pth`` / ``.pth.tar`` / ``.pt``: loaded with ``torch.load`` (torch is
+    imported lazily and only here — the package itself stays torch-free);
+    the state_dict is found under ``model`` / ``state_dict`` or at the root;
+  * ``.npz``: flat dotted names -> arrays (a torch-free escape hatch:
+    ``np.savez(out, **{k: v.numpy() for k, v in sd.items()})``).
+
+For checkpoints whose module names differ from the documented replica
+naming, pass ``--prefix_map '{"video_low": "vid_enc", ...}'``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def load_flat_state_dict(path: str) -> dict:
+    """Load a flat name->numpy dict from .pth/.pt/.pth.tar or .npz."""
+    import numpy as np
+
+    if path.endswith(".npz"):
+        return dict(np.load(path))
+    import torch  # lazy: only the importer needs it
+
+    obj = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(obj, dict):
+        for key in ("model", "state_dict"):
+            if key in obj and isinstance(obj[key], dict):
+                obj = obj[key]
+                break
+    if not isinstance(obj, dict):
+        raise ValueError(f"{path}: expected a state_dict, got {type(obj)}")
+    return {
+        k: (v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v))
+        for k, v in obj.items()
+    }
+
+
+def import_checkpoint(
+    flat_sd: dict,
+    out_dir: str,
+    prefix_map: dict | None = None,
+    dtype: str = "float32",
+) -> tuple:
+    """Convert + validate + persist; returns (model, params, cfg)."""
+    import jax
+    import numpy as np
+    import orbax.checkpoint as ocp
+
+    from cmhse_tpu.config import (DataConfig, ExperimentConfig, LossConfig,
+                                  ModelConfig, TrainConfig)
+    from cmhse_tpu.data.bucketing import BucketSpec, pad_batch
+    from cmhse_tpu.data.datasets import SyntheticHierarchicalDataset
+    from cmhse_tpu.interop import (infer_model_structure,
+                                   model_params_from_state_dict)
+    from cmhse_tpu.models import CMHSE
+
+    info = infer_model_structure(flat_sd, prefix_map)
+    vocab_size = info.pop("vocab_size")
+    if info.pop("bidirectional"):
+        info["bidirectional"] = True  # ModelConfig default is False
+    mcfg = ModelConfig(dtype=dtype, **info)
+    cfg = ExperimentConfig(
+        name="imported",
+        data=DataConfig(vocab_size=vocab_size, feat_dim=mcfg.feat_dim,
+                        max_clips=1 if not mcfg.hierarchical else 8,
+                        max_sentences=1 if not mcfg.hierarchical else 8),
+        model=mcfg,
+        loss=LossConfig(),
+        train=TrainConfig(checkpoint_dir=out_dir),
+    )
+
+    params = model_params_from_state_dict(
+        flat_sd, hierarchical=mcfg.hierarchical,
+        reconstruction=mcfg.reconstruction, prefix_map=prefix_map,
+    )
+
+    # validate against a freshly-initialized template: identical tree
+    # structure and leaf shapes, so a wrong prefix_map/flag combination
+    # fails HERE with a readable diff, not at apply time
+    model = CMHSE(cfg=mcfg, vocab_size=vocab_size)
+    ds = SyntheticHierarchicalDataset(
+        num_videos=2, feat_dim=mcfg.feat_dim, vocab_size=vocab_size,
+        max_clips=cfg.data.max_clips, max_frames=4, max_words=4,
+    )
+    spec = BucketSpec(batch_size=2, max_clips=cfg.data.max_clips,
+                      max_frames=4, max_sentences=cfg.data.max_sentences,
+                      max_words=4, feat_dim=mcfg.feat_dim)
+    sample = pad_batch([ds[0], ds[1]], spec)
+    template = model.init(jax.random.PRNGKey(0), sample)["params"]
+    t_shapes = jax.tree.map(lambda a: a.shape, dict(template))
+    p_shapes = jax.tree.map(lambda a: a.shape, params)
+    if t_shapes != p_shapes:
+        raise ValueError(
+            "imported params do not match the model structure:\n"
+            f"  expected: {t_shapes}\n  imported: {p_shapes}"
+        )
+
+    out_dir = os.path.abspath(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+    with open(os.path.join(out_dir, "config.json"), "w") as f:
+        f.write(cfg.to_json())
+    payload = {
+        "params": params,
+        "step": np.asarray(0, np.int64),
+        "epoch": np.asarray(0, np.int64),
+        "best_rsum": np.asarray(0.0, np.float64),
+    }
+    best_dir = os.path.join(out_dir, "best")
+    if os.path.exists(best_dir):
+        import shutil
+
+        shutil.rmtree(best_dir)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(best_dir, payload)
+    ckptr.wait_until_finished()
+    return model, params, cfg
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser("cmhse-import")
+    p.add_argument("checkpoint", help=".pth/.pth.tar/.pt or .npz state_dict")
+    p.add_argument("out_dir", help="output checkpoint directory "
+                                   "(usable by cmhse-eval / cmhse-retrieve)")
+    p.add_argument("--prefix_map", default=None,
+                   help='JSON object remapping component -> torch module '
+                        'prefix, e.g. \'{"video_low": "vid_enc"}\'')
+    p.add_argument("--dtype", default="float32",
+                   choices=["float32", "bfloat16"],
+                   help="compute dtype recorded in the imported config")
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu", "axon"])
+    args = p.parse_args(argv)
+
+    from cmhse_tpu.cli.train import _force_platform
+
+    _force_platform(args.platform)
+
+    prefix_map = json.loads(args.prefix_map) if args.prefix_map else None
+    flat = load_flat_state_dict(args.checkpoint)
+    model, params, cfg = import_checkpoint(
+        flat, args.out_dir, prefix_map=prefix_map, dtype=args.dtype,
+    )
+    n = sum(int(a.size) for a in __import__("jax").tree.leaves(params))
+    print(f"imported {len(flat)} tensors ({n:,} parameters) -> "
+          f"{args.out_dir} (model: {cfg.model})")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

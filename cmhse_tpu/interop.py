@@ -94,6 +94,136 @@ def sequence_encoder_params_from_torch(
     return params
 
 
+def _encoder_from_flat(sd: dict, prefix: str) -> dict:
+    """One SequenceEncoder's params from flat ``{prefix}.gru.*`` /
+    ``{prefix}.proj.*`` / ``{prefix}.attn_*`` state_dict keys."""
+    gru_keys = ("weight_ih_l0", "weight_hh_l0", "bias_ih_l0", "bias_hh_l0",
+                "weight_ih_l0_reverse", "weight_hh_l0_reverse",
+                "bias_ih_l0_reverse", "bias_hh_l0_reverse")
+    gru = {k: sd.pop(f"{prefix}.gru.{k}")
+           for k in gru_keys if f"{prefix}.gru.{k}" in sd}
+    proj = None
+    if f"{prefix}.proj.weight" in sd:
+        proj = (sd.pop(f"{prefix}.proj.weight"),
+                sd.pop(f"{prefix}.proj.bias"))
+    attn_proj = attn_score = None
+    if f"{prefix}.attn_proj.weight" in sd:
+        attn_proj = (sd.pop(f"{prefix}.attn_proj.weight"),
+                     sd.pop(f"{prefix}.attn_proj.bias"))
+        attn_score = sd.pop(f"{prefix}.attn_score.weight")
+    return sequence_encoder_params_from_torch(gru, proj, attn_proj,
+                                              attn_score)
+
+
+def _decoder_from_flat(sd: dict, prefix: str) -> dict:
+    gru = {k: sd.pop(f"{prefix}.gru.{k}")
+           for k in ("weight_ih_l0", "weight_hh_l0",
+                     "bias_ih_l0", "bias_hh_l0")}
+    return recon_decoder_params_from_torch(
+        (sd.pop(f"{prefix}.init.weight"), sd.pop(f"{prefix}.init.bias")),
+        gru,
+        (sd.pop(f"{prefix}.out.weight"), sd.pop(f"{prefix}.out.bias")),
+    )
+
+
+# our component name -> the torch module prefix it loads from. Override via
+# ``prefix_map`` when the real reference checkpoint uses different module
+# names (the mount was empty at build time, so these default to the
+# tests/torch_replica.py naming, which is also what MIGRATION.md documents).
+DEFAULT_PREFIX_MAP = {
+    "word_embedding": "embedding",
+    "video_low": "video_low",
+    "text_low": "text_low",
+    "video_high": "video_high",
+    "text_high": "text_high",
+    "video_decoder": "video_decoder",
+    "text_decoder": "text_decoder",
+}
+
+
+def infer_model_structure(state_dict: dict, prefix_map: dict | None = None) -> dict:
+    """Infer the model hyperparameters a state_dict implies.
+
+    Everything the importer needs is recoverable from tensor shapes and key
+    presence: vocab/word_dim from the embedding table, feat_dim and
+    rnn_hidden from the low video GRU's fused ``[3H, D]`` input weights,
+    embed_size from the joint projection (== rnn_hidden when absent),
+    hierarchical / attention_pool / reconstruction / bidirectional from
+    which keys exist. Returns a dict with those seven fields.
+    """
+    pm = dict(DEFAULT_PREFIX_MAP)
+    if prefix_map:
+        pm.update(prefix_map)
+    emb = state_dict[f"{pm['word_embedding']}.weight"]
+    w_ih = state_dict[f"{pm['video_low']}.gru.weight_ih_l0"]
+    hidden, feat_dim = w_ih.shape[0] // 3, w_ih.shape[1]
+    proj_key = f"{pm['video_low']}.proj.weight"
+    embed = (state_dict[proj_key].shape[0] if proj_key in state_dict
+             else hidden)
+    return {
+        "vocab_size": int(emb.shape[0]),
+        "word_dim": int(emb.shape[1]),
+        "feat_dim": int(feat_dim),
+        "rnn_hidden": int(hidden),
+        "embed_size": int(embed),
+        "hierarchical": f"{pm['video_high']}.gru.weight_ih_l0" in state_dict,
+        "attention_pool": f"{pm['video_low']}.attn_proj.weight" in state_dict,
+        "reconstruction": f"{pm['video_decoder']}.gru.weight_ih_l0"
+                          in state_dict,
+        "bidirectional": f"{pm['video_low']}.gru.weight_ih_l0_reverse"
+                         in state_dict,
+    }
+
+
+def model_params_from_state_dict(
+    state_dict: dict,
+    hierarchical: bool = True,
+    reconstruction: bool = False,
+    prefix_map: dict | None = None,
+    strict: bool = True,
+) -> dict:
+    """A full reference-style flat ``state_dict`` -> CMHSE params pytree.
+
+    Args:
+      state_dict: flat mapping of dotted names to numpy arrays (torch tensors
+        must be converted by the caller — this module never imports torch;
+        the ``cmhse-import`` CLI handles ``.pth``/``.npz`` loading).
+      hierarchical / reconstruction: which submodules to expect (mirror the
+        target :class:`ModelConfig`; attention-pool tensors are detected from
+        the keys themselves).
+      prefix_map: overrides of :data:`DEFAULT_PREFIX_MAP` for checkpoints
+        whose module names differ from the replica naming.
+      strict: raise if any checkpoint tensor goes unconsumed (catches silent
+        name mismatches — a misspelled prefix would otherwise import a model
+        with random weights in one encoder).
+
+    Returns: params dict matching ``CMHSE.init(...)["params"]``'s structure.
+    """
+    pm = dict(DEFAULT_PREFIX_MAP)
+    if prefix_map:
+        pm.update(prefix_map)
+    sd = dict(state_dict)  # consumed destructively to track leftovers
+    params: dict = {
+        "word_embedding": embedding_params_from_torch(
+            sd.pop(f"{pm['word_embedding']}.weight")
+        ),
+        "video_low": _encoder_from_flat(sd, pm["video_low"]),
+        "text_low": _encoder_from_flat(sd, pm["text_low"]),
+    }
+    if hierarchical:
+        params["video_high"] = _encoder_from_flat(sd, pm["video_high"])
+        params["text_high"] = _encoder_from_flat(sd, pm["text_high"])
+    if reconstruction:
+        params["video_decoder"] = _decoder_from_flat(sd, pm["video_decoder"])
+        params["text_decoder"] = _decoder_from_flat(sd, pm["text_decoder"])
+    if strict and sd:
+        raise ValueError(
+            f"{len(sd)} checkpoint tensors not consumed by the import "
+            f"(wrong prefix_map or model flags?): {sorted(sd)[:8]}..."
+        )
+    return params
+
+
 def recon_decoder_params_from_torch(
     init: tuple[np.ndarray, np.ndarray],
     gru_tensors: dict,
