@@ -295,6 +295,80 @@ def bench_sim_qps():
     return QUERY_BLOCK / sec_per_block
 
 
+def bench_rank_counts_100k():
+    """Large-gallery ranking at a 100k-item gallery (VERDICT round 1 item 3's
+    bench leg): the streaming Pallas rank-count kernel vs the dense [Q, N]
+    rank path, at BOTH multiply precisions — XLA's default f32 jnp.dot on
+    TPU uses bf16 multiplies, so "dense default" and "stream f32" are not
+    the same arithmetic. The dense path materializes 400 MB of similarities
+    per call (and [N, N] = 40 GB would be impossible for full-gallery eval
+    at this size); the streaming kernel writes only [Q] counts.
+    Returns dict of QPS per variant."""
+    import jax
+    import jax.numpy as jnp
+
+    from cmhse_tpu.ops.pallas_sim import pallas_rank_counts
+    from cmhse_tpu.ops.ranking import retrieval_ranks
+
+    n, q = 100_000, 1024
+    rng = np.random.RandomState(1)
+    # the gallery MUST be a jit ARGUMENT, not a closed-over constant: a
+    # 400 MB constant ships inside the compile request and trips the relay's
+    # HTTP 413 size cap (PERFORMANCE.md pitfall 6)
+    gallery = jax.device_put(rng.randn(n, EMBED).astype(np.float32))
+    queries = jax.device_put(
+        np.asarray(gallery[:q]) + 0.1 * rng.randn(q, EMBED).astype(np.float32)
+    )
+    pos = jnp.arange(q, dtype=jnp.int32)
+
+    def factory_stream(precision):
+        def make(n_iters):
+            @jax.jit
+            def run(seed, qs, gal):
+                def body(carry, i):
+                    qq = qs + (seed + i.astype(jnp.float32)) * 1e-3
+                    pos_score = jnp.sum(
+                        qq.astype(jnp.float32) * gal[:q].astype(jnp.float32),
+                        axis=1,
+                    )
+                    ranks = pallas_rank_counts(qq, gal, pos_score,
+                                               pos_idx=pos,
+                                               precision=precision)
+                    return carry + jnp.sum(ranks).astype(jnp.float32), None
+                total, _ = jax.lax.scan(body, jnp.float32(0),
+                                        jnp.arange(n_iters))
+                return total
+            return lambda seed: run(seed, queries, gallery)
+        return make
+
+    def factory_dense(precision):
+        def make(n_iters):
+            @jax.jit
+            def run(seed, qs, gal):
+                def body(carry, i):
+                    qq = qs + (seed + i.astype(jnp.float32)) * 1e-3
+                    sims = jnp.dot(qq, gal.T,
+                                   preferred_element_type=jnp.float32,
+                                   precision=precision)
+                    ranks = retrieval_ranks(sims, pos)
+                    return carry + jnp.sum(ranks).astype(jnp.float32), None
+                total, _ = jax.lax.scan(body, jnp.float32(0),
+                                        jnp.arange(n_iters))
+                return total
+            return lambda seed: run(seed, queries, gallery)
+        return make
+
+    out = {}
+    for name, fac in (
+        ("stream_f32", factory_stream("float32")),
+        ("stream_bf16mult", factory_stream("bfloat16")),
+        ("dense_bf16mult", factory_dense(None)),  # XLA default on TPU
+        ("dense_f32", factory_dense(jax.lax.Precision.HIGHEST)),
+    ):
+        out[name] = q / _timed_scan(fac, n_iters_pair=(10, 50))
+    return out
+
+
 def _enable_compile_cache():
     """Persistent compilation cache: verified to work through the axon
     remote-compile relay (81s -> 0.5s on a cache hit), so repeated bench
@@ -328,6 +402,15 @@ def main():
         # but NEVER silently (VERDICT round 1 weak item 2)
         print("bench_train_step FAILED (reporting null):", file=sys.stderr)
         traceback.print_exc()
+    try:
+        rank_qps_100k = {
+            k: round(v, 2) for k, v in bench_rank_counts_100k().items()
+        }
+    except Exception:
+        rank_qps_100k = None
+        print("bench_rank_counts_100k FAILED (reporting null):",
+              file=sys.stderr)
+        traceback.print_exc()
 
     # hardware-grounded self-report: analytic FLOPs -> achieved TFLOP/s -> MFU
     flops_per_pair = analytic_encode_flops_per_pair()
@@ -342,6 +425,7 @@ def main():
         "extras": {
             "sim_matrix_qps_10k_gallery": round(sim_qps, 2),
             "train_pairs_per_sec": round(train_pps, 2) if train_pps else None,
+            "rank_qps_100k": rank_qps_100k,
             "model_gflops_per_pair": round(flops_per_pair / 1e9, 2),
             "achieved_tflops_per_sec": round(achieved_flops / 1e12, 2),
             "mfu": round(achieved_flops / peak, 3) if peak else None,

@@ -235,10 +235,14 @@ def pallas_contrastive_loss(
 # ---------------------------------------------------------------------------
 
 # Galleries at or above this size take the streaming kernel automatically on
-# TPU (the dense [Q, N] similarity block starts to dominate HBM traffic and,
-# well before it stops fitting, evicts everything else); below it XLA's
-# fused GEMM+compare on the materialized block is at bandwidth already.
-STREAMING_GALLERY_MIN = 8192
+# TPU. The crossover is measured, not aspirational (PERFORMANCE.md, v5e,
+# D=1024): BELOW it the dense path is faster — XLA's default f32 jnp.dot
+# uses bf16 multiplies at 2x the MXU's f32 rate and the [Q, N] block still
+# fits comfortably. ABOVE it the full-gallery [N, N] materialization climbs
+# into multiple GB (4.3 GB at N=32k, impossible at N=100k+) while the
+# streaming kernel stays O(Q) memory and beats the precision-matched dense
+# path 3x (434k vs 140k QPS at N=100k).
+STREAMING_GALLERY_MIN = 32_768
 
 
 def should_stream(n_gallery: int, force: bool | None = None) -> bool:
@@ -253,20 +257,52 @@ def should_stream(n_gallery: int, force: bool | None = None) -> bool:
     )
 
 
+def _rc_tiles(q: int, d: int) -> tuple[int, int]:
+    """Rank-count tile sizes. Big tiles matter here (unlike the B x B loss
+    kernel): with TM query rows per tile the WHOLE gallery streams from HBM
+    ceil(Q/TM) times, and grid-invocation overhead scales inversely with
+    TM*TN. Measured at Q=1024 vs a 100k x 1024 f32 gallery on v5e:
+    128x128 tiles -> 144k QPS; 1024x512 -> 359k QPS (2.5x, and ~92% of the
+    f32 MXU roofline — see PERFORMANCE.md for the dense-path comparison).
+    Budget: q tile TM*D f32 + double-buffered g tiles 2*TN*D f32 within
+    ~12 MB of the 16 MB VMEM."""
+    tm = min(_cdiv(q, 128) * 128, 1024, max(128, 6 * 2**20 // (d * 4)))
+    tn = min(512, max(128, 3 * 2**20 // (d * 4)))
+    return tm, tn
+
+
 def _rankcount_kernel(q_ref, g_ref, pos_ref, posidx_ref, gvalid_ref,
-                      count_ref):
+                      count_ref, *, lowp: bool):
     j = pl.program_id(1)
     tn = g_ref.shape[0]
-    s = jnp.dot(
-        q_ref[:], g_ref[:].T, preferred_element_type=jnp.float32
-    )  # (TQ, TN)
-    gt = (s > pos_ref[0, :][:, None]) & (gvalid_ref[0, :] > 0.5)[None, :]
+    # TRANSPOSED tile layout, deliberately: s = G @ Q^T gives (TN, TM) with
+    # queries on the LANE dim, so (a) the per-query count reduction runs
+    # over SUBLANES (strided vector adds — much faster than a lane-dim
+    # reduction), and (b) the accumulated (1, TM) count row is lane-shaped.
+    # dot_general with contracting dims (1, 1), never an explicit .T (that
+    # would materialize a transposed copy of every tile before the MXU).
+    _dn = (((1,), (1,)), ((), ()))
+    if lowp:
+        # bf16 multiplies + f32 accumulate: matches XLA's DEFAULT matmul
+        # precision for f32 inputs on TPU (what the dense jnp.dot path
+        # actually computes), at 2x the f32 MXU rate
+        s = jax.lax.dot_general(
+            g_ref[:].astype(jnp.bfloat16), q_ref[:].astype(jnp.bfloat16),
+            _dn, preferred_element_type=jnp.float32,
+        )
+    else:
+        s = jax.lax.dot_general(
+            g_ref[:], q_ref[:], _dn, preferred_element_type=jnp.float32,
+        )  # (TN, TM)
+    # minor-dim insert BEFORE the bool compare: Mosaic can't reshape 1-bit
+    # vectors into a new minor dim (f32 inserts are fine)
+    gt = (s > pos_ref[0, :][None, :]) & (gvalid_ref[0, :][:, None] > 0.5)
     # Exclude each query's own positive column BY INDEX: its in-tile GEMM
     # score can differ from the separately-reduced pos_score by 1 ulp, which
     # would make the positive count as its own violator (off-by-one rank).
-    col_ids = j * tn + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-    gt = gt & (col_ids != posidx_ref[0, :][:, None])
-    tile_counts = jnp.sum(gt.astype(jnp.int32), axis=1)
+    row_ids = j * tn + jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+    gt = gt & (row_ids != posidx_ref[0, :][None, :])
+    tile_counts = jnp.sum(gt.astype(jnp.int32), axis=0)
 
     @pl.when(j == 0)
     def _():
@@ -283,6 +319,7 @@ def pallas_violation_counts(
     pos_score: Array,
     gallery_valid: Array | None = None,
     pos_idx: Array | None = None,
+    precision: str = "float32",
 ) -> Array:
     """Raw strictly-greater counts ``[Q]`` int32: how many (valid) gallery
     rows score above each query's positive, streaming gallery tiles through
@@ -304,14 +341,21 @@ def pallas_violation_counts(
         own violator. None = no exclusion (positive not in this gallery, or
         pos_score came from the same GEMM).
 
+      precision: "float32" (exact, the default — rank parity with an f32
+        similarity matrix is guaranteed) or "bfloat16" (bf16 multiplies +
+        f32 accumulate, 2x the MXU rate; same multiply precision as XLA's
+        DEFAULT for f32 jnp.dot on TPU, so near-tie ranks can differ from
+        the f32-exact answer the way the default dense path's already do).
+
     Inside ``shard_map`` callers must pass ``check_vma=False`` — the
     varying-mesh-axes checker cannot see through interpret-mode pallas
     block slicing (see parallel/eval_sharded.py).
     """
     q, d = queries.shape
     n = gallery.shape[0]
-    q_p = _pad_rows_2d(queries.astype(jnp.float32), _TM)
-    g_p = _pad_rows_2d(gallery.astype(jnp.float32), _TN)
+    tm, tn = _rc_tiles(q, d)
+    q_p = _pad_rows_2d(queries.astype(jnp.float32), tm)
+    g_p = _pad_rows_2d(gallery.astype(jnp.float32), tn)
     qp, np_ = q_p.shape[0], g_p.shape[0]
     pos_p = jnp.full((1, qp), jnp.inf, jnp.float32)
     pos_p = pos_p.at[0, :q].set(pos_score.astype(jnp.float32))
@@ -326,21 +370,22 @@ def pallas_violation_counts(
     gvalid = gvalid_vec.astype(jnp.float32)[None, :]
 
     counts = pl.pallas_call(
-        _rankcount_kernel,
-        grid=(qp // _TM, np_ // _TN),
+        functools.partial(_rankcount_kernel,
+                          lowp=(precision == "bfloat16")),
+        grid=(qp // tm, np_ // tn),
         in_specs=[
-            pl.BlockSpec((_TM, d), lambda i, j: (i, 0),
+            pl.BlockSpec((tm, d), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((_TN, d), lambda i, j: (j, 0),
+            pl.BlockSpec((tn, d), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _TM), lambda i, j: (0, i),
+            pl.BlockSpec((1, tm), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _TM), lambda i, j: (0, i),
+            pl.BlockSpec((1, tm), lambda i, j: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _TN), lambda i, j: (0, j),
+            pl.BlockSpec((1, tn), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, _TM), lambda i, j: (0, i),
+        out_specs=pl.BlockSpec((1, tm), lambda i, j: (0, i),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((1, qp), jnp.int32),
         interpret=_use_interpret(),
@@ -359,12 +404,14 @@ def pallas_rank_counts(
     pos_score: Array,
     gallery_valid: Array | None = None,
     pos_idx: Array | None = None,
+    precision: str = "float32",
 ) -> Array:
     """1-based rank of each query's positive via the streaming count kernel
     (see :func:`pallas_violation_counts`); NaN positives rank worst."""
     n = gallery.shape[0]
     ranks = pallas_violation_counts(
-        queries, gallery, pos_score, gallery_valid, pos_idx=pos_idx
+        queries, gallery, pos_score, gallery_valid, pos_idx=pos_idx,
+        precision=precision,
     ) + 1
     # NaN positive => worst rank (see ops.ranking.retrieval_ranks)
     return jnp.where(jnp.isnan(pos_score), n, ranks)

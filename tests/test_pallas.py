@@ -102,6 +102,25 @@ def test_rank_counts_matches_dense(q, n):
     np.testing.assert_array_equal(got, want)
 
 
+def test_rank_counts_bf16_precision_mode():
+    """precision="bfloat16" (bf16 multiplies, f32 accumulate) must agree
+    exactly with f32 on values where bf16 arithmetic is exact — small
+    integers exercise the counting/masking logic under the low-precision
+    GEMM without near-tie ambiguity."""
+    rng = np.random.RandomState(7)
+    q, n, d = 40, 200, 16
+    queries = jnp.asarray(rng.randint(-3, 4, size=(q, d)).astype(np.float32))
+    gallery = jnp.asarray(rng.randint(-3, 4, size=(n, d)).astype(np.float32))
+    pos_idx = jnp.asarray(rng.randint(0, n, size=q))
+    sims = jnp.dot(queries, gallery.T)
+    pos_score = jnp.take_along_axis(sims, pos_idx[:, None], axis=1)[:, 0]
+    want = np.asarray(retrieval_ranks(sims, pos_idx))
+    got = np.asarray(pallas_rank_counts(
+        queries, gallery, pos_score, pos_idx=pos_idx, precision="bfloat16",
+    ))
+    np.testing.assert_array_equal(got, want)
+
+
 @pytest.mark.parametrize("seed", range(5))
 def test_fused_loss_gradient_fuzz(seed):
     """Randomized shapes/masks: fused-kernel grads == jnp-path grads."""
