@@ -101,16 +101,27 @@ def _gru_bwd_kernel(
     )
     dh_prev = jnp.where(keep, dh_prev_live, dh)
 
-    dxw_ref[0] = dxw
-    r_ref[0] = jnp.where(keep, r, zero)
+    dxw_ref[0] = dxw.astype(dxw_ref.dtype)
+    r_ref[0] = jnp.where(keep, r, zero).astype(r_ref.dtype)
     dh_scratch[:] = dh_prev
 
 
 def _gru_bwd_pallas(xw, h_prev_seq, douts, lengths, w_h, b_h):
-    """Run the backward kernel: returns (dxw [B,T,3H] f32, r [B,T,H] f32)."""
+    """Run the backward kernel: returns (dxw [B,T,3H], r [B,T,H]).
+
+    Output dtype matches the compute dtype: f32 inputs get exact f32 gate
+    gradients (pinned exactly vs autodiff in tests); bf16 inputs get bf16
+    outputs — the downstream weight-gradient GEMMs multiply in bf16 on the
+    MXU either way (XLA default precision), so storing f32 would only double
+    the HBM traffic of the [B,T,3H] tensor (the measured bottleneck of the
+    backward: the dW leg ran at ~100 TFLOP/s effective vs ~190 for the rest),
+    not improve the product precision. Accumulations (dW, db) stay f32 via
+    preferred_element_type / sum dtype.
+    """
     b, t, three_h = xw.shape
     hdim = three_h // 3
     dtype = xw.dtype
+    out_dtype = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
 
     xw_t = jnp.swapaxes(xw, 0, 1)  # [T, B, 3H]
     hprev_t = jnp.swapaxes(h_prev_seq, 0, 1)  # [T, B, H]
@@ -152,8 +163,8 @@ def _gru_bwd_pallas(xw, h_prev_seq, douts, lengths, w_h, b_h):
             pl.BlockSpec((1, tb, hdim), rev, memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((t, bp, 3 * hdim), jnp.float32),
-            jax.ShapeDtypeStruct((t, bp, hdim), jnp.float32),
+            jax.ShapeDtypeStruct((t, bp, 3 * hdim), out_dtype),
+            jax.ShapeDtypeStruct((t, bp, hdim), out_dtype),
         ),
         scratch_shapes=[pltpu.VMEM((tb, hdim), jnp.float32)],
         interpret=_use_interpret(),
@@ -217,14 +228,22 @@ def _bwd(residuals, grads):
         [dxw[..., : 2 * hdim], dxw[..., 2 * hdim :] * r], axis=-1
     )
 
-    hp32 = h_prev_seq.astype(jnp.float32)
-    x32 = x.astype(jnp.float32)
-    dW_h = jnp.einsum("bth,btk->hk", hp32, dhw)
-    db_h = jnp.sum(dhw, axis=(0, 1))
-    dW_i = jnp.einsum("btd,btk->dk", x32, dxw)
-    db_i = jnp.sum(dxw, axis=(0, 1))
+    # Weight grads: two large MXU GEMMs with f32 accumulation. Operands stay
+    # in their native dtype (bf16 in mixed-precision training) — XLA's
+    # default f32 matmul already multiplies in bf16 on TPU, so f32 copies of
+    # the [B,T,*] tensors only added HBM traffic, which dominated the
+    # backward (measured: this leg at ~100 TFLOP/s effective vs ~190 for the
+    # kernel+dx leg before the change).
+    dW_h = jnp.einsum(
+        "bth,btk->hk", h_prev_seq, dhw, preferred_element_type=jnp.float32
+    )
+    db_h = jnp.sum(dhw, axis=(0, 1), dtype=jnp.float32)
+    dW_i = jnp.einsum(
+        "btd,btk->dk", x, dxw, preferred_element_type=jnp.float32
+    )
+    db_i = jnp.sum(dxw, axis=(0, 1), dtype=jnp.float32)
     dx = jnp.dot(
-        dxw, w_i.astype(jnp.float32).T, preferred_element_type=jnp.float32
+        dxw, w_i.astype(dxw.dtype).T, preferred_element_type=jnp.float32
     ).astype(x.dtype)
 
     return (

@@ -63,6 +63,32 @@ def test_bptt_forward_matches_scan():
                                rtol=1e-5, atol=1e-6)
 
 
+def test_bptt_bf16_grads_match_autodiff_banded():
+    """bf16 activations: the backward kernel stores its gate-gradient
+    tensors (dxw, r) in bf16 (halving the HBM traffic of the dW leg, see
+    _gru_bwd_pallas docstring). Pin the weight grads against bf16 autodiff
+    of the scan GRU with a relative-L2 band covering that storage rounding."""
+    x, lengths, w_i, w_h, b_i, b_h = _setup(32, 12, 16, 32, seed=7)
+    # avoid len-0 rows dominating the norm with zeros
+    lengths = jnp.maximum(lengths, 1)
+    xb = x.astype(jnp.bfloat16)
+    key = jax.random.PRNGKey(0)
+
+    g_ref = jax.grad(_loss_from(gru_sequence), argnums=(0, 2, 3, 4, 5))(
+        xb, lengths, w_i, w_h, b_i, b_h, key
+    )
+    g_pal = jax.grad(_loss_from(pallas_gru_trainable),
+                     argnums=(0, 2, 3, 4, 5))(
+        xb, lengths, w_i, w_h, b_i, b_h, key
+    )
+    names = ("dx", "dW_i", "dW_h", "db_i", "db_h")
+    for name, gr, gp in zip(names, g_ref, g_pal):
+        gr = np.asarray(gr, dtype=np.float32)
+        gp = np.asarray(gp, dtype=np.float32)
+        rel = np.linalg.norm(gp - gr) / max(np.linalg.norm(gr), 1e-6)
+        assert rel < 2e-2, f"{name}: relative L2 error {rel:.4f}"
+
+
 def test_bptt_zero_length_rows_zero_grads():
     x, lengths, w_i, w_h, b_i, b_h = _setup(5, 4, 6, 8, seed=4)
     lengths = lengths.at[0].set(0)
