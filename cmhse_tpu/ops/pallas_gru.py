@@ -45,6 +45,58 @@ def _use_interpret() -> bool:
     return jax.devices()[0].platform not in ("tpu",)
 
 
+def _gru_gates_kernel(len_ref, wh_ref, bh_ref, xw_ref, outs_ref, final_ref,
+                      gates_ref, h_scratch, *, steps: int):
+    """Forward time loop that ALSO streams out the gate activations
+    ``[r, z, n, hn]`` (4H per step) for a following fused BPTT backward.
+
+    Saving the gates turns the backward's per-step recompute GEMM
+    (``h_prev @ W_h``, the same cost as the forward loop) into a pure
+    bandwidth stream that hides under the backward's remaining GEMM — the
+    backward kernel then needs neither ``x @ W_i`` nor ``b_h`` at all. The
+    extra forward write is DMA that hides under the forward's MXU time.
+    """
+    tb = pl.program_id(1)
+    n_tb = pl.num_programs(1)
+
+    @pl.when(tb == 0)
+    def _():
+        h_scratch[:] = jnp.zeros_like(h_scratch)
+
+    hdtype = wh_ref.dtype
+    hidden = h_scratch.shape[-1]
+    h = h_scratch[:]
+    for s in range(steps):
+        t = tb * steps + s
+        hw = jnp.dot(
+            h.astype(hdtype), wh_ref[:], preferred_element_type=jnp.float32
+        ) + bh_ref[0, :][None, :]
+        xw = xw_ref[s].astype(jnp.float32)
+        xr = xw[:, :hidden]
+        xz = xw[:, hidden : 2 * hidden]
+        xn = xw[:, 2 * hidden :]
+        hr = hw[:, :hidden]
+        hz = hw[:, hidden : 2 * hidden]
+        hn = hw[:, 2 * hidden :]
+        r = jax.nn.sigmoid(xr + hr)
+        z = jax.nn.sigmoid(xz + hz)
+        n = jnp.tanh(xn + r * hn)
+        h_new = (1.0 - z) * n + z * h
+
+        keep = t < len_ref[:]  # (TB, 1) bool
+        h = jnp.where(keep, h_new, h)
+        outs_ref[s] = h.astype(outs_ref.dtype)
+        gates_ref[s] = jnp.concatenate([r, z, n, hn], axis=-1).astype(
+            gates_ref.dtype
+        )
+
+    h_scratch[:] = h
+
+    @pl.when(tb == n_tb - 1)
+    def _():
+        final_ref[:] = h.astype(final_ref.dtype)
+
+
 def _gru_kernel(len_ref, wh_ref, bh_ref, xw_ref, outs_ref, final_ref,
                 h_scratch, *, steps: int):
     tb = pl.program_id(1)  # time-block index
@@ -94,11 +146,19 @@ def pallas_gru_sequence(
     w_h: Array,
     b_i: Array,
     b_h: Array,
-) -> tuple[Array, Array]:
+    save_gates: bool = False,
+) -> tuple[Array, Array] | tuple[Array, Array, Array]:
     """Forward-only masked GRU with the time loop fused in one kernel.
 
     Same contract as :func:`cmhse_tpu.models.gru.gru_sequence` (zero initial
     state): returns (outputs ``[B, T, H]``, final ``[B, H]``).
+
+    With ``save_gates=True`` (the training path, see
+    ``ops/pallas_gru_grad.py``) additionally returns the per-step gate
+    activations ``[r, z, n, hn]`` as a RAW PADDED time-major array
+    ``[T, B_padded, 4H]`` in the compute dtype — exactly the layout the
+    backward kernel streams, so no transpose or slice sits between the two
+    kernels. Only the backward wrapper should consume this value.
     """
     b, t, _ = x.shape
     hdim = w_h.shape[0]
@@ -116,7 +176,11 @@ def pallas_gru_sequence(
     # (observed OOM at tb=256/f32 inside larger training graphs).
     # tb must be a multiple of 8 (Mosaic sublane tiling) — round small
     # batches UP; the batch-padding below absorbs the excess rows.
+    # The gate-saving variant streams an extra 4H output per step: halve the
+    # chunk again so its pipeline buffers stay inside the scoped limit.
     tb_cap = _TB if dtype == jnp.bfloat16 else _TB // 2
+    if save_gates:
+        tb_cap //= 2
     tb = min(tb_cap, max(8, -(-b // 8) * 8))
     steps = min(_STEPS, t)
 
@@ -139,29 +203,41 @@ def pallas_gru_sequence(
     bh2 = b_h.astype(jnp.float32)[None, :]
     len2 = lengths.astype(jnp.int32)[:, None]  # [Bp, 1]
 
-    outs, final = pl.pallas_call(
-        functools.partial(_gru_kernel, steps=steps),
+    in_specs = [
+        pl.BlockSpec((tb, 1), lambda c, tt: (c, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((hdim, 3 * hdim), lambda c, tt: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 3 * hdim), lambda c, tt: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((steps, tb, 3 * hdim), lambda c, tt: (tt, c, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_specs = [
+        pl.BlockSpec((steps, tb, hdim), lambda c, tt: (tt, c, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tb, hdim), lambda c, tt: (c, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((tp, bp, hdim), dtype),
+        jax.ShapeDtypeStruct((bp, hdim), dtype),
+    ]
+    kernel = _gru_kernel
+    if save_gates:
+        kernel = _gru_gates_kernel
+        out_specs.append(
+            pl.BlockSpec((steps, tb, 4 * hdim), lambda c, tt: (tt, c, 0),
+                         memory_space=pltpu.VMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((tp, bp, 4 * hdim), dtype))
+
+    results = pl.pallas_call(
+        functools.partial(kernel, steps=steps),
         grid=(n_chunks, n_tblocks),
-        in_specs=[
-            pl.BlockSpec((tb, 1), lambda c, tt: (c, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((hdim, 3 * hdim), lambda c, tt: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3 * hdim), lambda c, tt: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((steps, tb, 3 * hdim), lambda c, tt: (tt, c, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((steps, tb, hdim), lambda c, tt: (tt, c, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, hdim), lambda c, tt: (c, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((tp, bp, hdim), dtype),
-            jax.ShapeDtypeStruct((bp, hdim), dtype),
-        ),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         scratch_shapes=[pltpu.VMEM((tb, hdim), jnp.float32)],
         interpret=_use_interpret(),
         cost_estimate=pl.CostEstimate(
@@ -171,4 +247,8 @@ def pallas_gru_sequence(
         ),
     )(len2, wh, bh2, xw)
 
-    return jnp.swapaxes(outs, 0, 1)[:b, :t], final[:b]
+    outs, final = results[0], results[1]
+    outs_bt = jnp.swapaxes(outs, 0, 1)[:b, :t]
+    if save_gates:
+        return outs_bt, final[:b], results[2]
+    return outs_bt, final[:b]

@@ -3,30 +3,34 @@
 ``jax.custom_vjp`` with the same signature as
 :func:`cmhse_tpu.models.gru.gru_sequence` (zero initial state).
 
-Backward design (mirrors what cuDNN's GRU backward does):
-  * the time loop runs REVERSED on a (batch-chunk, T) grid; the carried
-    state gradient ``dh`` lives in VMEM scratch, the recurrent weights stay
-    pinned in VMEM;
-  * gates are recomputed from the saved per-step states (checkpoint-free
-    recompute: one extra [TB, H] x [H, 3H] GEMM per step — cheaper than
-    streaming 3 gate tensors through HBM);
-  * the kernel emits per-step input-side gate gradients ``dxw`` and the
-    reset gate ``r``; the weight gradients are then TWO large MXU GEMMs
-    outside the kernel (``dW_h = h_prev^T @ dhw``, ``dW_i = x^T @ dxw``)
-    instead of per-step accumulators that would not fit VMEM next to W_h;
+Backward design (what cuDNN's GRU backward does, tuned for the v5e memory
+system with a measured op-level profile):
+
+  * the forward (when running under ``jax.grad``) uses the gate-SAVING
+    variant of the forward kernel: ``[r, z, n, hn]`` stream to HBM in the
+    compute dtype as a time-major ``[T, B, 4H]`` tensor. That write is DMA
+    that hides under the forward's MXU time; in exchange the backward needs
+    NO gate recompute — profiling showed the recompute GEMM was half the
+    backward kernel's MXU time, and the ``x @ W_i`` recompute feeding it
+    another ~0.8 ms/step at the flagship train shape;
+  * the backward time loop runs REVERSED on a (batch-chunk, T) grid; the
+    carried state gradient ``dh`` lives in VMEM scratch; the recurrent
+    weights stay pinned in VMEM for the one remaining per-step GEMM
+    (``dhw @ W_h^T``);
+  * the kernel emits the input-side gate gradients ``dxw`` = (dr', dz', dn')
+    and the hidden-side n-slot gradient ``dhn`` separately — so the
+    downstream weight-gradient GEMMs consume them WITHOUT materializing the
+    full hidden-side ``dhw`` (the previous slice+concat cost ~0.4 ms/step);
+  * gradients stream in the compute dtype (bf16 for mixed-precision
+    training, f32 for the exact-parity path); accumulations are f32;
   * masked steps (t >= length) pass ``dh`` straight through and contribute
     zero gate gradients, matching the forward's carry-through masking.
 
 Gradient parity vs ``jax.grad`` of the scan implementation is pinned in
-tests/test_pallas_gru_grad.py (exact at f32; in bf16 the recomputed gates see
-the bf16-rounded saved states where the forward's VMEM carry was f32, adding
-~1e-2 relative gate error — the same trade cuDNN makes, and well under the
-noise floor of bf16 training).
+tests/test_pallas_gru_grad.py (exact at f32; banded under bf16).
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -36,18 +40,20 @@ from jax.experimental.pallas import tpu as pltpu
 
 from cmhse_tpu.ops.pallas_gru import _use_interpret, pallas_gru_sequence
 
-_TB_BWD = 128  # batch-chunk rows per backward grid step
+# Batch-chunk rows per backward grid step. MUST mirror the gate-saving
+# forward's chunk caps (pallas_gru._TB // 2 per dtype) so the padded gates
+# tensor from the forward streams into the backward without a slice/re-pad.
+_TB_BWD = {jnp.dtype(jnp.bfloat16): 128}
+_TB_BWD_DEFAULT = 64  # f32: W_h alone is 12.6 MB in VMEM; halve the chunk
 
 
 def _gru_bwd_kernel(
-    len_ref, wh_ref, bh_ref, xw_ref, hprev_ref, douts_ref,
-    dxw_ref, r_ref, dh_scratch,
+    len_ref, wh_ref, gates_ref, hprev_ref, douts_ref,
+    dxw_ref, dhn_ref, dh_scratch,
 ):
-    c = pl.program_id(0)
     tt = pl.program_id(1)
     n_t = pl.num_programs(1)
     t = n_t - 1 - tt  # walk time backwards
-    del c
 
     @pl.when(tt == 0)
     def _():
@@ -59,20 +65,11 @@ def _gru_bwd_kernel(
     dh = dh_scratch[:] + douts_ref[0].astype(jnp.float32)  # (TB, H)
     h_prev = hprev_ref[0].astype(jnp.float32)  # (TB, H)
 
-    # recompute the forward gates for this step
-    hw = jnp.dot(
-        h_prev.astype(wdtype), wh_ref[:], preferred_element_type=jnp.float32
-    ) + bh_ref[0, :][None, :]
-    xw = xw_ref[0].astype(jnp.float32)
-    xr = xw[:, :hidden]
-    xz = xw[:, hidden : 2 * hidden]
-    xn = xw[:, 2 * hidden :]
-    hr = hw[:, :hidden]
-    hz = hw[:, hidden : 2 * hidden]
-    hn = hw[:, 2 * hidden :]
-    r = jax.nn.sigmoid(xr + hr)
-    z = jax.nn.sigmoid(xz + hz)
-    n = jnp.tanh(xn + r * hn)
+    g = gates_ref[0].astype(jnp.float32)  # (TB, 4H) saved by the forward
+    r = g[:, :hidden]
+    z = g[:, hidden : 2 * hidden]
+    n = g[:, 2 * hidden : 3 * hidden]
+    hn = g[:, 3 * hidden :]
 
     # gate gradients (h_t = (1-z) n + z h_prev)
     dn = dh * (1.0 - z)
@@ -102,49 +99,54 @@ def _gru_bwd_kernel(
     dh_prev = jnp.where(keep, dh_prev_live, dh)
 
     dxw_ref[0] = dxw.astype(dxw_ref.dtype)
-    r_ref[0] = jnp.where(keep, r, zero).astype(r_ref.dtype)
+    dhn_ref[0] = dhn.astype(dhn_ref.dtype)
     dh_scratch[:] = dh_prev
 
 
-def _gru_bwd_pallas(xw, h_prev_seq, douts, lengths, w_h, b_h):
-    """Run the backward kernel: returns (dxw [B,T,3H], r [B,T,H]).
+def _gru_bwd_pallas(gates, h_prev_seq, douts, lengths, w_h):
+    """Run the backward kernel.
 
-    Output dtype matches the compute dtype: f32 inputs get exact f32 gate
-    gradients (pinned exactly vs autodiff in tests); bf16 inputs get bf16
-    outputs — the downstream weight-gradient GEMMs multiply in bf16 on the
-    MXU either way (XLA default precision), so storing f32 would only double
-    the HBM traffic of the [B,T,3H] tensor (the measured bottleneck of the
-    backward: the dW leg ran at ~100 TFLOP/s effective vs ~190 for the rest),
-    not improve the product precision. Accumulations (dW, db) stay f32 via
-    preferred_element_type / sum dtype.
+    Args:
+      gates: ``[T, B_padded, 4H]`` raw padded time-major gates from the
+        gate-saving forward (compute dtype).
+      h_prev_seq: ``[B, T, H]`` previous-state sequence (outs shifted by 1).
+      douts: ``[B, T, H]`` f32 output cotangents.
+      lengths / w_h: as in the forward.
+
+    Returns ``(dxw [B,T,3H], dhn [B,T,H])`` in the compute dtype (bf16 under
+    mixed precision, f32 otherwise); accumulating consumers upcast.
     """
-    b, t, three_h = xw.shape
-    hdim = three_h // 3
-    dtype = xw.dtype
+    b, t, hdim = h_prev_seq.shape
+    dtype = h_prev_seq.dtype
     out_dtype = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
 
-    xw_t = jnp.swapaxes(xw, 0, 1)  # [T, B, 3H]
     hprev_t = jnp.swapaxes(h_prev_seq, 0, 1)  # [T, B, H]
     douts_t = jnp.swapaxes(douts, 0, 1)  # [T, B, H]
 
-    # multiple of 8 for Mosaic sublane tiling; padding absorbs excess rows
-    tb = min(_TB_BWD, max(8, -(-b // 8) * 8))
+    # multiple of 8 for Mosaic sublane tiling; padding absorbs excess rows.
+    # The cap mirrors the gate-saving forward so `gates` needs no re-pad.
+    cap = _TB_BWD.get(jnp.dtype(dtype), _TB_BWD_DEFAULT)
+    tb = min(cap, max(8, -(-b // 8) * 8))
     pad = (-b) % tb
     if pad:
-        xw_t = jnp.pad(xw_t, ((0, 0), (0, pad), (0, 0)))
         hprev_t = jnp.pad(hprev_t, ((0, 0), (0, pad), (0, 0)))
         douts_t = jnp.pad(douts_t, ((0, 0), (0, pad), (0, 0)))
         lengths = jnp.pad(lengths, (0, pad))
     bp = b + pad
+    if gates.shape[1] != bp:
+        # fallback for mismatched forward padding (different chunk caps);
+        # slicing costs a copy, so the caps above are kept in sync instead
+        gates = gates[:, :b]
+        if pad:
+            gates = jnp.pad(gates, ((0, 0), (0, pad), (0, 0)))
     n_chunks = bp // tb
 
     wdtype = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
     wh = w_h.astype(wdtype)
-    bh2 = b_h.astype(jnp.float32)[None, :]
     len2 = lengths.astype(jnp.int32)[:, None]
 
     rev = lambda c, tt: (pl.num_programs(1) - 1 - tt, c, 0)
-    dxw, r = pl.pallas_call(
+    dxw, dhn = pl.pallas_call(
         _gru_bwd_kernel,
         grid=(n_chunks, t),
         in_specs=[
@@ -152,9 +154,7 @@ def _gru_bwd_pallas(xw, h_prev_seq, douts, lengths, w_h, b_h):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((hdim, 3 * hdim), lambda c, tt: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3 * hdim), lambda c, tt: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tb, 3 * hdim), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tb, 4 * hdim), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tb, hdim), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, tb, hdim), rev, memory_space=pltpu.VMEM),
         ],
@@ -169,15 +169,15 @@ def _gru_bwd_pallas(xw, h_prev_seq, douts, lengths, w_h, b_h):
         scratch_shapes=[pltpu.VMEM((tb, hdim), jnp.float32)],
         interpret=_use_interpret(),
         cost_estimate=pl.CostEstimate(
-            flops=4 * bp * t * hdim * 3 * hdim,
-            bytes_accessed=bp * t * hdim * 8 * 4,
-            transcendentals=bp * t * 3 * hdim,
+            flops=2 * bp * t * hdim * 3 * hdim,
+            bytes_accessed=bp * t * hdim * 9 * 2,
+            transcendentals=0,
         ),
-    )(len2, wh, bh2, xw_t, hprev_t, douts_t)
+    )(len2, wh, gates, hprev_t, douts_t)
 
     return (
         jnp.swapaxes(dxw, 0, 1)[:b],
-        jnp.swapaxes(r, 0, 1)[:b],
+        jnp.swapaxes(dhn, 0, 1)[:b],
     )
 
 
@@ -196,48 +196,50 @@ def pallas_gru_trainable(
 
 
 def _fwd(x, lengths, w_i, w_h, b_i, b_h):
-    outs, final = pallas_gru_sequence(x, lengths, w_i, w_h, b_i, b_h)
-    return (outs, final), (x, lengths, w_i, w_h, b_i, b_h, outs)
+    outs, final, gates = pallas_gru_sequence(
+        x, lengths, w_i, w_h, b_i, b_h, save_gates=True
+    )
+    return (outs, final), (x, lengths, w_i, w_h, b_i, b_h, outs, gates)
 
 
 def _bwd(residuals, grads):
-    x, lengths, w_i, w_h, b_i, b_h, outs = residuals
+    x, lengths, w_i, w_h, b_i, b_h, outs, gates = residuals
     douts, dfinal = grads
     b, t, _ = x.shape
     hdim = w_h.shape[0]
-    dtype = x.dtype
 
     # final == outs[:, -1] (masked steps carry), so d_final folds into the
     # last step's output gradient
     douts = douts.astype(jnp.float32)
     douts = douts.at[:, -1].add(dfinal.astype(jnp.float32))
 
-    # recompute the (cheap, one-GEMM) input projection the forward used
-    xw = (
-        jnp.dot(x, w_i.astype(dtype), preferred_element_type=jnp.float32)
-        + b_i
-    ).astype(dtype)
     h_prev_seq = jnp.concatenate(
         [jnp.zeros((b, 1, hdim), outs.dtype), outs[:, :-1]], axis=1
     )
 
-    dxw, r = _gru_bwd_pallas(xw, h_prev_seq, douts, lengths, w_h, b_h)
+    dxw, dhn = _gru_bwd_pallas(gates, h_prev_seq, douts, lengths, w_h)
 
-    # hidden-side gate grads differ from dxw only in the n slot
-    dhw = jnp.concatenate(
-        [dxw[..., : 2 * hdim], dxw[..., 2 * hdim :] * r], axis=-1
+    # Weight grads: large MXU GEMMs with f32 accumulation, operands in the
+    # compute dtype (bf16 multiplies are XLA's default for f32 dots on TPU
+    # anyway). The hidden-side dhw differs from dxw only in the n slot, so
+    # its GEMM/sums are built from (dxw[..., :2H], dhn) pieces without ever
+    # materializing a concatenated [B,T,3H] dhw.
+    dxw_rz = dxw[..., : 2 * hdim]
+    dW_h = jnp.concatenate(
+        [
+            jnp.einsum("bth,btk->hk", h_prev_seq, dxw_rz,
+                       preferred_element_type=jnp.float32),
+            jnp.einsum("bth,btk->hk", h_prev_seq, dhn,
+                       preferred_element_type=jnp.float32),
+        ],
+        axis=1,
     )
-
-    # Weight grads: two large MXU GEMMs with f32 accumulation. Operands stay
-    # in their native dtype (bf16 in mixed-precision training) — XLA's
-    # default f32 matmul already multiplies in bf16 on TPU, so f32 copies of
-    # the [B,T,*] tensors only added HBM traffic, which dominated the
-    # backward (measured: this leg at ~100 TFLOP/s effective vs ~190 for the
-    # kernel+dx leg before the change).
-    dW_h = jnp.einsum(
-        "bth,btk->hk", h_prev_seq, dhw, preferred_element_type=jnp.float32
+    db_h = jnp.concatenate(
+        [
+            jnp.sum(dxw_rz, axis=(0, 1), dtype=jnp.float32),
+            jnp.sum(dhn, axis=(0, 1), dtype=jnp.float32),
+        ]
     )
-    db_h = jnp.sum(dhw, axis=(0, 1), dtype=jnp.float32)
     dW_i = jnp.einsum(
         "btd,btk->dk", x, dxw, preferred_element_type=jnp.float32
     )
@@ -251,7 +253,7 @@ def _bwd(residuals, grads):
         None,  # lengths
         dW_i.astype(w_i.dtype),
         dW_h.astype(w_h.dtype),
-        db_i.astype(b_h.dtype),
+        db_i.astype(b_i.dtype),
         db_h.astype(b_h.dtype),
     )
 
