@@ -156,9 +156,11 @@ def pallas_gru_sequence(
     With ``save_gates=True`` (the training path, see
     ``ops/pallas_gru_grad.py``) additionally returns the per-step gate
     activations ``[r, z, n, hn]`` as a RAW PADDED time-major array
-    ``[T, B_padded, 4H]`` in the compute dtype — exactly the layout the
-    backward kernel streams, so no transpose or slice sits between the two
-    kernels. Only the backward wrapper should consume this value.
+    ``[T, B_padded, 4H]`` in the compute dtype, plus the RAW PADDED
+    time-major outputs ``[T, B_padded, H]`` (the backward's h_prev source)
+    — exactly the layouts the backward kernel streams, so no transpose,
+    shift, or slice sits between the two kernels. Only the backward
+    wrapper should consume these values.
     """
     b, t, _ = x.shape
     hdim = w_h.shape[0]
@@ -250,5 +252,5 @@ def pallas_gru_sequence(
     outs, final = results[0], results[1]
     outs_bt = jnp.swapaxes(outs, 0, 1)[:b, :t]
     if save_gates:
-        return outs_bt, final[:b], results[2]
+        return outs_bt, final[:b], results[2], outs
     return outs_bt, final[:b]

@@ -17,10 +17,22 @@ system with a measured op-level profile):
     carried state gradient ``dh`` lives in VMEM scratch; the recurrent
     weights stay pinned in VMEM for the one remaining per-step GEMM
     (``dhw @ W_h^T``);
-  * the kernel emits the input-side gate gradients ``dxw`` = (dr', dz', dn')
-    and the hidden-side n-slot gradient ``dhn`` separately — so the
-    downstream weight-gradient GEMMs consume them WITHOUT materializing the
-    full hidden-side ``dhw`` (the previous slice+concat cost ~0.4 ms/step);
+  * everything around the kernel is stream-shaped so NO host-graph copy
+    sits on the path: ``h_prev`` comes straight from the forward's raw
+    time-major outputs via a shifted block index map (zeros at t=0 handled
+    in-kernel — no shift/pad materialization); ``douts`` streams b-major in
+    the compute dtype (no f32 convert) with ``dfinal`` folded in at the
+    last step in-kernel (the final state's cotangent legitimately enters at
+    t = T-1: masked steps pass ``dh`` through, so it reaches the true
+    length); the bias gradients accumulate in a VMEM scratch and leave as
+    tiny per-chunk partials instead of re-reading the [B,T,3H] gradient
+    stream;
+  * the kernel emits the input-side gate gradients ``dxw`` = (dr', dz',
+    dn') and the hidden-side n-slot gradient ``dhn`` separately, so the
+    downstream weight-gradient GEMMs consume them without materializing a
+    concatenated hidden-side ``dhw``; the ``dW_h`` GEMMs pair them against
+    the raw time-major forward outputs shifted by one step in the einsum
+    itself (major-dim slices — no h_prev copy);
   * gradients stream in the compute dtype (bf16 for mixed-precision
     training, f32 for the exact-parity path); accumulations are f32;
   * masked steps (t >= length) pass ``dh`` straight through and contribute
@@ -32,6 +44,8 @@ tests/test_pallas_gru_grad.py (exact at f32; banded under bf16).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax import Array
@@ -41,15 +55,15 @@ from jax.experimental.pallas import tpu as pltpu
 from cmhse_tpu.ops.pallas_gru import _use_interpret, pallas_gru_sequence
 
 # Batch-chunk rows per backward grid step. MUST mirror the gate-saving
-# forward's chunk caps (pallas_gru._TB // 2 per dtype) so the padded gates
-# tensor from the forward streams into the backward without a slice/re-pad.
+# forward's chunk caps (pallas_gru._TB // 2 per dtype) so the padded gates /
+# outs tensors from the forward stream into the backward without a re-pad.
 _TB_BWD = {jnp.dtype(jnp.bfloat16): 128}
 _TB_BWD_DEFAULT = 64  # f32: W_h alone is 12.6 MB in VMEM; halve the chunk
 
 
 def _gru_bwd_kernel(
-    len_ref, wh_ref, gates_ref, hprev_ref, douts_ref,
-    dxw_ref, dhn_ref, dh_scratch,
+    len_ref, wh_ref, gates_ref, hprev_ref, douts_ref, dfinal_ref,
+    dxw_ref, dhn_ref, db_ref, dh_scratch, db_scratch,
 ):
     tt = pl.program_id(1)
     n_t = pl.num_programs(1)
@@ -58,12 +72,22 @@ def _gru_bwd_kernel(
     @pl.when(tt == 0)
     def _():
         dh_scratch[:] = jnp.zeros_like(dh_scratch)
+        db_scratch[:] = jnp.zeros_like(db_scratch)
 
     hidden = dh_scratch.shape[-1]
     wdtype = wh_ref.dtype
 
     dh = dh_scratch[:] + douts_ref[0].astype(jnp.float32)  # (TB, H)
-    h_prev = hprev_ref[0].astype(jnp.float32)  # (TB, H)
+    # the final state's cotangent enters at the last step and rides the
+    # pass-through masking back to each row's true length
+    dh = dh + jnp.where(tt == 0, dfinal_ref[:].astype(jnp.float32), 0.0)
+    # h_prev streams from the forward outputs shifted by one step; t=0 reads
+    # a dummy block (index map clamps) and uses the true zero initial state
+    h_prev = jnp.where(
+        t == 0,
+        jnp.zeros((dh.shape[0], hidden), jnp.float32),
+        hprev_ref[0].astype(jnp.float32),
+    )
 
     g = gates_ref[0].astype(jnp.float32)  # (TB, 4H) saved by the forward
     r = g[:, :hidden]
@@ -90,6 +114,20 @@ def _gru_bwd_kernel(
     dxw = jnp.concatenate([dr_pre, dz_pre, dn_pre], axis=-1)  # (TB, 3H)
     dhw = jnp.concatenate([dr_pre, dz_pre, dhn], axis=-1)
 
+    # bias-gradient partials: accumulate row sums here — the [B,T,3H]
+    # stream is in VMEM anyway, re-reading it from HBM for the sums costs
+    # ~0.45 ms/step at the flagship shape. Partially reduced to 8 sublane
+    # rows (not 1) because Mosaic requires >=8-sublane output tiles; the
+    # final 8-row fold happens outside the kernel.
+    tb_rows = dxw.shape[0]
+    db_scratch[:] = db_scratch[:] + jnp.concatenate(
+        [
+            jnp.sum(dxw.reshape(8, tb_rows // 8, -1), axis=1),
+            jnp.sum(dhn.reshape(8, tb_rows // 8, -1), axis=1),
+        ],
+        axis=1,
+    )
+
     # dh_prev = [keep] dh*z + dhw @ W_h^T   |   [pass-through] dh
     dh_prev_live = dh * z + jax.lax.dot_general(
         dhw.astype(wdtype), wh_ref[:],
@@ -102,51 +140,65 @@ def _gru_bwd_kernel(
     dhn_ref[0] = dhn.astype(dhn_ref.dtype)
     dh_scratch[:] = dh_prev
 
+    @pl.when(tt == n_t - 1)
+    def _():
+        db_ref[0] = db_scratch[:]
 
-def _gru_bwd_pallas(gates, h_prev_seq, douts, lengths, w_h):
+
+def _gru_bwd_pallas(gates, outs_raw, douts, dfinal, lengths, w_h):
     """Run the backward kernel.
 
     Args:
-      gates: ``[T, B_padded, 4H]`` raw padded time-major gates from the
+      gates: ``[T, Bp, 4H]`` raw padded time-major gates from the
         gate-saving forward (compute dtype).
-      h_prev_seq: ``[B, T, H]`` previous-state sequence (outs shifted by 1).
-      douts: ``[B, T, H]`` f32 output cotangents.
+      outs_raw: ``[T, Bp, H]`` raw padded time-major forward outputs (the
+        h_prev source, streamed shifted by one step).
+      douts: ``[B, T, H]`` output cotangents (compute dtype).
+      dfinal: ``[B, H]`` final-state cotangent (compute dtype).
       lengths / w_h: as in the forward.
 
-    Returns ``(dxw [B,T,3H], dhn [B,T,H])`` in the compute dtype (bf16 under
-    mixed precision, f32 otherwise); accumulating consumers upcast.
+    Returns ``(dxw [T,Bp,3H], dhn [T,Bp,H], db [4H] f32)`` — the gradient
+    streams TIME-MAJOR (matching the kernel's walk; downstream transposes
+    are layout bitcasts) and still batch-padded (padded rows are exactly
+    zero: their lengths are 0 so every step masks); ``db`` columns are the
+    summed (dr', dz', dn', dhn) slots.
     """
-    b, t, hdim = h_prev_seq.shape
-    dtype = h_prev_seq.dtype
+    b, t, hdim = douts.shape
+    dtype = douts.dtype
     out_dtype = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
 
-    hprev_t = jnp.swapaxes(h_prev_seq, 0, 1)  # [T, B, H]
-    douts_t = jnp.swapaxes(douts, 0, 1)  # [T, B, H]
+    douts_t = jnp.swapaxes(douts, 0, 1)  # [T, B, H] (layout bitcast)
 
     # multiple of 8 for Mosaic sublane tiling; padding absorbs excess rows.
-    # The cap mirrors the gate-saving forward so `gates` needs no re-pad.
+    # The cap mirrors the gate-saving forward so `gates`/`outs_raw` need no
+    # re-pad.
     cap = _TB_BWD.get(jnp.dtype(dtype), _TB_BWD_DEFAULT)
     tb = min(cap, max(8, -(-b // 8) * 8))
     pad = (-b) % tb
     if pad:
-        hprev_t = jnp.pad(hprev_t, ((0, 0), (0, pad), (0, 0)))
         douts_t = jnp.pad(douts_t, ((0, 0), (0, pad), (0, 0)))
+        dfinal = jnp.pad(dfinal, ((0, pad), (0, 0)))
         lengths = jnp.pad(lengths, (0, pad))
     bp = b + pad
     if gates.shape[1] != bp:
         # fallback for mismatched forward padding (different chunk caps);
         # slicing costs a copy, so the caps above are kept in sync instead
         gates = gates[:, :b]
+        outs_raw = outs_raw[:, :b]
         if pad:
             gates = jnp.pad(gates, ((0, 0), (0, pad), (0, 0)))
+            outs_raw = jnp.pad(outs_raw, ((0, 0), (0, pad), (0, 0)))
     n_chunks = bp // tb
 
     wdtype = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
     wh = w_h.astype(wdtype)
     len2 = lengths.astype(jnp.int32)[:, None]
 
-    rev = lambda c, tt: (pl.num_programs(1) - 1 - tt, c, 0)
-    dxw, dhn = pl.pallas_call(
+    rev_t = lambda c, tt: (t - 1 - tt, c, 0)  # time-major streams
+    # h_prev: block t-1; clamped at t=0 where the kernel substitutes zeros
+    shift = lambda c, tt: (jnp.maximum(t - 2 - tt, 0), c, 0)
+
+    dxw, dhn, db = pl.pallas_call(
         _gru_bwd_kernel,
         grid=(n_chunks, t),
         in_specs=[
@@ -154,31 +206,36 @@ def _gru_bwd_pallas(gates, h_prev_seq, douts, lengths, w_h):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((hdim, 3 * hdim), lambda c, tt: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tb, 4 * hdim), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tb, hdim), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tb, hdim), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tb, 4 * hdim), rev_t, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tb, hdim), shift, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tb, hdim), rev_t, memory_space=pltpu.VMEM),
+            pl.BlockSpec((tb, hdim), lambda c, tt: (c, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, tb, 3 * hdim), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tb, hdim), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tb, 3 * hdim), rev_t, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tb, hdim), rev_t, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, 4 * hdim), lambda c, tt: (c, 0, 0),
+                         memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((t, bp, 3 * hdim), out_dtype),
             jax.ShapeDtypeStruct((t, bp, hdim), out_dtype),
+            jax.ShapeDtypeStruct((n_chunks, 8, 4 * hdim), jnp.float32),
         ),
-        scratch_shapes=[pltpu.VMEM((tb, hdim), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((tb, hdim), jnp.float32),
+            pltpu.VMEM((8, 4 * hdim), jnp.float32),
+        ],
         interpret=_use_interpret(),
         cost_estimate=pl.CostEstimate(
             flops=2 * bp * t * hdim * 3 * hdim,
             bytes_accessed=bp * t * hdim * 9 * 2,
             transcendentals=0,
         ),
-    )(len2, wh, gates, hprev_t, douts_t)
+    )(len2, wh, gates, outs_raw, douts_t, dfinal)
 
-    return (
-        jnp.swapaxes(dxw, 0, 1)[:b],
-        jnp.swapaxes(dhn, 0, 1)[:b],
-    )
+    return dxw, dhn, jnp.sum(db, axis=(0, 1))
 
 
 @jax.custom_vjp
@@ -196,56 +253,50 @@ def pallas_gru_trainable(
 
 
 def _fwd(x, lengths, w_i, w_h, b_i, b_h):
-    outs, final, gates = pallas_gru_sequence(
+    outs, final, gates, outs_raw = pallas_gru_sequence(
         x, lengths, w_i, w_h, b_i, b_h, save_gates=True
     )
-    return (outs, final), (x, lengths, w_i, w_h, b_i, b_h, outs, gates)
+    res = (x, lengths, w_i, w_h, b_i, b_h, gates, outs_raw)
+    return (outs, final), res
 
 
 def _bwd(residuals, grads):
-    x, lengths, w_i, w_h, b_i, b_h, outs, gates = residuals
+    x, lengths, w_i, w_h, b_i, b_h, gates, outs_raw = residuals
     douts, dfinal = grads
     b, t, _ = x.shape
     hdim = w_h.shape[0]
 
-    # final == outs[:, -1] (masked steps carry), so d_final folds into the
-    # last step's output gradient
-    douts = douts.astype(jnp.float32)
-    douts = douts.at[:, -1].add(dfinal.astype(jnp.float32))
-
-    h_prev_seq = jnp.concatenate(
-        [jnp.zeros((b, 1, hdim), outs.dtype), outs[:, :-1]], axis=1
+    dxw, dhn, db = _gru_bwd_pallas(
+        gates, outs_raw, douts.astype(x.dtype), dfinal.astype(x.dtype),
+        lengths, w_h,
     )
-
-    dxw, dhn = _gru_bwd_pallas(gates, h_prev_seq, douts, lengths, w_h)
 
     # Weight grads: large MXU GEMMs with f32 accumulation, operands in the
     # compute dtype (bf16 multiplies are XLA's default for f32 dots on TPU
     # anyway). The hidden-side dhw differs from dxw only in the n slot, so
-    # its GEMM/sums are built from (dxw[..., :2H], dhn) pieces without ever
-    # materializing a concatenated [B,T,3H] dhw.
-    dxw_rz = dxw[..., : 2 * hdim]
+    # its GEMMs pair (dxw[..., :2H], dhn) pieces against the SHIFTED raw
+    # forward outputs — never materializing a concatenated dhw or an
+    # h_prev copy: h_prev[t] = outs_raw[t-1] for t>=1 and the t=0 term is
+    # zero, i.e. einsum(outs_raw[:-1], grad_stream[:, 1:]). Batch-padded
+    # rows are zero on both sides.
     dW_h = jnp.concatenate(
         [
-            jnp.einsum("bth,btk->hk", h_prev_seq, dxw_rz,
+            jnp.einsum("tbh,tbk->hk", outs_raw[: t - 1],
+                       dxw[1:, :, : 2 * hdim],
                        preferred_element_type=jnp.float32),
-            jnp.einsum("bth,btk->hk", h_prev_seq, dhn,
+            jnp.einsum("tbh,tbk->hk", outs_raw[: t - 1], dhn[1:],
                        preferred_element_type=jnp.float32),
         ],
         axis=1,
     )
-    db_h = jnp.concatenate(
-        [
-            jnp.sum(dxw_rz, axis=(0, 1), dtype=jnp.float32),
-            jnp.sum(dhn, axis=(0, 1), dtype=jnp.float32),
-        ]
-    )
+    db_h = jnp.concatenate([db[: 2 * hdim], db[3 * hdim :]])
+    dxw_bt = jnp.swapaxes(dxw, 0, 1)[:b]  # [B, T, 3H] (layout bitcast)
     dW_i = jnp.einsum(
-        "btd,btk->dk", x, dxw, preferred_element_type=jnp.float32
+        "btd,btk->dk", x, dxw_bt, preferred_element_type=jnp.float32
     )
-    db_i = jnp.sum(dxw, axis=(0, 1), dtype=jnp.float32)
+    db_i = db[: 3 * hdim]
     dx = jnp.dot(
-        dxw, w_i.astype(dxw.dtype).T, preferred_element_type=jnp.float32
+        dxw_bt, w_i.astype(dxw.dtype).T, preferred_element_type=jnp.float32
     ).astype(x.dtype)
 
     return (
