@@ -157,11 +157,14 @@ def _gru_bwd_pallas(gates, outs_raw, douts, dfinal, lengths, w_h):
       dfinal: ``[B, H]`` final-state cotangent (compute dtype).
       lengths / w_h: as in the forward.
 
-    Returns ``(dxw [T,Bp,3H], dhn [T,Bp,H], db [4H] f32)`` — the gradient
-    streams TIME-MAJOR (matching the kernel's walk; downstream transposes
-    are layout bitcasts) and still batch-padded (padded rows are exactly
-    zero: their lengths are 0 so every step masks); ``db`` columns are the
-    summed (dr', dz', dn', dhn) slots.
+    Returns ``(dxw [T,Bp,3H], dhn [T,Bp,H], db [4H] f32, outs_raw)`` — the
+    gradient streams TIME-MAJOR (matching the kernel's walk; downstream
+    transposes are layout bitcasts) and still batch-padded (padded rows are
+    exactly zero: their lengths are 0 so every step masks); ``db`` columns
+    are the summed (dr', dz', dn', dhn) slots. ``outs_raw`` is returned
+    with the SAME batch padding as the gradient streams (it is re-padded
+    here iff the forward's chunk cap diverged), so the caller's dW_h
+    einsums can pair them directly.
     """
     b, t, hdim = douts.shape
     dtype = douts.dtype
@@ -235,7 +238,7 @@ def _gru_bwd_pallas(gates, outs_raw, douts, dfinal, lengths, w_h):
         ),
     )(len2, wh, gates, outs_raw, douts_t, dfinal)
 
-    return dxw, dhn, jnp.sum(db, axis=(0, 1))
+    return dxw, dhn, jnp.sum(db, axis=(0, 1)), outs_raw
 
 
 @jax.custom_vjp
@@ -266,7 +269,7 @@ def _bwd(residuals, grads):
     b, t, _ = x.shape
     hdim = w_h.shape[0]
 
-    dxw, dhn, db = _gru_bwd_pallas(
+    dxw, dhn, db, outs_raw = _gru_bwd_pallas(
         gates, outs_raw, douts.astype(x.dtype), dfinal.astype(x.dtype),
         lengths, w_h,
     )

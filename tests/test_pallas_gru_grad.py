@@ -35,6 +35,7 @@ def _loss_from(seq_fn):
 @pytest.mark.parametrize("B,T,D,H", [
     (6, 5, 8, 16),
     (140, 7, 12, 8),  # batch not a multiple of the backward chunk
+    (10, 1, 8, 16),  # T=1: dW_h pairs empty shifted streams (must be zero)
 ])
 def test_bptt_matches_autodiff(B, T, D, H):
     args = _setup(B, T, D, H)
@@ -87,6 +88,27 @@ def test_bptt_bf16_grads_match_autodiff_banded():
         gp = np.asarray(gp, dtype=np.float32)
         rel = np.linalg.norm(gp - gr) / max(np.linalg.norm(gr), 1e-6)
         assert rel < 2e-2, f"{name}: relative L2 error {rel:.4f}"
+
+
+def test_bptt_mismatched_chunk_caps_fallback(monkeypatch):
+    """The backward mirrors the gate-saving forward's chunk caps so the
+    padded gates/outs tensors stream through without a re-pad; if the caps
+    ever diverge, the slice/re-pad fallback must still be correct."""
+    from cmhse_tpu.ops import pallas_gru_grad as g
+
+    monkeypatch.setattr(g, "_TB_BWD", {})
+    monkeypatch.setattr(g, "_TB_BWD_DEFAULT", 8)  # != forward's f32 cap (64)
+    # b=72 > fwd cap 64 -> forward pads gates to 128 rows; bwd (cap 8) pads
+    # to 72 -> shapes mismatch -> the slice/re-pad fallback engages
+    args = _setup(72, 5, 8, 16, seed=9)
+    key = jax.random.PRNGKey(1)
+    grads_ref = jax.grad(_loss_from(gru_sequence),
+                         argnums=(0, 2, 3, 4, 5))(*args, key)
+    grads_pal = jax.grad(_loss_from(g.pallas_gru_trainable),
+                         argnums=(0, 2, 3, 4, 5))(*args, key)
+    for g_ref, g_pal in zip(grads_ref, grads_pal):
+        np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref),
+                                   rtol=2e-4, atol=2e-5)
 
 
 def test_bptt_zero_length_rows_zero_grads():
