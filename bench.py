@@ -193,22 +193,20 @@ def bench_encode_pairs():
     return BATCH / sec_per_batch
 
 
-def bench_train_step():
-    """Training pairs/sec: full forward+loss+backward+Adam, scanned in-graph
-    (params/opt-state threaded through the scan carry)."""
+def _build_train_parts(bsz: int = 64):
+    """Flagship TRAIN-shape setup, shared by bench_train_step and
+    scripts/train_breakdown.py so the probes always measure exactly the
+    headline configuration. Returns (cfg, model, params0, tx, opt0, batch,
+    bsz)."""
     import jax
-    import jax.numpy as jnp
 
     from cmhse_tpu.config import (DataConfig, ExperimentConfig, LossConfig,
                                   ModelConfig, TrainConfig)
     from cmhse_tpu.data.bucketing import BucketSpec, pad_batch
     from cmhse_tpu.data.datasets import SyntheticHierarchicalDataset
     from cmhse_tpu.models import CMHSE
-    from cmhse_tpu.train.objective import total_loss
     from cmhse_tpu.train.state import make_optimizer
-    import optax
 
-    bsz = 64
     cfg = ExperimentConfig(
         data=DataConfig(batch_size=bsz, feat_dim=FEAT_DIM, vocab_size=VOCAB,
                         max_clips=MAX_CLIPS, max_frames=MAX_FRAMES,
@@ -216,7 +214,8 @@ def bench_train_step():
         model=ModelConfig(embed_size=EMBED, word_dim=WORD_DIM,
                           feat_dim=FEAT_DIM, rnn_hidden=HIDDEN,
                           hierarchical=True, dtype="bfloat16",
-                          # fused fwd+BPTT kernels: 1.4x the scan train step
+                          # gate-saving fused fwd + fused BPTT backward:
+                          # 2.3x the scan train step (PERFORMANCE.md)
                           pallas_gru=True),
         loss=LossConfig(),
         train=TrainConfig(),
@@ -233,6 +232,19 @@ def bench_train_step():
     params0 = model.init(jax.random.PRNGKey(0), batch)["params"]
     tx = make_optimizer(cfg)
     opt0 = tx.init(params0)
+    return cfg, model, params0, tx, opt0, batch, bsz
+
+
+def bench_train_step():
+    """Training pairs/sec: full forward+loss+backward+Adam, scanned in-graph
+    (params/opt-state threaded through the scan carry)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from cmhse_tpu.train.objective import total_loss
+
+    cfg, model, params0, tx, opt0, batch, bsz = _build_train_parts()
 
     def factory(n_iters):
         @jax.jit

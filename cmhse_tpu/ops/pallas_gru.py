@@ -45,10 +45,11 @@ def _use_interpret() -> bool:
     return jax.devices()[0].platform not in ("tpu",)
 
 
-def _gru_gates_kernel(len_ref, wh_ref, bh_ref, xw_ref, outs_ref, final_ref,
-                      gates_ref, h_scratch, *, steps: int):
-    """Forward time loop that ALSO streams out the gate activations
-    ``[r, z, n, hn]`` (4H per step) for a following fused BPTT backward.
+def _gru_kernel(len_ref, wh_ref, bh_ref, xw_ref, outs_ref, final_ref,
+                *rest, steps: int, save_gates: bool):
+    """Forward time loop; with ``save_gates`` it ALSO streams out the gate
+    activations ``[r, z, n, hn]`` (4H per step) for a following fused BPTT
+    backward.
 
     Saving the gates turns the backward's per-step recompute GEMM
     (``h_prev @ W_h``, the same cost as the forward loop) into a pure
@@ -56,49 +57,10 @@ def _gru_gates_kernel(len_ref, wh_ref, bh_ref, xw_ref, outs_ref, final_ref,
     backward kernel then needs neither ``x @ W_i`` nor ``b_h`` at all. The
     extra forward write is DMA that hides under the forward's MXU time.
     """
-    tb = pl.program_id(1)
-    n_tb = pl.num_programs(1)
-
-    @pl.when(tb == 0)
-    def _():
-        h_scratch[:] = jnp.zeros_like(h_scratch)
-
-    hdtype = wh_ref.dtype
-    hidden = h_scratch.shape[-1]
-    h = h_scratch[:]
-    for s in range(steps):
-        t = tb * steps + s
-        hw = jnp.dot(
-            h.astype(hdtype), wh_ref[:], preferred_element_type=jnp.float32
-        ) + bh_ref[0, :][None, :]
-        xw = xw_ref[s].astype(jnp.float32)
-        xr = xw[:, :hidden]
-        xz = xw[:, hidden : 2 * hidden]
-        xn = xw[:, 2 * hidden :]
-        hr = hw[:, :hidden]
-        hz = hw[:, hidden : 2 * hidden]
-        hn = hw[:, 2 * hidden :]
-        r = jax.nn.sigmoid(xr + hr)
-        z = jax.nn.sigmoid(xz + hz)
-        n = jnp.tanh(xn + r * hn)
-        h_new = (1.0 - z) * n + z * h
-
-        keep = t < len_ref[:]  # (TB, 1) bool
-        h = jnp.where(keep, h_new, h)
-        outs_ref[s] = h.astype(outs_ref.dtype)
-        gates_ref[s] = jnp.concatenate([r, z, n, hn], axis=-1).astype(
-            gates_ref.dtype
-        )
-
-    h_scratch[:] = h
-
-    @pl.when(tb == n_tb - 1)
-    def _():
-        final_ref[:] = h.astype(final_ref.dtype)
-
-
-def _gru_kernel(len_ref, wh_ref, bh_ref, xw_ref, outs_ref, final_ref,
-                h_scratch, *, steps: int):
+    if save_gates:
+        gates_ref, h_scratch = rest
+    else:
+        (h_scratch,) = rest
     tb = pl.program_id(1)  # time-block index
     n_tb = pl.num_programs(1)
 
@@ -131,6 +93,10 @@ def _gru_kernel(len_ref, wh_ref, bh_ref, xw_ref, outs_ref, final_ref,
         keep = t < len_ref[:]  # (TB, 1) bool
         h = jnp.where(keep, h_new, h)
         outs_ref[s] = h.astype(outs_ref.dtype)
+        if save_gates:
+            gates_ref[s] = jnp.concatenate([r, z, n, hn], axis=-1).astype(
+                gates_ref.dtype
+            )
 
     h_scratch[:] = h
 
@@ -147,7 +113,7 @@ def pallas_gru_sequence(
     b_i: Array,
     b_h: Array,
     save_gates: bool = False,
-) -> tuple[Array, Array] | tuple[Array, Array, Array]:
+) -> tuple[Array, Array] | tuple[Array, Array, Array, Array]:
     """Forward-only masked GRU with the time loop fused in one kernel.
 
     Same contract as :func:`cmhse_tpu.models.gru.gru_sequence` (zero initial
@@ -225,9 +191,7 @@ def pallas_gru_sequence(
         jax.ShapeDtypeStruct((tp, bp, hdim), dtype),
         jax.ShapeDtypeStruct((bp, hdim), dtype),
     ]
-    kernel = _gru_kernel
     if save_gates:
-        kernel = _gru_gates_kernel
         out_specs.append(
             pl.BlockSpec((steps, tb, 4 * hdim), lambda c, tt: (tt, c, 0),
                          memory_space=pltpu.VMEM)
@@ -235,7 +199,7 @@ def pallas_gru_sequence(
         out_shape.append(jax.ShapeDtypeStruct((tp, bp, 4 * hdim), dtype))
 
     results = pl.pallas_call(
-        functools.partial(kernel, steps=steps),
+        functools.partial(_gru_kernel, steps=steps, save_gates=save_gates),
         grid=(n_chunks, n_tblocks),
         in_specs=in_specs,
         out_specs=tuple(out_specs),

@@ -52,13 +52,19 @@ from jax import Array
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from cmhse_tpu.ops.pallas_gru import _use_interpret, pallas_gru_sequence
+from cmhse_tpu.ops.pallas_gru import _TB, _use_interpret, pallas_gru_sequence
 
-# Batch-chunk rows per backward grid step. MUST mirror the gate-saving
-# forward's chunk caps (pallas_gru._TB // 2 per dtype) so the padded gates /
-# outs tensors from the forward stream into the backward without a re-pad.
-_TB_BWD = {jnp.dtype(jnp.bfloat16): 128}
-_TB_BWD_DEFAULT = 64  # f32: W_h alone is 12.6 MB in VMEM; halve the chunk
+
+def _bwd_chunk_cap(dtype) -> int:
+    """Batch-chunk rows per backward grid step — DERIVED from the forward's
+    ``pallas_gru._TB`` so the gate-saving forward and the backward always
+    pad the batch identically and the padded gates / outs tensors stream
+    between the two kernels without a slice/re-pad (the fallback in
+    ``_gru_bwd_pallas`` covers a divergence but costs a copy). Mirrors the
+    ``save_gates`` branch of ``pallas_gru_sequence``: bf16 _TB//2; f32
+    _TB//4 (W_h alone is 12.6 MB of VMEM in f32; halve the chunk again).
+    """
+    return _TB // 2 if jnp.dtype(dtype) == jnp.bfloat16 else _TB // 4
 
 
 def _gru_bwd_kernel(
@@ -175,7 +181,7 @@ def _gru_bwd_pallas(gates, outs_raw, douts, dfinal, lengths, w_h):
     # multiple of 8 for Mosaic sublane tiling; padding absorbs excess rows.
     # The cap mirrors the gate-saving forward so `gates`/`outs_raw` need no
     # re-pad.
-    cap = _TB_BWD.get(jnp.dtype(dtype), _TB_BWD_DEFAULT)
+    cap = _bwd_chunk_cap(dtype)
     tb = min(cap, max(8, -(-b // 8) * 8))
     pad = (-b) % tb
     if pad:

@@ -89,7 +89,39 @@ e2 = float(jnp.abs(outs_s - outs_p).max())
 print(f"gru final max err {e1:.2e}, outs max err {e2:.2e}", flush=True)
 assert e1 < 1e-4 and e2 < 1e-4
 
-# 5) one real train step with the pallas loss at production-ish shape
+# 4b) trainable pallas GRU (gate-saving forward + fused BPTT backward) vs
+# scan autodiff ON HARDWARE — Mosaic has rejected constructs in these
+# kernels that interpret mode accepted (sublane-1 output tiles, b-major
+# mid-1 blocks), so the custom-VJP pair must compile+match here, at both
+# dtypes the framework trains with
+from cmhse_tpu.ops.pallas_gru_grad import pallas_gru_trainable
+
+def _gru_loss(seq_fn):
+    def loss(x, w_i, w_h, b_i, b_h):
+        outs, fin = seq_fn(x, lengths, w_i, w_h, b_i, b_h)
+        return (jnp.sum(fin.astype(jnp.float32) ** 2)
+                + jnp.sum(outs.astype(jnp.float32) ** 2))
+    return loss
+
+for dt, band in ((jnp.float32, 1e-3), (jnp.bfloat16, 2e-2)):
+    xd = x.astype(dt)
+    g_ref = jax.jit(jax.grad(_gru_loss(gru_sequence),
+                             argnums=(0, 1, 2, 3, 4)))(xd, w_i, w_h, bi, bh)
+    g_pal = jax.jit(jax.grad(_gru_loss(pallas_gru_trainable),
+                             argnums=(0, 1, 2, 3, 4)))(xd, w_i, w_h, bi, bh)
+    worst = 0.0
+    for gr, gp in zip(g_ref, g_pal):
+        gr = np.asarray(gr, np.float32)
+        gp = np.asarray(gp, np.float32)
+        worst = max(worst,
+                    float(np.linalg.norm(gp - gr)
+                          / max(np.linalg.norm(gr), 1e-6)))
+    print(f"trainable gru bwd rel-L2 err ({np.dtype(dt).name}): "
+          f"{worst:.2e}", flush=True)
+    assert worst < band, f"BPTT grads diverged on hardware ({dt})"
+
+# 5) one real train step with the pallas loss AND the pallas GRU kernels at
+# production-ish shape (bf16 mixed precision, like real training)
 from cmhse_tpu.config import DataConfig, ExperimentConfig, LossConfig, ModelConfig
 from cmhse_tpu.data import SyntheticHierarchicalDataset, batches_from_dataset
 from cmhse_tpu.train import create_train_state, train_step
@@ -97,7 +129,8 @@ cfg = ExperimentConfig(
     data=DataConfig(batch_size=32, feat_dim=500, vocab_size=5000,
                     max_clips=4, max_frames=32, max_sentences=4, max_words=16),
     model=ModelConfig(embed_size=512, word_dim=300, feat_dim=500,
-                      rnn_hidden=512, hierarchical=True),
+                      rnn_hidden=512, hierarchical=True,
+                      dtype="bfloat16", pallas_gru=True),
     loss=LossConfig(),
 )
 ds = SyntheticHierarchicalDataset(num_videos=32, feat_dim=500, vocab_size=5000,

@@ -65,10 +65,11 @@ def test_bptt_forward_matches_scan():
 
 
 def test_bptt_bf16_grads_match_autodiff_banded():
-    """bf16 activations: the backward kernel stores its gate-gradient
-    tensors (dxw, r) in bf16 (halving the HBM traffic of the dW leg, see
-    _gru_bwd_pallas docstring). Pin the weight grads against bf16 autodiff
-    of the scan GRU with a relative-L2 band covering that storage rounding."""
+    """bf16 activations: the forward saves its gates bf16 and the backward
+    kernel stores its gradient streams (dxw, dhn) in bf16 (halving the HBM
+    traffic of the dW leg, see _gru_bwd_pallas docstring). Pin the grads
+    against bf16 autodiff of the scan GRU with a relative-L2 band covering
+    that storage rounding."""
     x, lengths, w_i, w_h, b_i, b_h = _setup(32, 12, 16, 32, seed=7)
     # avoid len-0 rows dominating the norm with zeros
     lengths = jnp.maximum(lengths, 1)
@@ -96,8 +97,7 @@ def test_bptt_mismatched_chunk_caps_fallback(monkeypatch):
     ever diverge, the slice/re-pad fallback must still be correct."""
     from cmhse_tpu.ops import pallas_gru_grad as g
 
-    monkeypatch.setattr(g, "_TB_BWD", {})
-    monkeypatch.setattr(g, "_TB_BWD_DEFAULT", 8)  # != forward's f32 cap (64)
+    monkeypatch.setattr(g, "_bwd_chunk_cap", lambda dtype: 8)  # fwd f32: 64
     # b=72 > fwd cap 64 -> forward pads gates to 128 rows; bwd (cap 8) pads
     # to 72 -> shapes mismatch -> the slice/re-pad fallback engages
     args = _setup(72, 5, 8, 16, seed=9)
