@@ -112,6 +112,9 @@ def _build_model_and_batch():
     spec = BucketSpec(
         batch_size=BATCH, max_clips=MAX_CLIPS, max_frames=MAX_FRAMES,
         max_sentences=MAX_SENTENCES, max_words=MAX_WORDS, feat_dim=FEAT_DIM,
+        # bf16 feature ingestion: identical numerics for the bf16 model
+        # (inputs are cast immediately), half the feature DMA + convert
+        feature_dtype="bfloat16",
     )
     batch = jax.device_put(pad_batch([ds[i] for i in range(BATCH)], spec))
     model = CMHSE(cfg=mcfg, vocab_size=VOCAB)
@@ -175,10 +178,13 @@ def bench_encode_pairs():
         @jax.jit
         def run(seed):
             def body(carry, i):
-                # perturb frames per step: new work every iteration, same shapes
+                # perturb frames per step: new work every iteration, same
+                # shapes (cast so bf16 frames are not promoted back to f32)
                 b = batch.replace(
                     frames=batch.frames
-                    + (seed + i.astype(jnp.float32)) * 1e-3
+                    + ((seed + i.astype(jnp.float32)) * 1e-3).astype(
+                        batch.frames.dtype
+                    )
                 )
                 out = model.apply({"params": params}, b)
                 s = jnp.sum(out.video_emb.astype(jnp.float32)) + jnp.sum(
@@ -226,7 +232,8 @@ def _build_train_parts(bsz: int = 64):
     )
     spec = BucketSpec(batch_size=bsz, max_clips=MAX_CLIPS,
                       max_frames=MAX_FRAMES, max_sentences=MAX_SENTENCES,
-                      max_words=MAX_WORDS, feat_dim=FEAT_DIM)
+                      max_words=MAX_WORDS, feat_dim=FEAT_DIM,
+                      feature_dtype="bfloat16")
     batch = jax.device_put(pad_batch([ds[i] for i in range(bsz)], spec))
     model = CMHSE(cfg=cfg.model, vocab_size=VOCAB)
     params0 = model.init(jax.random.PRNGKey(0), batch)["params"]
@@ -252,7 +259,10 @@ def bench_train_step():
             def step(carry, i):
                 params, opt_state = carry
                 b = batch.replace(
-                    frames=batch.frames + (seed + i.astype(jnp.float32)) * 1e-3
+                    frames=batch.frames
+                    + ((seed + i.astype(jnp.float32)) * 1e-3).astype(
+                        batch.frames.dtype
+                    )
                 )
 
                 def loss_fn(p):

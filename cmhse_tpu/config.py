@@ -55,6 +55,11 @@ class DataConfig:
     # Pretrained word2vec vectors applied to the embedding table after init
     # (reference [B:7]: word2vec-initialized text encoder). Empty = random.
     word2vec_path: str = ""
+    # dtype of the frames arrays the loader emits ("float32" | "bfloat16").
+    # bf16 halves feature DMA and the device-side convert ahead of the first
+    # GEMM; numerically identical for bf16-compute models (which cast their
+    # inputs immediately). Keep float32 for f32/parity runs.
+    feature_dtype: str = "float32"
 
 
 @dataclass(frozen=True)

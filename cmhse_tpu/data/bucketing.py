@@ -19,7 +19,16 @@ from cmhse_tpu.data.batch import Batch
 
 @dataclass(frozen=True)
 class BucketSpec:
-    """Static shape caps for one compiled bucket."""
+    """Static shape caps for one compiled bucket.
+
+    ``feature_dtype``: dtype of the emitted ``frames`` array. The flagship
+    models compute in bf16 and cast their inputs immediately
+    (``models/gru.py``), so feeding bf16 features is numerically IDENTICAL
+    for a bf16 model (f32->bf16 rounds once either way) while halving both
+    host->device feature DMA and the on-device layout/convert work ahead of
+    the first GEMM (measured ~0.5 ms/batch at the flagship encode shape).
+    Keep float32 (the default) for f32/parity runs.
+    """
 
     batch_size: int
     max_clips: int
@@ -27,9 +36,10 @@ class BucketSpec:
     max_sentences: int
     max_words: int
     feat_dim: int
+    feature_dtype: str = "float32"
 
     @property
-    def signature(self) -> tuple[int, ...]:
+    def signature(self) -> tuple:
         return (
             self.batch_size,
             self.max_clips,
@@ -37,7 +47,15 @@ class BucketSpec:
             self.max_sentences,
             self.max_words,
             self.feat_dim,
+            self.feature_dtype,
         )
+
+    def np_feature_dtype(self) -> np.dtype:
+        if self.feature_dtype == "bfloat16":
+            import ml_dtypes  # ships with jax
+
+            return np.dtype(ml_dtypes.bfloat16)
+        return np.dtype(self.feature_dtype)
 
 
 def pick_bucket(value: int, edges: tuple[int, ...]) -> int:
@@ -85,6 +103,9 @@ def pad_batch(examples: list, spec: BucketSpec) -> Batch:
         video_ids[i] = ex.video_id
         valid[i] = True
 
+    dt = spec.np_feature_dtype()
+    if frames.dtype != dt:
+        frames = frames.astype(dt)
     return Batch(
         frames=frames,
         frame_len=frame_len,
@@ -105,6 +126,7 @@ def bucket_for_examples(
     max_sentences: int,
     frame_buckets: tuple[int, ...],
     word_buckets: tuple[int, ...],
+    feature_dtype: str = "float32",
 ) -> BucketSpec:
     """Choose the (frames, words) bucket for a batch from its longest members."""
     fmax = max(
@@ -122,4 +144,5 @@ def bucket_for_examples(
         max_sentences=max_sentences,
         max_words=pick_bucket(wmax, word_buckets),
         feat_dim=feat_dim,
+        feature_dtype=feature_dtype,
     )

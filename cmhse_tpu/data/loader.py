@@ -106,6 +106,7 @@ def batches_from_dataset(
         max_sentences=cfg.max_sentences,
         max_words=cfg.max_words,
         feat_dim=cfg.feat_dim,
+        feature_dtype=cfg.feature_dtype,
     )
 
     for start in range(0, len(order), cfg.batch_size):
@@ -128,6 +129,7 @@ def batches_from_dataset(
                 max_sentences=cfg.max_sentences,
                 frame_buckets=cfg.frame_buckets,
                 word_buckets=cfg.word_buckets,
+                feature_dtype=cfg.feature_dtype,
             )
         yield pack(examples, spec)
 

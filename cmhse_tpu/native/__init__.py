@@ -138,6 +138,9 @@ def pack_batch_native(examples: list, spec):
         video_ids[i] = ex.video_id
         valid[i] = True
 
+    dt = spec.np_feature_dtype()
+    if frames.dtype != dt:
+        frames = frames.astype(dt)
     return Batch(
         frames=frames, frame_len=frame_len, clip_len=clip_len,
         words=words, word_len=word_len, sent_len=sent_len,

@@ -48,7 +48,10 @@ def main():
         def run(seed):
             def body(carry, i):
                 b = batch.replace(
-                    frames=batch.frames + (seed + i.astype(jnp.float32)) * 1e-3
+                    frames=batch.frames
+                    + ((seed + i.astype(jnp.float32)) * 1e-3).astype(
+                        batch.frames.dtype
+                    )
                 )
                 return carry + loss_of(params0, b), None
             total, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(n_iters))
@@ -61,7 +64,10 @@ def main():
             def step(carry, i):
                 params, opt_state = carry
                 b = batch.replace(
-                    frames=batch.frames + (seed + i.astype(jnp.float32)) * 1e-3
+                    frames=batch.frames
+                    + ((seed + i.astype(jnp.float32)) * 1e-3).astype(
+                        batch.frames.dtype
+                    )
                 )
                 loss, grads = jax.value_and_grad(loss_of)(params, b)
                 updates, opt_state = tx.update(grads, opt_state, params)

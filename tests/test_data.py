@@ -89,6 +89,39 @@ def test_pad_batch_truncates_overlong():
     assert batch.word_len.max() <= 4
 
 
+def test_bf16_feature_ingestion_identical_for_bf16_model():
+    """feature_dtype='bfloat16' (DataConfig/BucketSpec): the frames arrive
+    bf16 and a bf16-compute model must produce BIT-IDENTICAL embeddings vs
+    f32 frames (the model casts inputs immediately, and f32->bf16 rounds
+    once either way). This is what makes bf16 ingestion a free DMA win."""
+    import jax
+    import jax.numpy as jnp
+
+    from cmhse_tpu.config import ModelConfig
+    from cmhse_tpu.models import CMHSE
+
+    ds = SyntheticHierarchicalDataset(num_videos=4, feat_dim=16, max_clips=3,
+                                      max_frames=6, max_words=5)
+    kw = dict(batch_size=4, max_clips=3, max_frames=6, max_sentences=3,
+              max_words=5, feat_dim=16)
+    b32 = pad_batch([ds[i] for i in range(4)], BucketSpec(**kw))
+    b16 = pad_batch([ds[i] for i in range(4)],
+                    BucketSpec(**kw, feature_dtype="bfloat16"))
+    assert b16.frames.dtype == jnp.bfloat16
+    assert b16.frames.nbytes == b32.frames.nbytes // 2
+
+    mcfg = ModelConfig(embed_size=32, word_dim=8, feat_dim=16, rnn_hidden=32,
+                       hierarchical=True, dtype="bfloat16")
+    model = CMHSE(cfg=mcfg, vocab_size=ds.vocab_size)
+    params = model.init(jax.random.PRNGKey(0), b32)["params"]
+    out32 = model.apply({"params": params}, b32)
+    out16 = model.apply({"params": params}, b16)
+    np.testing.assert_array_equal(np.asarray(out32.video_emb, np.float32),
+                                  np.asarray(out16.video_emb, np.float32))
+    np.testing.assert_array_equal(np.asarray(out32.para_emb, np.float32),
+                                  np.asarray(out16.para_emb, np.float32))
+
+
 def test_loader_fixed_vs_bucketed_shapes():
     cfg = DataConfig(batch_size=4, feat_dim=8, vocab_size=64, max_clips=3,
                      max_frames=16, max_sentences=3, max_words=16,
