@@ -60,6 +60,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--low_weight", type=float, default=None)
     p.add_argument("--high_weight", type=float, default=None)
     p.add_argument("--dtype", default=None, choices=["float32", "bfloat16"])
+    p.add_argument("--feature_dtype", default=None,
+                   choices=["float32", "bfloat16"],
+                   help="dtype of loader-emitted frame features; bf16 halves "
+                        "feature DMA and is bit-identical for bf16 models. "
+                        "Default: follows --dtype")
     p.add_argument("--bucketed", action="store_true", default=None,
                    help="length-bucketed batches (fixed_shape=False + "
                         "group_by_length): less padding, a few more compiles")
@@ -127,6 +132,12 @@ def apply_overrides(cfg, args):
         m["reconstruction"] = args.reconstruction
     if args.dtype is not None:
         m["dtype"] = args.dtype
+    if args.feature_dtype is not None:
+        d["feature_dtype"] = args.feature_dtype
+    elif m["dtype"] == "bfloat16" and d.get("feature_dtype") == "float32":
+        # bf16 models cast their inputs immediately: feeding bf16 features
+        # is bit-identical and halves feature DMA, so follow the model dtype
+        d["feature_dtype"] = "bfloat16"
     if args.pallas_gru is None:
         # auto: fused kernels on real TPU, scan elsewhere (interpret mode
         # would be slower than the scan on CPU)

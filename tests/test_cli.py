@@ -83,3 +83,18 @@ def test_config_json_roundtrip_through_overrides():
     assert cfg2.loss.margin == 0.25
     assert cfg2.model.attention_pool is True
     assert cfg2.model.reconstruction is True
+
+def test_feature_dtype_follows_model_dtype():
+    # explicit flag wins
+    cfg = _cfg(["--preset", "hier_anet", "--feature_dtype", "bfloat16"])
+    assert cfg.data.feature_dtype == "bfloat16"
+    # bf16 model auto-selects bf16 ingestion (bit-identical, half the DMA)
+    cfg = _cfg(["--preset", "hier_anet", "--dtype", "bfloat16"])
+    assert cfg.data.feature_dtype == "bfloat16"
+    # f32 model keeps f32 features
+    cfg = _cfg(["--preset", "hier_anet", "--dtype", "float32"])
+    assert cfg.data.feature_dtype == "float32"
+    # explicit f32 ingestion survives a bf16 model (parity runs)
+    cfg = _cfg(["--preset", "hier_anet", "--dtype", "bfloat16",
+                "--feature_dtype", "float32"])
+    assert cfg.data.feature_dtype == "float32"
