@@ -20,7 +20,8 @@ class DataConfig:
     """Data contract for bucketed, masked, fixed-shape batches.
 
     Array-of-structs spec (SURVEY.md section 7 step 1):
-      frames     f32[B, Cmax, Fmax, feat_dim]   video clip frame features
+      frames     [B, Cmax, Fmax, feat_dim]      video clip frame features
+                 (``feature_dtype``: f32 default, bf16 opt-in)
       frame_len  i32[B, Cmax]                   valid frames per clip
       clip_len   i32[B]                         valid clips per video
       words      i32[B, Smax, Wmax]             caption token ids

@@ -19,7 +19,9 @@ class Batch:
     """One padded video-paragraph batch at both hierarchy levels.
 
     Video side:
-      frames:    f32[B, Cmax, Fmax, feat]  clip frame features
+      frames:    [B, Cmax, Fmax, feat]     clip frame features, f32 or bf16
+                 (DataConfig.feature_dtype; models cast to their compute
+                 dtype on entry either way)
       frame_len: i32[B, Cmax]              valid frames per clip (0 = pad clip)
       clip_len:  i32[B]                    valid clips per video
     Text side:

@@ -76,7 +76,11 @@ def pad_batch(examples: list, spec: BucketSpec) -> Batch:
     cmax, fmax = spec.max_clips, spec.max_frames
     smax, wmax = spec.max_sentences, spec.max_words
 
-    frames = np.zeros((b, cmax, fmax, spec.feat_dim), np.float32)
+    # allocate directly in the target dtype: the row assignments cast with
+    # round-to-nearest-even, identical to a post-hoc astype, without a
+    # second full-size buffer in the loader hot path
+    frames = np.zeros((b, cmax, fmax, spec.feat_dim),
+                      spec.np_feature_dtype())
     frame_len = np.zeros((b, cmax), np.int32)
     clip_len = np.zeros((b,), np.int32)
     words = np.zeros((b, smax, wmax), np.int32)
@@ -103,9 +107,6 @@ def pad_batch(examples: list, spec: BucketSpec) -> Batch:
         video_ids[i] = ex.video_id
         valid[i] = True
 
-    dt = spec.np_feature_dtype()
-    if frames.dtype != dt:
-        frames = frames.astype(dt)
     return Batch(
         frames=frames,
         frame_len=frame_len,
