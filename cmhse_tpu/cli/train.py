@@ -49,6 +49,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", default=None)
     p.add_argument("--logger_name", dest="checkpoint_dir", default=None)
     p.add_argument("--val_step", type=int, default=None)
+    p.add_argument("--steps_per_dispatch", type=int, default=None,
+                   help="update steps scanned inside one jit dispatch (>1 "
+                        "amortizes dispatch latency; fixed-shape mode only)")
     p.add_argument("--log_step", type=int, default=None)
     p.add_argument("--seed", type=int, default=None)
     # model structure
@@ -157,7 +160,8 @@ def apply_overrides(cfg, args):
     if args.high_weight is not None:
         l["high_weight"] = args.high_weight
     for name in ("num_epochs", "lr", "lr_update", "grad_clip", "val_step",
-                 "log_step", "seed", "resume", "checkpoint_dir"):
+                 "log_step", "seed", "resume", "checkpoint_dir",
+                 "steps_per_dispatch"):
         v = getattr(args, name)
         if v is not None:
             t[name] = v

@@ -113,6 +113,12 @@ class TrainConfig:
     resume: str = ""  # path to checkpoint to resume from
     mesh_shape: tuple[int, ...] = (-1,)  # -1 = all visible devices
     mesh_axes: tuple[str, ...] = ("data",)
+    # Update steps executed per jit dispatch (lax.scan over stacked batches,
+    # train/state.py::train_steps). >1 amortizes host->device dispatch
+    # latency — the dominant per-step cost through a network-attached TPU
+    # and a measurable one at scale on attached VMs. Requires fixed-shape
+    # batches; log/val cadence rounds to dispatch boundaries.
+    steps_per_dispatch: int = 1
 
 
 @dataclass(frozen=True)

@@ -23,7 +23,8 @@ from cmhse_tpu.models import CMHSE
 from cmhse_tpu.parallel.mesh import make_mesh
 from cmhse_tpu.parallel.train_dp import place_batch, place_state
 from cmhse_tpu.train.checkpoint import CheckpointManager
-from cmhse_tpu.train.state import create_train_state, set_learning_rate, train_step
+from cmhse_tpu.train.state import (create_train_state, set_learning_rate,
+                                   train_step, train_steps)
 from cmhse_tpu.utils.logging import JsonlLogger, LogCollector
 
 
@@ -46,6 +47,20 @@ def _prefetch(batch_iter, mesh, lookahead: int = 2):
             yield buf.popleft()
     while buf:
         yield buf.popleft()
+
+
+def _dispatch_groups(batch_iter, k: int):
+    """Group device-resident batches into lists of up to ``k`` for
+    multi-step dispatch (train_steps). The epoch's final group may be
+    short — it compiles one extra [r < k] program, once per run."""
+    group = []
+    for batch in batch_iter:
+        group.append(batch)
+        if len(group) == k:
+            yield group
+            group = []
+    if group:
+        yield group
 
 
 def fit(
@@ -131,23 +146,43 @@ def fit(
             process_index=jax.process_index(),
             process_count=jax.process_count(),
         )
-        for batch in _prefetch(batch_iter, mesh):
-            state, metrics = train_step(state, batch, cfg.loss)
-            global_step += 1
-            n_pairs += int(np.asarray(batch.valid).sum())
+        # steps_per_dispatch > 1: scan several updates inside one jit
+        # dispatch (train_steps) to amortize host->device dispatch latency;
+        # needs identical batch shapes, so it requires the fixed-shape
+        # loader mode. Log/val cadence rounds to dispatch boundaries.
+        spd = max(1, cfg.train.steps_per_dispatch)
+        if spd > 1 and not cfg.data.fixed_shape:
+            print("steps_per_dispatch > 1 requires fixed_shape batches; "
+                  "running 1 step per dispatch")
+            spd = 1
 
-            if global_step % cfg.train.log_step == 0:
-                for k, v in metrics.items():
-                    collector.update(k, float(v))
+        import jax.numpy as jnp
+
+        for group in _dispatch_groups(_prefetch(batch_iter, mesh), spd):
+            if spd > 1:
+                stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *group)
+                state, metrics = train_steps(state, stacked, cfg.loss)
+                n_pairs += int(np.asarray(stacked.valid).sum())
+            else:
+                state, metrics = train_step(state, group[0], cfg.loss)
+                n_pairs += int(np.asarray(group[0].valid).sum())
+            prev_step, global_step = global_step, global_step + len(group)
+
+            if global_step // cfg.train.log_step > prev_step // cfg.train.log_step:
+                means = {k: float(np.mean(np.asarray(v)))
+                         for k, v in metrics.items()}
+                for k, v in means.items():
+                    collector.update(k, v)
                 print(f"epoch {epoch} step {global_step} lr {lr:.2e} "
                       f"{collector}")
                 logger.log("train_step", epoch=epoch, step=global_step,
-                           lr=lr, **{k: float(v) for k, v in metrics.items()})
+                           lr=lr, **means)
 
             if (
                 val_dataset is not None
                 and cfg.train.val_step > 0
-                and global_step % cfg.train.val_step == 0
+                and global_step // cfg.train.val_step
+                > prev_step // cfg.train.val_step
             ):
                 best_rsum = _validate_and_save(
                     cfg, model, state, val_dataset, mesh, ckpt, logger,

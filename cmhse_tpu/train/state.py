@@ -73,11 +73,10 @@ def set_learning_rate(state: TrainState, lr: float) -> TrainState:
     return state.replace(opt_state=(opt_state[0], inner))
 
 
-@partial(jax.jit, static_argnames=("loss_cfg",), donate_argnames=("state",))
-def train_step(
+def _update(
     state: TrainState, batch: Batch, loss_cfg
 ) -> tuple[TrainState, dict[str, jax.Array]]:
-    """One optimization step; returns (new_state, metrics)."""
+    """One optimization step (shared body of train_step / train_steps)."""
 
     def loss_fn(params):
         outputs = state.apply_fn({"params": params}, batch)
@@ -93,3 +92,29 @@ def train_step(
         step=state.step + 1, params=params, opt_state=opt_state
     )
     return new_state, metrics
+
+
+@partial(jax.jit, static_argnames=("loss_cfg",), donate_argnames=("state",))
+def train_step(
+    state: TrainState, batch: Batch, loss_cfg
+) -> tuple[TrainState, dict[str, jax.Array]]:
+    """One optimization step; returns (new_state, metrics)."""
+    return _update(state, batch, loss_cfg)
+
+
+@partial(jax.jit, static_argnames=("loss_cfg",), donate_argnames=("state",))
+def train_steps(
+    state: TrainState, stacked: Batch, loss_cfg
+) -> tuple[TrainState, dict[str, jax.Array]]:
+    """K optimization steps in ONE dispatch: ``lax.scan`` of the update over
+    a stacked ``Batch`` whose leaves carry a leading ``[K, ...]`` axis.
+
+    Identical math/order to K ``train_step`` calls; the value is dispatch
+    amortization (each host->device dispatch costs ~100 us on an attached
+    TPU VM and tens of ms through a network relay — see PERFORMANCE.md
+    "Flagship-scale training on hardware"). Metrics come back with a
+    leading ``[K]`` axis.
+    """
+    return jax.lax.scan(
+        lambda st, b: _update(st, b, loss_cfg), state, stacked
+    )

@@ -134,3 +134,29 @@ def test_checkpoint_manager_roundtrip(tmp_path):
                     jax.tree.leaves(restored.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     mgr.close()
+
+
+def test_steps_per_dispatch_matches_single_step(tmp_path):
+    """steps_per_dispatch>1 (train_steps: lax.scan inside one dispatch) must
+    reproduce the 1-step-per-dispatch run exactly — same batches in the
+    same order, identical math."""
+    import dataclasses
+
+    # 24 videos / batch 8 = 3 steps/epoch: spd=2 exercises both the full
+    # [2]-group and the short [1]-remainder-group programs
+    cfg1 = _cfg(tmp_path / "a", epochs=2)
+    state1, _ = fit(cfg1, _ds(24), None)
+
+    cfg2 = _cfg(tmp_path / "b", epochs=2)
+    cfg2 = dataclasses.replace(
+        cfg2, train=dataclasses.replace(cfg2.train, steps_per_dispatch=2,
+                                        checkpoint_dir=str(tmp_path / "b"))
+    )
+    state2, _ = fit(cfg2, _ds(24), None)
+
+    assert int(state1.step) == int(state2.step) > 0
+    for p1, p2 in zip(jax.tree.leaves(state1.params),
+                      jax.tree.leaves(state2.params)):
+        np.testing.assert_allclose(np.asarray(p1, np.float32),
+                                   np.asarray(p2, np.float32),
+                                   rtol=1e-6, atol=1e-7)
