@@ -30,24 +30,38 @@ def place_replicated(tree, mesh: Mesh):
     return jax.device_put(tree, replicated(mesh))
 
 
-def place_batch(batch, mesh: Mesh, axis: str = "data"):
-    """Shard a Batch pytree along its leading (batch) dimension.
+def _sharding_for_dim(mesh: Mesh, axis: str, batch_dim: int):
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    if batch_dim == 0:
+        return batch_sharding(mesh, axis)
+    return NamedSharding(mesh, P(*([None] * batch_dim), axis))
+
+
+def place_batch(batch, mesh: Mesh, axis: str = "data", batch_dim: int = 0):
+    """Shard a Batch pytree along its batch dimension.
+
+    ``batch_dim``: which leaf dimension carries the batch — 0 for a plain
+    Batch, 1 for a host-stacked ``[K, B, ...]`` multi-step group
+    (``train_steps`` scans over dim 0, so the DP shard lives on dim 1).
 
     Single-process: a plain async ``device_put``. Multi-process: the batch
     must hold only THIS process's rows; the global array is assembled via
     :func:`place_batch_global`.
     """
     if jax.process_count() > 1:
-        return place_batch_global(batch, mesh, axis)
-    return jax.device_put(batch, batch_sharding(mesh, axis))
+        return place_batch_global(batch, mesh, axis, batch_dim=batch_dim)
+    return jax.device_put(batch, _sharding_for_dim(mesh, axis, batch_dim))
 
 
 def place_batch_global(local_batch, mesh: Mesh, axis: str = "data",
-                       process_count: int | None = None):
+                       process_count: int | None = None,
+                       batch_dim: int = 0):
     """Assemble a globally-sharded batch from per-process local rows.
 
-    ``local_batch`` leaves have shape ``[B_local, ...]`` where
-    ``B_global = B_local * process_count``; every leaf is placed with
+    ``local_batch`` leaves have shape ``[B_local, ...]`` (``batch_dim=0``)
+    or ``[K, B_local, ...]`` (``batch_dim=1``, stacked multi-step group)
+    where ``B_global = B_local * process_count``; every leaf is placed with
     ``jax.make_array_from_process_local_data`` so each host's rows land on
     its own addressable devices (row-major process order — the loader slices
     the global batch the same way, see ``batches_from_dataset``).
@@ -56,13 +70,14 @@ def place_batch_global(local_batch, mesh: Mesh, axis: str = "data",
     assembly math (the driver's CPU mesh has one process).
     """
     pc = jax.process_count() if process_count is None else process_count
-    sharding = batch_sharding(mesh, axis)
+    sharding = _sharding_for_dim(mesh, axis, batch_dim)
 
     def put(x):
         x = np.asarray(x)
-        global_shape = (x.shape[0] * pc,) + x.shape[1:]
+        global_shape = list(x.shape)
+        global_shape[batch_dim] *= pc
         return jax.make_array_from_process_local_data(
-            sharding, x, global_shape
+            sharding, x, tuple(global_shape)
         )
 
     return jax.tree.map(put, local_batch)

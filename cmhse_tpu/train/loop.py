@@ -34,33 +34,41 @@ def adjust_learning_rate(cfg: ExperimentConfig, epoch: int) -> float:
     return t.lr * (t.lr_decay ** (epoch // max(t.lr_update, 1)))
 
 
-def _prefetch(batch_iter, mesh, lookahead: int = 2):
+def _grouped_host_batches(batch_iter, spd: int):
+    """Group HOST batches for multi-step dispatch: yields
+    ``(n_steps, n_pairs, host_batch)`` where for ``spd > 1`` the batch is
+    np.stack-ed to ``[K, B, ...]`` (the epoch's final group may be short —
+    one extra ``[r < K]`` program, compiled once per run). Stacking and the
+    valid-pair count both happen host-side, BEFORE placement — a
+    multi-host global batch spans non-addressable devices and cannot be
+    fetched back."""
+    from itertools import batched
+
+    for group in batched(batch_iter, spd):
+        n_pairs = int(sum(int(np.asarray(b.valid).sum()) for b in group))
+        if spd == 1:
+            yield 1, n_pairs, group[0]
+        else:
+            yield (len(group), n_pairs,
+                   jax.tree.map(lambda *xs: np.stack(xs), *group))
+
+
+def _prefetch(group_iter, mesh, spd: int, lookahead: int = 2):
     """Double-buffered host->device pipeline: device_put is async, so pushing
-    the next batch while the current step runs hides the transfer (the
+    the next group while the current step runs hides the transfer (the
     reference relied on DataLoader worker processes for the same overlap)."""
     from collections import deque
 
+    batch_dim = 1 if spd > 1 else 0
     buf = deque()
-    for batch in batch_iter:
-        buf.append(place_batch(batch, mesh) if mesh is not None else batch)
+    for n_steps, n_pairs, host in group_iter:
+        placed = (place_batch(host, mesh, batch_dim=batch_dim)
+                  if mesh is not None else host)
+        buf.append((n_steps, n_pairs, placed))
         if len(buf) >= lookahead:
             yield buf.popleft()
     while buf:
         yield buf.popleft()
-
-
-def _dispatch_groups(batch_iter, k: int):
-    """Group device-resident batches into lists of up to ``k`` for
-    multi-step dispatch (train_steps). The epoch's final group may be
-    short — it compiles one extra [r < k] program, once per run."""
-    group = []
-    for batch in batch_iter:
-        group.append(batch)
-        if len(group) == k:
-            yield group
-            group = []
-    if group:
-        yield group
 
 
 def fit(
@@ -128,6 +136,16 @@ def fit(
     if mesh is not None:
         state = place_state(state, mesh)
 
+    # steps_per_dispatch > 1: scan several updates inside one jit dispatch
+    # (train_steps) to amortize host->device dispatch latency; needs
+    # identical batch shapes, so it requires the fixed-shape loader mode.
+    # Log/val cadence rounds to dispatch boundaries.
+    spd = max(1, cfg.train.steps_per_dispatch)
+    if spd > 1 and not cfg.data.fixed_shape:
+        print("steps_per_dispatch > 1 requires fixed_shape batches; "
+              "running 1 step per dispatch")
+        spd = 1
+
     global_step = int(state.step)
     for epoch in range(start_epoch, cfg.train.num_epochs):
         lr = adjust_learning_rate(cfg, epoch)
@@ -146,27 +164,14 @@ def fit(
             process_index=jax.process_index(),
             process_count=jax.process_count(),
         )
-        # steps_per_dispatch > 1: scan several updates inside one jit
-        # dispatch (train_steps) to amortize host->device dispatch latency;
-        # needs identical batch shapes, so it requires the fixed-shape
-        # loader mode. Log/val cadence rounds to dispatch boundaries.
-        spd = max(1, cfg.train.steps_per_dispatch)
-        if spd > 1 and not cfg.data.fixed_shape:
-            print("steps_per_dispatch > 1 requires fixed_shape batches; "
-                  "running 1 step per dispatch")
-            spd = 1
-
-        import jax.numpy as jnp
-
-        for group in _dispatch_groups(_prefetch(batch_iter, mesh), spd):
+        groups = _grouped_host_batches(batch_iter, spd)
+        for n_steps, group_pairs, batch in _prefetch(groups, mesh, spd):
             if spd > 1:
-                stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *group)
-                state, metrics = train_steps(state, stacked, cfg.loss)
-                n_pairs += int(np.asarray(stacked.valid).sum())
+                state, metrics = train_steps(state, batch, cfg.loss)
             else:
-                state, metrics = train_step(state, group[0], cfg.loss)
-                n_pairs += int(np.asarray(group[0].valid).sum())
-            prev_step, global_step = global_step, global_step + len(group)
+                state, metrics = train_step(state, batch, cfg.loss)
+            n_pairs += group_pairs
+            prev_step, global_step = global_step, global_step + n_steps
 
             if global_step // cfg.train.log_step > prev_step // cfg.train.log_step:
                 means = {k: float(np.mean(np.asarray(v)))

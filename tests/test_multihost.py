@@ -82,3 +82,23 @@ def test_place_batch_global_matches_device_put():
     # the assembled batch feeds the jitted step exactly like device_put does
     s = jnp.sum(via_global.frames) + jnp.sum(via_global.word_len)
     assert np.isfinite(float(s))
+
+
+def test_place_batch_global_stacked_dim1():
+    """Stacked multi-step groups ([K, B, ...], train_steps) shard on dim 1:
+    the global assembly must scale dim 1 by process_count and match the
+    single-process device_put placement."""
+    mesh = make_mesh((-1,), ("data",))
+    it = iter(batches_from_dataset(_ds(16), CFG, shuffle=False))
+    b0, b1 = next(it), next(it)
+    stacked = jax.tree.map(lambda a, b: np.stack([a, b]), b0, b1)
+    via_put = place_batch(stacked, mesh, batch_dim=1)
+    via_global = place_batch_global(stacked, mesh, process_count=1,
+                                    batch_dim=1)
+    for leaf_put, leaf_glob in zip(jax.tree.leaves(via_put),
+                                   jax.tree.leaves(via_global)):
+        assert leaf_glob.sharding == leaf_put.sharding
+        assert leaf_glob.shape == leaf_put.shape
+        np.testing.assert_array_equal(np.asarray(leaf_glob),
+                                      np.asarray(leaf_put))
+    assert via_global.frames.shape[0] == 2  # K preserved, unsharded
