@@ -160,3 +160,20 @@ def test_steps_per_dispatch_matches_single_step(tmp_path):
         np.testing.assert_allclose(np.asarray(p1, np.float32),
                                    np.asarray(p2, np.float32),
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_steps_per_dispatch_bucketed_falls_back(tmp_path, capsys):
+    """Bucketed batches have varying shapes, so spd>1 must fall back to
+    1-step dispatch with a loud warning — and still train."""
+    import dataclasses
+
+    cfg = _cfg(tmp_path, epochs=1)
+    cfg = dataclasses.replace(
+        cfg,
+        data=dataclasses.replace(cfg.data, fixed_shape=False,
+                                 group_by_length=True),
+        train=dataclasses.replace(cfg.train, steps_per_dispatch=4),
+    )
+    state, _ = fit(cfg, _ds(16), None)
+    assert int(state.step) > 0
+    assert "requires fixed_shape" in capsys.readouterr().out
