@@ -88,9 +88,15 @@ def batches_from_dataset(
         starts = np.arange(0, len(order), cfg.batch_size)
         if shuffle:
             rng.shuffle(starts)
-        order = np.concatenate(
-            [order[s : s + cfg.batch_size] for s in starts]
-        )
+        # keep GROUPS intact rather than concatenating and re-slicing by a
+        # fixed stride: when len(dataset) % batch_size != 0 the short group
+        # can land mid-stream after the shuffle, and a stride re-slice would
+        # shift every later batch across two length groups — silently
+        # re-creating the padding the grouping exists to remove
+        groups = [order[s : s + cfg.batch_size] for s in starts]
+    else:
+        groups = [order[s : s + cfg.batch_size]
+                  for s in range(0, len(order), cfg.batch_size)]
     if process_count > 1 and not fixed_shape:
         raise ValueError(
             "bucketed (fixed_shape=False) batches are not supported "
@@ -109,10 +115,11 @@ def batches_from_dataset(
         feature_dtype=cfg.feature_dtype,
     )
 
-    for start in range(0, len(order), cfg.batch_size):
-        idxs = order[start : start + cfg.batch_size]
+    for idxs in groups:
         if drop_last and len(idxs) < cfg.batch_size:
-            return
+            # the short group (grouped mode: anywhere in the stream) is
+            # skipped, not an early epoch end
+            continue
         if process_count > 1:
             # contiguous slice of the GLOBAL batch; only these rows' feature
             # I/O happens on this process

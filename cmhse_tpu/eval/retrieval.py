@@ -36,14 +36,7 @@ def streaming_bidirectional_metrics(
     ``valid``: bool[N] row validity for device-resident galleries that keep
     padding rows in place; invalid rows are excluded as queries AND gallery.
     """
-    from cmhse_tpu.ops.ranking import (
-        masked_mean_rank,
-        masked_median_rank,
-        masked_recall_at_k,
-        mean_rank,
-        median_rank,
-        recall_at_k,
-    )
+    from cmhse_tpu.ops.ranking import bidirectional_metrics_from_ranks
 
     pos_score = jnp.sum(
         v_emb.astype(jnp.float32) * p_emb.astype(jnp.float32), axis=1
@@ -51,31 +44,15 @@ def streaming_bidirectional_metrics(
     if valid is not None:
         # invalid rows must not look like (possibly NaN) real queries
         pos_score = jnp.where(valid, pos_score, jnp.inf)
-    out: dict = {}
-    for prefix, (a, b) in (
-        ("v2p", (v_emb, p_emb)),
-        ("p2v", (p_emb, v_emb)),
-    ):
-        ranks = pallas_rank_counts(
+
+    def rank_fn(a, b):
+        return pallas_rank_counts(
             a, b, pos_score, gallery_valid=valid,
             pos_idx=jnp.arange(a.shape[0], dtype=jnp.int32),
         )
-        if valid is None:
-            for k in ks:
-                out[f"{prefix}_r@{k}"] = recall_at_k(ranks, k) * 100.0
-            out[f"{prefix}_medr"] = median_rank(ranks)
-            out[f"{prefix}_meanr"] = mean_rank(ranks)
-        else:
-            for k in ks:
-                out[f"{prefix}_r@{k}"] = (
-                    masked_recall_at_k(ranks, k, valid) * 100.0
-                )
-            out[f"{prefix}_medr"] = masked_median_rank(ranks, valid)
-            out[f"{prefix}_meanr"] = masked_mean_rank(ranks, valid)
-    out["rsum"] = sum(
-        out[f"{d}_r@{k}"] for d in ("v2p", "p2v") for k in ks if k <= 10
-    )
-    return out
+
+    return bidirectional_metrics_from_ranks(rank_fn, v_emb, p_emb,
+                                            ks=ks, valid=valid)
 
 
 def validate_metrics(
@@ -96,12 +73,18 @@ def validate_metrics(
     """
     if mesh is not None:
         # fully device-resident path: encode -> sharded rank counting ->
-        # masked reductions; only the final scalars cross to the host
+        # masked reductions; only the final scalars cross to the host.
+        # Batches are placed batch-sharded over the mesh BEFORE encoding, so
+        # (a) the encode itself runs data-parallel and (b) on a multi-host
+        # pod each process may feed just its slice of every global batch
+        # (loader process_index/process_count) — place_batch assembles the
+        # global arrays; host batches would not be addressable globally.
         from cmhse_tpu.eval.encode import encode_gallery_device
         from cmhse_tpu.parallel.eval_sharded import sharded_retrieval_metrics
+        from cmhse_tpu.parallel.train_dp import place_batch
 
         video_embs, para_embs, valid = encode_gallery_device(
-            model, params, batches
+            model, params, (place_batch(b, mesh) for b in batches)
         )
         metrics = sharded_retrieval_metrics(
             video_embs, para_embs, mesh, ks=ks, mode=mode, valid=valid,

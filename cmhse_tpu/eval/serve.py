@@ -52,9 +52,30 @@ class Retriever:
         )
         self.gallery = v
         self.gallery_valid = jnp.asarray(valid)
-        # row-aligned keys (padding rows keep a -1/None placeholder so
-        # returned indices map directly)
-        self.gallery_keys = keys if keys is not None else list(ids)
+        # row-aligned keys: the device gallery keeps padding rows IN PLACE,
+        # so caller-supplied compact keys (one per real example — the
+        # pre-device-gallery contract) must be spread onto the valid row
+        # positions, not zipped against raw row indices
+        if keys is None:
+            self.gallery_keys = list(ids)
+        else:
+            rows = int(v.shape[0])
+            valid_np = np.asarray(valid)
+            nvalid = int(valid_np.sum())
+            if len(keys) == rows:
+                self.gallery_keys = list(keys)
+            elif len(keys) == nvalid:
+                spread: list = [None] * rows
+                it = iter(keys)
+                for i, ok in enumerate(valid_np):
+                    if ok:
+                        spread[i] = next(it)
+                self.gallery_keys = spread
+            else:
+                raise ValueError(
+                    f"keys has {len(keys)} entries; expected one per gallery "
+                    f"row ({rows}) or one per valid example ({nvalid})"
+                )
 
     def retrieve(
         self, words: Array, word_len: Array, sent_len: Array, k: int = 10

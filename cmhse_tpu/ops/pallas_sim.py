@@ -408,10 +408,17 @@ def pallas_rank_counts(
 ) -> Array:
     """1-based rank of each query's positive via the streaming count kernel
     (see :func:`pallas_violation_counts`); NaN positives rank worst."""
-    n = gallery.shape[0]
     ranks = pallas_violation_counts(
         queries, gallery, pos_score, gallery_valid, pos_idx=pos_idx,
         precision=precision,
     ) + 1
-    # NaN positive => worst rank (see ops.ranking.retrieval_ranks)
-    return jnp.where(jnp.isnan(pos_score), n, ranks)
+    # NaN positive => worst rank (see ops.ranking.retrieval_ranks). The
+    # sentinel is the VALID gallery size when a mask is given — the dense
+    # path compacts invalid rows away before ranking, and the dispatch
+    # boundary (should_stream) must not change NaN-query metrics.
+    n = gallery.shape[0]
+    worst = (
+        n if gallery_valid is None
+        else jnp.sum(gallery_valid.astype(jnp.int32))
+    )
+    return jnp.where(jnp.isnan(pos_score), worst, ranks)

@@ -104,6 +104,48 @@ def retrieval_metrics(
     return out
 
 
+def bidirectional_metrics_from_ranks(
+    rank_fn,
+    v_emb: Array,
+    p_emb: Array,
+    ks: tuple[int, ...] = (1, 5, 10, 50),
+    valid: Array | None = None,
+) -> dict[str, Array]:
+    """Assemble the bidirectional R@k / MedR / MeanR / rsum dict from a
+    rank-producing callable ``rank_fn(queries, gallery) -> [N] ranks``.
+
+    One shared assembly for every ranking backend (dense, streaming Pallas,
+    mesh-sharded) so the metric names, masked/unmasked reductions, and the
+    rsum k<=10 model-selection rule cannot drift between paths.
+
+    ``valid``: bool[N] row validity for device-resident galleries that keep
+    padding rows in place; invalid rows are excluded from the reductions
+    (the rank_fn is responsible for excluding them as gallery items).
+    """
+    out: dict[str, Array] = {}
+    for prefix, (a, b) in (
+        ("v2p", (v_emb, p_emb)),
+        ("p2v", (p_emb, v_emb)),
+    ):
+        ranks = rank_fn(a, b)
+        if valid is None:
+            for k in ks:
+                out[f"{prefix}_r@{k}"] = recall_at_k(ranks, k) * 100.0
+            out[f"{prefix}_medr"] = median_rank(ranks)
+            out[f"{prefix}_meanr"] = mean_rank(ranks)
+        else:
+            for k in ks:
+                out[f"{prefix}_r@{k}"] = (
+                    masked_recall_at_k(ranks, k, valid) * 100.0
+                )
+            out[f"{prefix}_medr"] = masked_median_rank(ranks, valid)
+            out[f"{prefix}_meanr"] = masked_mean_rank(ranks, valid)
+    out["rsum"] = sum(
+        out[f"{d}_r@{k}"] for d in ("v2p", "p2v") for k in ks if k <= 10
+    )
+    return out
+
+
 def bidirectional_metrics(
     sims: Array,
     ks: tuple[int, ...] = (1, 5, 10, 50),

@@ -35,7 +35,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from cmhse_tpu.ops.pallas_sim import pallas_violation_counts, should_stream
-from cmhse_tpu.ops.ranking import recall_at_k
 
 
 def _pad_rows(x: Array, multiple: int) -> tuple[Array, int]:
@@ -82,11 +81,26 @@ def sharded_ranks(
     if valid is not None:
         valid_pad, _ = _pad_rows(valid, ndev)
         gallery_valid = gallery_valid & valid_pad
-    stream = should_stream(npad // ndev, streaming)
+    # dispatch on the gallery extent each device actually multiplies: query
+    # mode replicates the FULL gallery per device ([Q/ndev, npad] block);
+    # gallery mode shards it ([npad, npad/ndev] block). Using the sharded
+    # size in query mode deferred streaming until npad >= MIN * ndev and let
+    # the dense branch materialize multi-GB blocks at large N.
+    stream = should_stream(
+        npad if mode == "query" else npad // ndev, streaming
+    )
     # the positives are the ALIGNED rows, so each query's positive score is a
     # row-wise dot — same float32 reduction the GEMM diagonal would produce
     pos_score_full = jnp.sum(
         v_pad.astype(jnp.float32) * p_pad.astype(jnp.float32), axis=1
+    )
+    # NaN-positive sentinel: the VALID gallery size — matches both the
+    # single-device retrieval_ranks path (which sees n rows) and the
+    # compacted dense path when a caller validity mask drops rows, so the
+    # metric does not depend on which execution path ranked the query
+    worst = (
+        jnp.int32(n) if valid is None
+        else jnp.sum(valid.astype(jnp.int32))
     )
 
     if mode == "query":
@@ -95,14 +109,14 @@ def sharded_ranks(
             shard_map,
             mesh=mesh,
             in_specs=(P(axis, None), P(None, None), P(axis), P(None),
-                      P(axis)),
+                      P(axis), P()),
             out_specs=P(axis),
             # the vma checker cannot see through interpret-mode pallas_call
             # block slicing; the streaming variant is parity-tested against
             # the dense path (which keeps the checker) instead
             check_vma=not stream,
         )
-        def _ranks(v, p, pos, gvalid, pos_score_shard):
+        def _ranks(v, p, pos, gvalid, pos_score_shard, worst_rank):
             if stream:
                 counts = pallas_violation_counts(
                     v, p, pos_score_shard, gallery_valid=gvalid,
@@ -117,12 +131,14 @@ def sharded_ranks(
                 pos_score = ps[:, 0]
             ranks = counts + 1
             # NaN positive => worst rank, never a bogus rank 1. Sentinel is
-            # the TRUE gallery size n (not the padded size) so these ranks
-            # match the single-device retrieval_ranks path exactly even when
-            # N is not a multiple of the device count (ADVICE.md round 1).
-            return jnp.where(jnp.isnan(pos_score), n, ranks)
+            # the VALID gallery size (not the padded size) so these ranks
+            # match the single-device paths exactly even when N is not a
+            # multiple of the device count (ADVICE.md round 1) or a caller
+            # mask drops rows.
+            return jnp.where(jnp.isnan(pos_score), worst_rank, ranks)
 
-        ranks = _ranks(v_pad, p_pad, pos_idx, gallery_valid, pos_score_full)
+        ranks = _ranks(v_pad, p_pad, pos_idx, gallery_valid,
+                       pos_score_full, worst)
 
     elif mode == "gallery":
 
@@ -130,12 +146,12 @@ def sharded_ranks(
             shard_map,
             mesh=mesh,
             in_specs=(P(None, None), P(axis, None), P(None), P(axis),
-                      P(None)),
+                      P(None), P()),
             out_specs=P(None),
             # see the query-mode comment: checker off only for streaming
             check_vma=not stream,
         )
-        def _ranks(v, p_shard, pos, gvalid_shard, pos_score):
+        def _ranks(v, p_shard, pos, gvalid_shard, pos_score, worst_rank):
             shard_size = p_shard.shape[0]
             if stream:
                 # positive column index local to this gallery shard
@@ -168,10 +184,11 @@ def sharded_ranks(
                 local_counts = jnp.sum(greater, axis=1).astype(jnp.int32)
             counts = jax.lax.psum(local_counts, axis)
             ranks = counts + 1
-            # true-size sentinel: see the query-mode comment above
-            return jnp.where(jnp.isnan(pos_score), n, ranks)
+            # valid-size sentinel: see the query-mode comment above
+            return jnp.where(jnp.isnan(pos_score), worst_rank, ranks)
 
-        ranks = _ranks(v_pad, p_pad, pos_idx, gallery_valid, pos_score_full)
+        ranks = _ranks(v_pad, p_pad, pos_idx, gallery_valid,
+                       pos_score_full, worst)
     else:
         raise ValueError(f"unknown mode {mode!r}")
 
@@ -198,35 +215,14 @@ def sharded_retrieval_metrics(
     padded rows in place (see ``encode_gallery_device``); invalid rows are
     excluded as both queries and gallery items.
     """
-    from cmhse_tpu.ops.ranking import (
-        masked_mean_rank,
-        masked_median_rank,
-        masked_recall_at_k,
-    )
+    from cmhse_tpu.ops.ranking import bidirectional_metrics_from_ranks
 
-    out: dict[str, Array] = {}
-    for prefix, (a, b) in (
-        ("v2p", (v_emb, p_emb)),
-        ("p2v", (p_emb, v_emb)),
-    ):
-        ranks = sharded_ranks(a, b, mesh, axis=axis, mode=mode, valid=valid,
-                              streaming=streaming)
-        if valid is None:
-            for k in ks:
-                out[f"{prefix}_r@{k}"] = recall_at_k(ranks, k) * 100.0
-            out[f"{prefix}_medr"] = jnp.median(ranks.astype(jnp.float32))
-            out[f"{prefix}_meanr"] = jnp.mean(ranks.astype(jnp.float32))
-        else:
-            for k in ks:
-                out[f"{prefix}_r@{k}"] = (
-                    masked_recall_at_k(ranks, k, valid) * 100.0
-                )
-            out[f"{prefix}_medr"] = masked_median_rank(ranks, valid)
-            out[f"{prefix}_meanr"] = masked_mean_rank(ranks, valid)
-    out["rsum"] = sum(
-        out[f"{d}_r@{k}"] for d in ("v2p", "p2v") for k in ks if k <= 10
-    )
-    return out
+    def rank_fn(a, b):
+        return sharded_ranks(a, b, mesh, axis=axis, mode=mode, valid=valid,
+                             streaming=streaming)
+
+    return bidirectional_metrics_from_ranks(rank_fn, v_emb, p_emb,
+                                            ks=ks, valid=valid)
 
 
 def _sim_topk_body(q, g_shard, gvalid_shard, *, axis: str, k: int):

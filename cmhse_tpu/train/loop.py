@@ -218,7 +218,14 @@ def fit(
 
 def _validate_and_save(cfg, model, state, val_dataset, mesh, ckpt, logger,
                        epoch, best_rsum):
-    batches = batches_from_dataset(val_dataset, cfg.data, shuffle=False)
+    # multi-host: each process loads only its slice of every val batch;
+    # validate_metrics' mesh path assembles the global arrays (a host-side
+    # full iteration per process would feed non-addressable global jits)
+    batches = batches_from_dataset(
+        val_dataset, cfg.data, shuffle=False,
+        process_index=jax.process_index(),
+        process_count=jax.process_count(),
+    )
     metrics = validate_metrics(model, state.params, batches, ks=(1, 5, 10, 50),
                                mesh=mesh)
     print(format_table(metrics))

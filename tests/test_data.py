@@ -240,3 +240,45 @@ def test_precomp_dataset_h5_layouts(tmp_path):
     assert len(ex_group.clips) == 2
     assert ex_group.clips[0].shape == (6, 6)
     assert ds.max_frame_len(ds.keys.index("group_vid")) == 6
+
+
+def test_group_by_length_batches_stay_aligned_with_remainder():
+    """Regression: with len(dataset) % batch_size != 0 the short group can
+    land mid-stream after the group shuffle; batches must keep their GROUP
+    membership rather than being re-sliced by a fixed stride (which shifted
+    every later batch across two length groups)."""
+    from cmhse_tpu.data.datasets import RaggedExample
+
+    class _Lens:
+        """video i has exactly i+1 frames in its single clip."""
+
+        def __init__(self, n):
+            self.n = n
+
+        def __len__(self):
+            return self.n
+
+        def max_frame_len(self, idx):
+            return idx + 1
+
+        def __getitem__(self, idx):
+            clip = np.full((idx + 1, 4), float(idx), np.float32)
+            return RaggedExample(video_id=idx, clips=[clip],
+                                 sentences=[np.array([1, 2], np.int32)])
+
+    cfg = DataConfig(batch_size=4, feat_dim=4, vocab_size=8, max_clips=1,
+                     max_frames=16, max_sentences=1, max_words=4,
+                     frame_buckets=(4, 8, 16), word_buckets=(4,))
+    ds = _Lens(10)  # 10 % 4 = 2: one short group among the three
+    for seed in range(5):  # several shuffles: short group position varies
+        sizes = []
+        for batch in batches_from_dataset(ds, cfg, shuffle=True, seed=seed,
+                                          fixed_shape=False,
+                                          group_by_length=True):
+            lens = sorted(int(l) for l in
+                          np.asarray(batch.frame_len[:, 0])[
+                              np.asarray(batch.valid)])
+            sizes.append(len(lens))
+            # each batch must be one contiguous run of the sorted lengths
+            assert lens[-1] - lens[0] == len(lens) - 1, lens
+        assert sorted(sizes) == [2, 4, 4]

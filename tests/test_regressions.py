@@ -116,3 +116,38 @@ def test_nan_positive_ranks_worst_pallas():
     ranks = np.asarray(pallas_rank_counts(q, g, pos_score))
     assert ranks[1] == 10
     assert np.isfinite(ranks).all()
+
+
+def test_nan_sentinel_consistent_across_dispatch_boundary():
+    """The streaming/dense dispatch (should_stream) must not change a
+    NaN-positive query's rank when a validity mask drops gallery rows: both
+    paths use the VALID gallery size as the worst-rank sentinel (the dense
+    path compacts invalid rows away before ranking)."""
+    from cmhse_tpu.eval.retrieval import streaming_bidirectional_metrics
+    from cmhse_tpu.ops.ranking import bidirectional_metrics
+    from cmhse_tpu.ops.similarity import cosine_sim, l2norm
+
+    rng = np.random.RandomState(0)
+    n, nvalid, d = 12, 9, 8
+    v = l2norm(jnp.asarray(rng.randn(n, d).astype(np.float32)))
+    p = l2norm(jnp.asarray(rng.randn(n, d).astype(np.float32)))
+    valid = jnp.asarray(np.arange(n) < nvalid)
+    v = v.at[2].set(jnp.nan)  # one valid NaN query
+
+    stream = streaming_bidirectional_metrics(v, p, ks=(1, 5), valid=valid)
+    keep = np.asarray(valid)
+    dense = bidirectional_metrics(
+        cosine_sim(v[keep], p[keep]), ks=(1, 5)
+    )
+    for key in ("v2p_meanr", "v2p_medr", "p2v_meanr", "rsum"):
+        np.testing.assert_allclose(float(stream[key]), float(dense[key]),
+                                   err_msg=key)
+
+    # sharded paths agree too (both modes, both kernels)
+    mesh = make_mesh((-1,), ("data",))
+    for mode in ("query", "gallery"):
+        for streaming in (False, True):
+            ranks = np.asarray(sharded_ranks(v, p, mesh, mode=mode,
+                                             streaming=streaming,
+                                             valid=valid))
+            assert ranks[2] == nvalid, (mode, streaming, ranks[2])

@@ -91,7 +91,10 @@ def test_sharded_ranks_streaming_nan_and_valid(mesh):
             sharded_ranks(v, p, mesh, mode=mode, valid=valid, streaming=True)
         )
         np.testing.assert_array_equal(streamed, dense)
-    assert streamed[7] == 40  # NaN positive still worst-ranked
+    # NaN positive still worst-ranked; the sentinel is the VALID gallery
+    # size (matching what the compacted dense single-device path reports),
+    # not the raw row count
+    assert streamed[7] == int(np.asarray(valid).sum())
 
 
 def test_streaming_bidirectional_metrics_match_dense():

@@ -135,3 +135,39 @@ def test_retriever_topk_single_and_sharded():
     scores2, idx2 = r2.retrieve(b.words, b.word_len, b.sent_len, k=5)
     np.testing.assert_array_equal(idx, idx2)
     np.testing.assert_allclose(scores, scores2, rtol=1e-5)
+
+
+def test_retriever_compact_keys_spread_onto_valid_rows():
+    """The device gallery keeps padding rows IN PLACE (possibly mid-gallery
+    when a non-final batch is short); caller-supplied compact keys — one per
+    real example — must map onto the VALID row positions, and a key count
+    matching neither rows nor examples must be rejected."""
+    import pytest as _pytest
+
+    from cmhse_tpu.data.bucketing import BucketSpec, pad_batch
+
+    cfg = ExperimentConfig(
+        data=DataConfig(batch_size=4, feat_dim=8, vocab_size=64, max_clips=2,
+                        max_frames=4, max_sentences=2, max_words=4),
+        model=ModelConfig(embed_size=16, word_dim=8, feat_dim=8,
+                          rnn_hidden=16),
+    )
+    ds = SyntheticHierarchicalDataset(num_videos=7, feat_dim=8, vocab_size=64,
+                                      max_clips=2, max_frames=4, max_words=4)
+    spec = BucketSpec(batch_size=4, max_clips=2, max_frames=4,
+                      max_sentences=2, max_words=4, feat_dim=8)
+    # batch 0 holds examples 0-2 (+1 pad row MID-gallery), batch 1 holds 3-6
+    batches = [pad_batch([ds[i] for i in range(3)], spec),
+               pad_batch([ds[i] for i in range(3, 7)], spec)]
+    state = create_train_state(cfg, jax.random.PRNGKey(0), batches[0])
+    model = CMHSE(cfg=cfg.model, vocab_size=cfg.data.vocab_size)
+
+    keys = [f"vid_{i}" for i in range(7)]  # compact: one per real example
+    r = Retriever(model, state.params)
+    r.build_gallery(batches, keys=keys)
+    valid = np.asarray(r.gallery_valid)
+    assert r.gallery_keys[3] is None  # the mid-gallery pad row has no key
+    assert [r.gallery_keys[i] for i in np.nonzero(valid)[0]] == keys
+
+    with _pytest.raises(ValueError, match="keys"):
+        r.build_gallery(batches, keys=keys[:5])
