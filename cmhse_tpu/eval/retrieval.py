@@ -9,6 +9,7 @@ The similarity matrix and ranking run on device (single chip via
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -83,14 +84,41 @@ def validate_metrics(
         from cmhse_tpu.parallel.eval_sharded import sharded_retrieval_metrics
         from cmhse_tpu.parallel.train_dp import place_batch
 
+        ndev = int(np.prod(list(mesh.shape.values())))
+        # batch-dim sharding needs GLOBAL rows % ndev == 0; with per-process
+        # local batches that means local rows % devices-per-process == 0
+        pad_to = max(1, ndev // jax.process_count())
+
+        def _placed():
+            for b in batches:
+                # pad with invalid rows (valid=False via zero padding) —
+                # eval masks them out everywhere downstream
+                rows = b.valid.shape[0]
+                pad = (-rows) % pad_to
+                if pad:
+                    b = jax.tree.map(
+                        lambda x: np.pad(
+                            np.asarray(x),
+                            ((0, pad),) + ((0, 0),) * (np.asarray(x).ndim - 1),
+                        ),
+                        b,
+                    )
+                yield place_batch(b, mesh)
+
         video_embs, para_embs, valid = encode_gallery_device(
-            model, params, (place_batch(b, mesh) for b in batches)
+            model, params, _placed()
         )
         metrics = sharded_retrieval_metrics(
             video_embs, para_embs, mesh, ks=ks, mode=mode, valid=valid,
             streaming=streaming,
         )
     else:
+        if jax.process_count() > 1:
+            raise ValueError(
+                "validate_metrics(mesh=None) on a multi-process run would "
+                "score each process's local slice as if it were the whole "
+                "split; pass the global mesh"
+            )
         from cmhse_tpu.eval.encode import encode_gallery_device
 
         video_embs, para_embs, valid = encode_gallery_device(
@@ -142,7 +170,15 @@ def evalrank(
     data_path = data_path or cfg.data.data_path
     vocab = Vocabulary.load(f"{data_path}/vocab.json")
     dataset = PrecompDataset(data_path, split, vocab, feat_dim=cfg.data.feat_dim)
-    batches = batches_from_dataset(dataset, cfg.data, shuffle=False)
+    # multi-host: each process loads only its slice of every batch — the
+    # mesh path of validate_metrics assembles the global arrays; feeding
+    # full batches from every process would duplicate each gallery row
+    # process_count times and silently inflate ranks
+    batches = batches_from_dataset(
+        dataset, cfg.data, shuffle=False,
+        process_index=jax.process_index(),
+        process_count=jax.process_count(),
+    )
     metrics = validate_metrics(model, params, batches, ks=ks, mesh=mesh)
     print(format_table(metrics, ks))
     return metrics

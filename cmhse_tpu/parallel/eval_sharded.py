@@ -81,14 +81,13 @@ def sharded_ranks(
     if valid is not None:
         valid_pad, _ = _pad_rows(valid, ndev)
         gallery_valid = gallery_valid & valid_pad
-    # dispatch on the gallery extent each device actually multiplies: query
-    # mode replicates the FULL gallery per device ([Q/ndev, npad] block);
-    # gallery mode shards it ([npad, npad/ndev] block). Using the sharded
-    # size in query mode deferred streaming until npad >= MIN * ndev and let
-    # the dense branch materialize multi-GB blocks at large N.
-    stream = should_stream(
-        npad if mode == "query" else npad // ndev, streaming
-    )
+    # dispatch on the FULL gallery size: the dense per-device block is
+    # [npad/ndev, npad] in query mode and [npad, npad/ndev] in gallery mode
+    # — identical npad^2/ndev elements either way — so npad is the right
+    # size for the measured crossover in BOTH modes. Using the per-shard
+    # size deferred streaming until npad >= MIN * ndev and let the dense
+    # branch materialize multi-GB blocks at large N.
+    stream = should_stream(npad, streaming)
     # the positives are the ALIGNED rows, so each query's positive score is a
     # row-wise dot — same float32 reduction the GEMM diagonal would produce
     pos_score_full = jnp.sum(

@@ -90,6 +90,11 @@ def fit(
         make_mesh(cfg.train.mesh_shape, cfg.train.mesh_axes)
         if use_mesh else None
     )
+    if mesh is None and jax.process_count() > 1:
+        raise ValueError(
+            "fit(use_mesh=False) is single-process only: multi-host batch "
+            "placement and validation both need the global mesh"
+        )
     logger = JsonlLogger(os.path.join(cfg.train.checkpoint_dir, "log.jsonl"))
     ckpt = CheckpointManager(cfg.train.checkpoint_dir, cfg)
     model = CMHSE(cfg=cfg.model, vocab_size=cfg.data.vocab_size)

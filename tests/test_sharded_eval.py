@@ -227,3 +227,33 @@ def test_sharded_topk_output_replicated_across_devices(mesh):
     for d in range(1, ndev):
         np.testing.assert_array_equal(per_scores[d], per_scores[0])
         np.testing.assert_array_equal(per_idx[d], per_idx[0])
+
+
+def test_validate_metrics_mesh_batch_not_divisible(mesh):
+    """validate_metrics' mesh path must accept batch sizes that do not
+    divide the device count: eval batches are padded with invalid rows
+    before batch-dim placement (regression: place_batch used to raise)."""
+    from cmhse_tpu.config import DataConfig, ExperimentConfig, ModelConfig
+    from cmhse_tpu.data import SyntheticHierarchicalDataset, batches_from_dataset
+    from cmhse_tpu.eval.retrieval import validate_metrics
+    from cmhse_tpu.models import CMHSE
+    from cmhse_tpu.train import create_train_state
+
+    cfg = ExperimentConfig(
+        data=DataConfig(batch_size=6, feat_dim=8, vocab_size=32, max_clips=2,
+                        max_frames=4, max_sentences=2, max_words=4),
+        model=ModelConfig(embed_size=16, word_dim=8, feat_dim=8,
+                          rnn_hidden=16))
+    ds = SyntheticHierarchicalDataset(num_videos=10, feat_dim=8,
+                                      vocab_size=32, max_clips=2,
+                                      max_frames=4, max_words=4)
+    batches = list(batches_from_dataset(ds, cfg.data, shuffle=False))
+    state = create_train_state(cfg, jax.random.PRNGKey(0), batches[0])
+    model = CMHSE(cfg=cfg.model, vocab_size=32)
+    m_mesh = validate_metrics(model, state.params, batches, mesh=mesh)
+    m_single = validate_metrics(
+        model, state.params,
+        list(batches_from_dataset(ds, cfg.data, shuffle=False)))
+    for k in m_single:
+        np.testing.assert_allclose(m_mesh[k], m_single[k], rtol=1e-5,
+                                   err_msg=k)
