@@ -43,10 +43,18 @@ def load_flat_state_dict(path: str) -> dict:
                 break
     if not isinstance(obj, dict):
         raise ValueError(f"{path}: expected a state_dict, got {type(obj)}")
-    return {
-        k: (v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v))
-        for k, v in obj.items()
-    }
+
+    def to_np(v):
+        if hasattr(v, "detach"):
+            v = v.detach().cpu()
+            # bf16/f16 tensors have no direct numpy dtype path
+            # (tensor.numpy() raises); upcast floats to f32 first
+            if v.is_floating_point():
+                v = v.float()
+            return v.numpy()
+        return np.asarray(v)
+
+    return {k: to_np(v) for k, v in obj.items()}
 
 
 def import_checkpoint(
@@ -54,11 +62,10 @@ def import_checkpoint(
     out_dir: str,
     prefix_map: dict | None = None,
     dtype: str = "float32",
+    readout: str = "last",
 ) -> tuple:
     """Convert + validate + persist; returns (model, params, cfg)."""
     import jax
-    import numpy as np
-    import orbax.checkpoint as ocp
 
     from cmhse_tpu.config import (DataConfig, ExperimentConfig, LossConfig,
                                   ModelConfig, TrainConfig)
@@ -70,14 +77,21 @@ def import_checkpoint(
 
     info = infer_model_structure(flat_sd, prefix_map)
     vocab_size = info.pop("vocab_size")
-    if info.pop("bidirectional"):
-        info["bidirectional"] = True  # ModelConfig default is False
-    mcfg = ModelConfig(dtype=dtype, **info)
+    # readout ('last' vs 'mean') is parameterless — not inferable from
+    # tensor shapes; the caller must know the reference's pooling
+    mcfg = ModelConfig(dtype=dtype, readout=readout, **info)
+    if mcfg.hierarchical:
+        data_cfg = DataConfig(vocab_size=vocab_size, feat_dim=mcfg.feat_dim)
+    else:
+        # flat models consume the WHOLE video as one clip / paragraph as one
+        # sentence: the default 64-frame/32-word caps would silently
+        # truncate at eval — use the flat preset's caps (config.py)
+        data_cfg = DataConfig(vocab_size=vocab_size, feat_dim=mcfg.feat_dim,
+                              max_clips=1, max_sentences=1,
+                              max_frames=128, max_words=96)
     cfg = ExperimentConfig(
         name="imported",
-        data=DataConfig(vocab_size=vocab_size, feat_dim=mcfg.feat_dim,
-                        max_clips=1 if not mcfg.hierarchical else 8,
-                        max_sentences=1 if not mcfg.hierarchical else 8),
+        data=data_cfg,
         model=mcfg,
         loss=LossConfig(),
         train=TrainConfig(checkpoint_dir=out_dir),
@@ -109,24 +123,13 @@ def import_checkpoint(
             f"  expected: {t_shapes}\n  imported: {p_shapes}"
         )
 
+    from cmhse_tpu.train.checkpoint import eval_payload, write_best_dir
+
     out_dir = os.path.abspath(out_dir)
     os.makedirs(out_dir, exist_ok=True)
     with open(os.path.join(out_dir, "config.json"), "w") as f:
         f.write(cfg.to_json())
-    payload = {
-        "params": params,
-        "step": np.asarray(0, np.int64),
-        "epoch": np.asarray(0, np.int64),
-        "best_rsum": np.asarray(0.0, np.float64),
-    }
-    best_dir = os.path.join(out_dir, "best")
-    if os.path.exists(best_dir):
-        import shutil
-
-        shutil.rmtree(best_dir)
-    ckptr = ocp.StandardCheckpointer()
-    ckptr.save(best_dir, payload)
-    ckptr.wait_until_finished()
+    write_best_dir(out_dir, eval_payload(params))
     return model, params, cfg
 
 
@@ -141,6 +144,10 @@ def main(argv=None) -> int:
     p.add_argument("--dtype", default="float32",
                    choices=["float32", "bfloat16"],
                    help="compute dtype recorded in the imported config")
+    p.add_argument("--readout", default="last", choices=["last", "mean"],
+                   help="low-level GRU readout of the source model — "
+                        "parameterless, so it cannot be inferred from "
+                        "tensor shapes")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu", "axon"])
     args = p.parse_args(argv)
 
@@ -152,6 +159,7 @@ def main(argv=None) -> int:
     flat = load_flat_state_dict(args.checkpoint)
     model, params, cfg = import_checkpoint(
         flat, args.out_dir, prefix_map=prefix_map, dtype=args.dtype,
+        readout=args.readout,
     )
     n = sum(int(a.size) for a in __import__("jax").tree.leaves(params))
     print(f"imported {len(flat)} tensors ({n:,} parameters) -> "

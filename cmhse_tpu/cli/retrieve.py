@@ -33,7 +33,8 @@ def main(argv=None) -> int:
     data_path = args.data_path or cfg.data.data_path
     vocab = Vocabulary.load(f"{data_path}/vocab.json")
     dataset = PrecompDataset(data_path, args.split, vocab,
-                             feat_dim=cfg.data.feat_dim)
+                             feat_dim=cfg.data.feat_dim,
+                             flat=not cfg.model.hierarchical)
 
     mesh = None
     if args.sharded:

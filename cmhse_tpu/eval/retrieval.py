@@ -169,7 +169,12 @@ def evalrank(
     model, params, cfg = restore_for_eval(checkpoint_path)
     data_path = data_path or cfg.data.data_path
     vocab = Vocabulary.load(f"{data_path}/vocab.json")
-    dataset = PrecompDataset(data_path, split, vocab, feat_dim=cfg.data.feat_dim)
+    # flat (non-hierarchical) models consume the whole video as ONE clip and
+    # the paragraph as ONE joined sentence — same flag the train CLI sets;
+    # without it pad_batch would silently truncate to the first clip/sentence
+    dataset = PrecompDataset(data_path, split, vocab,
+                             feat_dim=cfg.data.feat_dim,
+                             flat=not cfg.model.hierarchical)
     # multi-host: each process loads only its slice of every batch — the
     # mesh path of validate_metrics assembles the global arrays; feeding
     # full batches from every process would duplicate each gallery row

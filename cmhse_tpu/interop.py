@@ -94,35 +94,55 @@ def sequence_encoder_params_from_torch(
     return params
 
 
+def _pop_required(sd: dict, key: str, module: str):
+    """``sd.pop`` with a readable error naming the module's actual keys —
+    real-world checkpoints with slightly different naming should fail with
+    guidance (MIGRATION.md / --prefix_map), not a bare KeyError."""
+    try:
+        return sd.pop(key)
+    except KeyError:
+        near = sorted(k for k in sd if k.startswith(module + "."))
+        raise ValueError(
+            f"state_dict is missing required tensor {key!r}; keys present "
+            f"under {module!r}: {near or '(none)'} — check --prefix_map "
+            "against the documented replica naming (MIGRATION.md)"
+        ) from None
+
+
 def _encoder_from_flat(sd: dict, prefix: str) -> dict:
     """One SequenceEncoder's params from flat ``{prefix}.gru.*`` /
     ``{prefix}.proj.*`` / ``{prefix}.attn_*`` state_dict keys."""
-    gru_keys = ("weight_ih_l0", "weight_hh_l0", "bias_ih_l0", "bias_hh_l0",
-                "weight_ih_l0_reverse", "weight_hh_l0_reverse",
-                "bias_ih_l0_reverse", "bias_hh_l0_reverse")
-    gru = {k: sd.pop(f"{prefix}.gru.{k}")
-           for k in gru_keys if f"{prefix}.gru.{k}" in sd}
+    base = ("weight_ih_l0", "weight_hh_l0", "bias_ih_l0", "bias_hh_l0")
+    gru = {k: _pop_required(sd, f"{prefix}.gru.{k}", prefix) for k in base}
+    if f"{prefix}.gru.weight_ih_l0_reverse" in sd:
+        gru.update({
+            k: _pop_required(sd, f"{prefix}.gru.{k}", prefix)
+            for k in ("weight_ih_l0_reverse", "weight_hh_l0_reverse",
+                      "bias_ih_l0_reverse", "bias_hh_l0_reverse")
+        })
     proj = None
     if f"{prefix}.proj.weight" in sd:
         proj = (sd.pop(f"{prefix}.proj.weight"),
-                sd.pop(f"{prefix}.proj.bias"))
+                _pop_required(sd, f"{prefix}.proj.bias", prefix))
     attn_proj = attn_score = None
     if f"{prefix}.attn_proj.weight" in sd:
         attn_proj = (sd.pop(f"{prefix}.attn_proj.weight"),
-                     sd.pop(f"{prefix}.attn_proj.bias"))
-        attn_score = sd.pop(f"{prefix}.attn_score.weight")
+                     _pop_required(sd, f"{prefix}.attn_proj.bias", prefix))
+        attn_score = _pop_required(sd, f"{prefix}.attn_score.weight", prefix)
     return sequence_encoder_params_from_torch(gru, proj, attn_proj,
                                               attn_score)
 
 
 def _decoder_from_flat(sd: dict, prefix: str) -> dict:
-    gru = {k: sd.pop(f"{prefix}.gru.{k}")
+    gru = {k: _pop_required(sd, f"{prefix}.gru.{k}", prefix)
            for k in ("weight_ih_l0", "weight_hh_l0",
                      "bias_ih_l0", "bias_hh_l0")}
     return recon_decoder_params_from_torch(
-        (sd.pop(f"{prefix}.init.weight"), sd.pop(f"{prefix}.init.bias")),
+        (_pop_required(sd, f"{prefix}.init.weight", prefix),
+         _pop_required(sd, f"{prefix}.init.bias", prefix)),
         gru,
-        (sd.pop(f"{prefix}.out.weight"), sd.pop(f"{prefix}.out.bias")),
+        (_pop_required(sd, f"{prefix}.out.weight", prefix),
+         _pop_required(sd, f"{prefix}.out.bias", prefix)),
     )
 
 
@@ -144,12 +164,15 @@ DEFAULT_PREFIX_MAP = {
 def infer_model_structure(state_dict: dict, prefix_map: dict | None = None) -> dict:
     """Infer the model hyperparameters a state_dict implies.
 
-    Everything the importer needs is recoverable from tensor shapes and key
-    presence: vocab/word_dim from the embedding table, feat_dim and
-    rnn_hidden from the low video GRU's fused ``[3H, D]`` input weights,
-    embed_size from the joint projection (== rnn_hidden when absent),
+    Everything shape-recoverable is inferred: vocab/word_dim from the
+    embedding table, feat_dim and rnn_hidden from the low video GRU's fused
+    ``[3H, D]`` input weights, embed_size from the joint projection (when
+    absent: the GRU output width — 2*rnn_hidden for bidirectional),
     hierarchical / attention_pool / reconstruction / bidirectional from
-    which keys exist. Returns a dict with those seven fields.
+    which keys exist. Returns a dict of ``vocab_size`` plus the matching
+    ModelConfig fields. NOT inferable from shapes: the GRU readout
+    ('last' vs 'mean' — parameterless; pass it explicitly where it
+    matters, e.g. ``cmhse-import --readout``).
     """
     pm = dict(DEFAULT_PREFIX_MAP)
     if prefix_map:
@@ -157,9 +180,15 @@ def infer_model_structure(state_dict: dict, prefix_map: dict | None = None) -> d
     emb = state_dict[f"{pm['word_embedding']}.weight"]
     w_ih = state_dict[f"{pm['video_low']}.gru.weight_ih_l0"]
     hidden, feat_dim = w_ih.shape[0] // 3, w_ih.shape[1]
+    bidirectional = (
+        f"{pm['video_low']}.gru.weight_ih_l0_reverse" in state_dict
+    )
     proj_key = f"{pm['video_low']}.proj.weight"
-    embed = (state_dict[proj_key].shape[0] if proj_key in state_dict
-             else hidden)
+    if proj_key in state_dict:
+        embed = state_dict[proj_key].shape[0]
+    else:
+        # no projection => the encoder emits the GRU output width directly
+        embed = hidden * (2 if bidirectional else 1)
     return {
         "vocab_size": int(emb.shape[0]),
         "word_dim": int(emb.shape[1]),
@@ -170,8 +199,7 @@ def infer_model_structure(state_dict: dict, prefix_map: dict | None = None) -> d
         "attention_pool": f"{pm['video_low']}.attn_proj.weight" in state_dict,
         "reconstruction": f"{pm['video_decoder']}.gru.weight_ih_l0"
                           in state_dict,
-        "bidirectional": f"{pm['video_low']}.gru.weight_ih_l0_reverse"
-                         in state_dict,
+        "bidirectional": bidirectional,
     }
 
 

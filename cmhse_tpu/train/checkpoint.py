@@ -61,13 +61,7 @@ class CheckpointManager:
         self._mgr.save(step, args=ocp.args.StandardSave(payload))
         self._mgr.wait_until_finished()
         if is_best:
-            best_dir = os.path.join(self.directory, "best")
-            if os.path.exists(best_dir):
-                import shutil
-
-                shutil.rmtree(best_dir)
-            self._best.save(best_dir, payload)
-            self._best.wait_until_finished()
+            write_best_dir(self.directory, payload, checkpointer=self._best)
 
     # -- restore --------------------------------------------------------------
 
@@ -99,6 +93,35 @@ class CheckpointManager:
 
     def close(self):
         self._mgr.close()
+
+
+def write_best_dir(directory: str, payload: dict,
+                   checkpointer: ocp.StandardCheckpointer | None = None
+                   ) -> None:
+    """Write (replace) ``<dir>/best/`` with an orbax payload. The payload
+    schema is the one CheckpointManager.save builds and restore_for_eval
+    reads — the single shared writer keeps the importer (cmhse-import) and
+    the training loop producing identical layouts."""
+    best_dir = os.path.join(_abs(directory), "best")
+    if os.path.exists(best_dir):
+        import shutil
+
+        shutil.rmtree(best_dir)
+    ckptr = checkpointer or ocp.StandardCheckpointer()
+    ckptr.save(best_dir, payload)
+    ckptr.wait_until_finished()
+
+
+def eval_payload(params, *, step: int = 0, epoch: int = 0,
+                 best_rsum: float = 0.0) -> dict:
+    """A params-only checkpoint payload (no optimizer state) in the schema
+    ``restore_for_eval`` reads; used by the checkpoint importer."""
+    return {
+        "params": params,
+        "step": np.asarray(step, np.int64),
+        "epoch": np.asarray(epoch, np.int64),
+        "best_rsum": np.asarray(best_rsum, np.float64),
+    }
 
 
 def restore_for_eval(directory: str):

@@ -99,3 +99,39 @@ def test_import_npz_torch_free_path(tmp_path):
     model, params, cfg = restore_for_eval(out_dir)
     emb = np.asarray(params["word_embedding"]["embedding"])
     np.testing.assert_allclose(emb, flat["embedding.weight"], rtol=1e-6)
+
+
+def test_infer_bidirectional_without_proj_embed_size():
+    """No joint projection + bidirectional GRU => the encoder emits 2H, so
+    embed_size must infer as 2*rnn_hidden (H alone would build a template
+    WITH a proj and reject the valid checkpoint)."""
+    import numpy as np
+
+    from cmhse_tpu.interop import infer_model_structure
+
+    H, D = 8, 6
+    sd = {
+        "embedding.weight": np.zeros((50, 5), np.float32),
+        "video_low.gru.weight_ih_l0": np.zeros((3 * H, D), np.float32),
+        "video_low.gru.weight_ih_l0_reverse": np.zeros((3 * H, D),
+                                                       np.float32),
+    }
+    info = infer_model_structure(sd)
+    assert info["bidirectional"] is True
+    assert info["embed_size"] == 2 * H
+
+
+def test_missing_tensor_gives_readable_error():
+    """A checkpoint with slightly different naming must fail with guidance
+    (module's actual keys + a --prefix_map pointer), not a bare KeyError."""
+    import numpy as np
+    import pytest as _pytest
+
+    from cmhse_tpu.interop import model_params_from_state_dict
+
+    sd = {
+        "embedding.weight": np.zeros((50, 5), np.float32),
+        "video_low.rnn.weight_ih_l0": np.zeros((24, 6), np.float32),  # 'rnn'
+    }
+    with _pytest.raises(ValueError, match="prefix_map"):
+        model_params_from_state_dict(sd, hierarchical=False)
