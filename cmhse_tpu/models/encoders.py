@@ -38,13 +38,16 @@ class AttentionPool(nn.Module):
 
     attn_dim: int = 256
     dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, states: Array, lengths: Array) -> Array:
         # states: [B, T, H], lengths: [B]
         t = states.shape[1]
-        h = nn.Dense(self.attn_dim, dtype=self.dtype, name="proj")(states)
-        scores = nn.Dense(1, use_bias=False, dtype=self.dtype, name="score")(
+        h = nn.Dense(self.attn_dim, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="proj")(states)
+        scores = nn.Dense(1, use_bias=False, dtype=self.dtype,
+                          param_dtype=self.param_dtype, name="score")(
             jnp.tanh(h)
         )[..., 0]  # [B, T]
         mask = jnp.arange(t)[None, :] < lengths[:, None]
@@ -87,7 +90,9 @@ class SequenceEncoder(nn.Module):
         elif self.readout == "mean":
             emb = masked_mean(outs, lengths)
         elif self.readout == "attn":
-            emb = AttentionPool(dtype=self.dtype, name="attn_pool")(outs, lengths)
+            emb = AttentionPool(dtype=self.dtype,
+                                param_dtype=self.param_dtype,
+                                name="attn_pool")(outs, lengths)
         else:
             raise ValueError(f"unknown readout {self.readout!r}")
         if self.project and emb.shape[-1] != self.embed_size:

@@ -14,7 +14,7 @@ TPU-first departures from the reference:
     batch shapes, which would force XLA recompiles here;
   * the whole computation is one GEMM + elementwise, fully fusible by XLA; a
     Pallas-fused version with identical semantics lives in
-    ``cmhse_tpu.ops.pallas_sim_hinge``.
+    ``cmhse_tpu.ops.pallas_sim``.
 """
 
 from __future__ import annotations
@@ -23,8 +23,6 @@ import jax.numpy as jnp
 from jax import Array
 
 from cmhse_tpu.ops.similarity import cosine_sim
-
-_NEG_INF = -1e9
 
 
 def positive_mask_from_ids(a_ids: Array, b_ids: Array) -> Array:

@@ -66,8 +66,11 @@ def _simhinge_row_kernel(
     j = pl.program_id(1)
     tn = negmask_ref.shape[1]
 
-    s = jnp.dot(
-        a_ref[:], b_ref[:].T, preferred_element_type=jnp.float32
+    # contracting dims (1, 1): A[i,:].B[j,:] without an explicit .T, which
+    # would materialize a transposed copy of every b-tile before the MXU
+    s = jax.lax.dot_general(
+        a_ref[:], b_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )  # (TM, TN)
     neg = negmask_ref[:] > 0.5  # f32 mask: Mosaic can't compare i8 vectors
     row_logit = jnp.where(neg, margin + s - diag_ref[0, :][:, None], _NEG_INF)
@@ -265,9 +268,14 @@ def _rc_tiles(q: int, d: int) -> tuple[int, int]:
     128x128 tiles -> 144k QPS; 1024x512 -> 359k QPS (2.5x, and ~92% of the
     f32 MXU roofline — see PERFORMANCE.md for the dense-path comparison).
     Budget: q tile TM*D f32 + double-buffered g tiles 2*TN*D f32 within
-    ~12 MB of the 16 MB VMEM."""
-    tm = min(_cdiv(q, 128) * 128, 1024, max(128, 6 * 2**20 // (d * 4)))
-    tn = min(512, max(128, 3 * 2**20 // (d * 4)))
+    ~12 MB of the 16 MB VMEM. The VMEM-budget terms are floored to a
+    multiple of 128 — Mosaic rejects tiles whose lane/sublane extents are
+    not 128/8-aligned (budget quotients like 6 MiB/d hit odd values for
+    d > 1536, and the count/gvalid blocks carry TM/TN on the LANE dim)."""
+    budget_m = max(128, (6 * 2**20 // (d * 4)) // 128 * 128)
+    budget_n = max(128, (3 * 2**20 // (d * 4)) // 128 * 128)
+    tm = min(_cdiv(q, 128) * 128, 1024, budget_m)
+    tn = min(512, budget_n)
     return tm, tn
 
 
@@ -342,10 +350,17 @@ def pallas_violation_counts(
         pos_score came from the same GEMM).
 
       precision: "float32" (exact, the default — rank parity with an f32
-        similarity matrix is guaranteed) or "bfloat16" (bf16 multiplies +
-        f32 accumulate, 2x the MXU rate; same multiply precision as XLA's
-        DEFAULT for f32 jnp.dot on TPU, so near-tie ranks can differ from
-        the f32-exact answer the way the default dense path's already do).
+        similarity matrix is guaranteed for distinct scores) or "bfloat16"
+        (bf16 multiplies + f32 accumulate, 2x the MXU rate; same multiply
+        precision as XLA's DEFAULT for f32 jnp.dot on TPU, so near-tie
+        ranks can differ from the f32-exact answer the way the default
+        dense path's already do). Tie caveat (either precision): a gallery
+        row whose score EXACTLY ties the positive (e.g. a duplicate of the
+        positive row) compares against the caller's separately-reduced
+        ``pos_score``, whose reduction order differs from the kernel GEMM's
+        by up to 1 ulp — such a duplicate may rank one earlier/later than
+        the dense path reports. ``pos_idx`` protects the positive's own
+        column; exact-duplicate rows are a data property, not a kernel one.
 
     Inside ``shard_map`` callers must pass ``check_vma=False`` — the
     varying-mesh-axes checker cannot see through interpret-mode pallas
