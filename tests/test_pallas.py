@@ -149,3 +149,17 @@ def test_fused_loss_gradient_fuzz(seed):
                                rtol=1e-4, atol=1e-6)
     np.testing.assert_allclose(np.asarray(gb_g), np.asarray(gb_w),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_rc_tiles_always_mosaic_aligned():
+    """Tile sizes must stay 128-aligned for ANY embed dim: the VMEM-budget
+    quotients hit odd values for d > 1536 (e.g. 1536/6 MiB splits), and
+    Mosaic rejects lane/sublane-misaligned blocks ON HARDWARE ONLY
+    (regression: d=4096 produced tn=192, d=1664 produced tm=945)."""
+    from cmhse_tpu.ops.pallas_sim import _rc_tiles
+
+    for q in (128, 512, 1024, 4096):
+        for d in (256, 512, 1024, 1536, 1664, 2048, 3072, 4096, 8192):
+            tm, tn = _rc_tiles(q, d)
+            assert tm % 128 == 0 and tm >= 128, (q, d, tm)
+            assert tn % 128 == 0 and tn >= 128, (q, d, tn)
