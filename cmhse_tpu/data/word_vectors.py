@@ -22,13 +22,16 @@ def load_word_vectors(path: str) -> dict[str, np.ndarray]:
         return dict(zip(words, np.asarray(data["vectors"], np.float32)))
     vecs: dict[str, np.ndarray] = {}
     with open(path, encoding="utf-8", errors="ignore") as f:
-        first = f.readline().rstrip("\n").split(" ")
+        # whitespace-split (not single-space): the original word2vec C tool
+        # prints a trailing space per line, which would otherwise put an
+        # empty string into the float conversion
+        first = f.readline().split()
         if len(first) == 2 and first[0].isdigit() and first[1].isdigit():
             pass  # header line: "count dim"
-        elif first and first[0]:
+        elif first:
             vecs[first[0]] = np.asarray(first[1:], np.float32)
         for line in f:
-            parts = line.rstrip("\n").split(" ")
+            parts = line.split()
             if len(parts) < 2:
                 continue
             vecs[parts[0]] = np.asarray(parts[1:], np.float32)
@@ -59,11 +62,26 @@ def init_embedding_table(
         rng = np.random.RandomState(seed)
         table = rng.uniform(-0.1, 0.1, size=(n, word_dim)).astype(np.float32)
     hits = 0
+    dim_mismatches = 0
     for word, idx in vocab.word2idx.items():
         vec = vectors.get(word)
-        if vec is not None and vec.shape[0] == word_dim:
-            table[idx] = vec
-            hits += 1
+        if vec is None:
+            continue
+        if vec.shape[0] != word_dim:
+            dim_mismatches += 1
+            continue
+        table[idx] = vec
+        hits += 1
+    if hits == 0 and dim_mismatches > 0:
+        # a wrong-dimension vectors file matches ZERO rows: silently
+        # training on random embeddings instead of the requested pretrained
+        # init would be very hard to notice (hits=0 buried in log.jsonl)
+        any_dim = next(iter(vectors.values())).shape[0] if vectors else "?"
+        raise ValueError(
+            f"word2vec init matched 0 vocabulary words: the vectors are "
+            f"{any_dim}-dimensional but word_dim={word_dim} — wrong file or "
+            "wrong --word_dim"
+        )
     table[vocab.word2idx[Vocabulary.PAD]] = 0.0
     return table, hits
 

@@ -66,6 +66,21 @@ def _jitted_text_encode(mcfg, vocab_size: int):
     return _encode
 
 
+def _resolve_pallas(mcfg, use_pallas_gru: bool | None):
+    """Resolve the encode-time Pallas GRU toggle: None = auto (on for real
+    TPU, off elsewhere — interpret mode is slower than the scan). The flag
+    OVERRIDES the config in both directions, so a config saved from a TPU
+    training run (pallas_gru=True in config.json) does not force interpret
+    mode when evaluated on a CPU host."""
+    if use_pallas_gru is None:
+        use_pallas_gru = jax.devices()[0].platform == "tpu"
+    if mcfg.pallas_gru != use_pallas_gru:
+        import dataclasses
+
+        mcfg = dataclasses.replace(mcfg, pallas_gru=use_pallas_gru)
+    return mcfg
+
+
 def encode_data(
     model: CMHSE,
     params,
@@ -84,13 +99,7 @@ def encode_data(
     (same params pytree, parity-tested). ``None`` = auto: on for real TPU,
     off elsewhere (interpret mode would be slower than the scan).
     """
-    if use_pallas_gru is None:
-        use_pallas_gru = jax.devices()[0].platform == "tpu"
-    mcfg = model.cfg
-    if use_pallas_gru and not mcfg.pallas_gru:
-        import dataclasses
-
-        mcfg = dataclasses.replace(mcfg, pallas_gru=True)
+    mcfg = _resolve_pallas(model.cfg, use_pallas_gru)
     _encode = _jitted_encode(mcfg, model.vocab_size)
 
     v_all, p_all, ids_all = [], [], []
@@ -107,6 +116,9 @@ def encode_data(
             cmask_all.append(np.asarray(batch.clip_valid())[keep])
             smask_all.append(np.asarray(batch.sent_valid())[keep])
 
+    if not v_all:
+        raise ValueError("no batches to encode (empty split or empty "
+                         "per-process slice)")
     video_embs = jnp.asarray(np.concatenate(v_all))
     para_embs = jnp.asarray(np.concatenate(p_all))
     video_ids = np.concatenate(ids_all)
@@ -139,13 +151,7 @@ def encode_gallery_device(
     ids live on the host already, so this costs no device transfer). Used by
     serving to map gallery row indices back to dataset keys.
     """
-    if use_pallas_gru is None:
-        use_pallas_gru = jax.devices()[0].platform == "tpu"
-    mcfg = model.cfg
-    if use_pallas_gru and not mcfg.pallas_gru:
-        import dataclasses
-
-        mcfg = dataclasses.replace(mcfg, pallas_gru=True)
+    mcfg = _resolve_pallas(model.cfg, use_pallas_gru)
     _encode = _jitted_encode(mcfg, model.vocab_size)
 
     v_all, p_all, valid_all, ids_all = [], [], [], []
@@ -156,6 +162,9 @@ def encode_gallery_device(
         valid_all.append(batch.valid)
         if return_ids:
             ids_all.append(np.asarray(batch.video_ids))
+    if not v_all:
+        raise ValueError("no batches to encode (empty split or empty "
+                         "per-process slice)")
     out = (
         jnp.concatenate(v_all),
         jnp.concatenate(p_all),

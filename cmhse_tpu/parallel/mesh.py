@@ -20,12 +20,25 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def maybe_initialize_distributed() -> None:
     """``jax.distributed.initialize()`` for multi-host pods; harmless no-op
-    when env vars are absent (single host)."""
+    on single-host setups.
+
+    Cloud TPU pod runtimes do NOT set ``JAX_COORDINATOR_ADDRESS`` — jax
+    auto-detects the cluster when ``initialize()`` is called with no args —
+    so the gate checks the pod environment markers too. Skipping the call
+    on a real pod would leave ``jax.process_count() == 1`` on every host:
+    each host would silently train an independent model on the full
+    dataset while racing on the checkpoint directory.
+    """
     import os
 
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
-        "COORDINATOR_ADDRESS"
-    ):
+    explicit = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    # markers the Cloud TPU runtime sets on multi-host slices
+    pod_markers = any(
+        os.environ.get(k)
+        for k in ("TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS",
+                  "TPU_WORKER_ID")
+    )
+    if explicit or pod_markers:
         jax.distributed.initialize()
 
 
@@ -40,6 +53,12 @@ def make_mesh(
         raise ValueError(f"at most one -1 allowed in mesh shape, got {shape}")
     if -1 in shape:
         known = int(np.prod([s for s in shape if s != -1]))
+        if len(devs) % known:
+            raise ValueError(
+                f"mesh shape {shape}: {len(devs)} devices do not divide by "
+                f"the fixed axes (product {known}) — a silent remainder "
+                "would leave devices idle"
+            )
         shape = tuple(len(devs) // known if s == -1 else s for s in shape)
     n = int(np.prod(shape))
     if n > len(devs):
@@ -56,11 +75,3 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(batch, mesh: Mesh, axis: str = "data"):
-    """Place a host-side Batch pytree onto the mesh, batch-dim sharded.
-
-    Every array leaf of :class:`cmhse_tpu.data.batch.Batch` has the batch as
-    its leading dim, so one PartitionSpec covers the whole pytree.
-    """
-    sharding = batch_sharding(mesh, axis)
-    return jax.device_put(batch, sharding)

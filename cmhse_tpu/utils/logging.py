@@ -72,9 +72,22 @@ class JsonlLogger:
             except Exception:
                 self._tb = None
 
+    @staticmethod
+    def _jsonable(v):
+        """numpy/jax scalars and 0-d arrays are the natural thing callers
+        log from device results; coerce them instead of raising."""
+        if hasattr(v, "item") and getattr(v, "ndim", None) in (0, None):
+            try:
+                return v.item()
+            except Exception:
+                pass
+        if hasattr(v, "tolist"):
+            return v.tolist()
+        return str(v)
+
     def log(self, event: str, **fields) -> None:
         rec = {"t": time.time(), "event": event, **fields}
-        self._fh.write(json.dumps(rec) + "\n")
+        self._fh.write(json.dumps(rec, default=self._jsonable) + "\n")
         if self._tb is not None:
             step = int(fields.get("step", fields.get("epoch", 0)) or 0)
             for k, v in fields.items():
