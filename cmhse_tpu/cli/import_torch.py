@@ -26,6 +26,10 @@ import argparse
 import json
 import os
 
+# module-level switch (not a function arg) so library callers of
+# load_flat_state_dict stay safe-by-default; main() flips it on --unsafe-load
+_ALLOW_UNSAFE_LOAD = [False]
+
 
 def load_flat_state_dict(path: str) -> dict:
     """Load a flat name->numpy dict from .pth/.pt/.pth.tar or .npz."""
@@ -35,7 +39,20 @@ def load_flat_state_dict(path: str) -> dict:
         return dict(np.load(path))
     import torch  # lazy: only the importer needs it
 
-    obj = torch.load(path, map_location="cpu", weights_only=False)
+    # reference .pth.tar checkpoints are third-party artifacts: try the safe
+    # tensors-only loader first; full unpickling (which executes arbitrary
+    # pickle code) only behind the explicit opt-in (ADVICE.md round 2)
+    try:
+        obj = torch.load(path, map_location="cpu", weights_only=True)
+    except Exception as safe_err:
+        if not _ALLOW_UNSAFE_LOAD[0]:
+            raise ValueError(
+                f"{path}: not loadable with torch's safe weights_only mode "
+                f"({safe_err}). If you trust this checkpoint, re-run with "
+                "--unsafe-load (full pickle deserialization executes "
+                "arbitrary code embedded in the file)."
+            ) from safe_err
+        obj = torch.load(path, map_location="cpu", weights_only=False)
     if isinstance(obj, dict):
         for key in ("model", "state_dict"):
             if key in obj and isinstance(obj[key], dict):
@@ -149,7 +166,12 @@ def main(argv=None) -> int:
                         "parameterless, so it cannot be inferred from "
                         "tensor shapes")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu", "axon"])
+    p.add_argument("--unsafe-load", action="store_true",
+                   help="allow full pickle deserialization for checkpoints "
+                        "torch's safe weights_only loader rejects (executes "
+                        "code embedded in the file — trusted inputs only)")
     args = p.parse_args(argv)
+    _ALLOW_UNSAFE_LOAD[0] = args.unsafe_load
 
     from cmhse_tpu.cli.train import _force_platform
 

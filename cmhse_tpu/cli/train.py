@@ -22,9 +22,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="e.g. anet_precomp / didemo_precomp")
     p.add_argument("--vocab_path", default=None)
     p.add_argument("--word2vec_path", default=None,
-                   help="pretrained word vectors (.txt word2vec format or "
-                        ".npz) to initialize the embedding table from "
-                        "(the reference's word2vec-initialized text encoder)")
+                   help="pretrained word vectors (word2vec .txt, original "
+                        "C-binary .bin, or .npz) to initialize the embedding "
+                        "table from (the reference's word2vec-initialized "
+                        "text encoder)")
     p.add_argument("--margin", type=float, default=None)
     p.add_argument("--feat_dim", type=int, default=None,
                    help="video feature dim (500 for the C3D-PCA release)")

