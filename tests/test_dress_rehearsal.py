@@ -1,0 +1,152 @@
+"""CLI dress rehearsal over a reference-layout data directory (VERDICT r2
+next-step 1: the last untested reference-shaped workflow).
+
+Drives the REAL console entry points in the order a reference user would
+(SURVEY.md sections 3.1/3.2/3.4 call stacks — no reference line citations
+possible; the mount is empty), over a generated dataset dir in the exact
+reference on-disk layout (challenge-nested h5 + captions json + vocab +
+word2vec .bin):
+
+    cmhse-vocab -> cmhse-train -> cmhse-eval (plain + sharded/gallery)
+    -> cmhse-import (torch replica .pth.tar) -> cmhse-eval (imported)
+    -> cmhse-retrieve
+
+The test would run unchanged on a real downloaded ActivityNet directory —
+only the fixture-generation step would be replaced by the download.
+"""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from reference_layout import (write_reference_dataset, write_word2vec_bin,
+                              make_sentence)
+
+from cmhse_tpu.data.vocab import Vocabulary
+
+# tiny-but-real model dims: hidden == embed so no joint projection (matches
+# what shape inference expects for the replica checkpoint import leg)
+FEAT, WORD_DIM, HIDDEN, EMBED = 8, 5, 16, 16
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("refdata")
+    write_reference_dataset(str(root), n_train=12, n_val=8, feat_dim=FEAT)
+    return str(root)
+
+
+def _jsonl(path):
+    with open(path) as f:
+        return [json.loads(line) for line in f if line.strip()]
+
+
+def test_cli_dress_rehearsal(data_dir, tmp_path, capsys):
+    # ---- 1. cmhse-vocab (reference: python vocab.py; SURVEY 3.4) --------
+    from cmhse_tpu.cli.build_vocab import main as vocab_main
+
+    assert vocab_main(["--data_path", data_dir, "--threshold", "1"]) == 0
+    vocab = Vocabulary.load(os.path.join(data_dir, "vocab.json"))
+    assert len(vocab) > 10  # specials + the word pool
+    assert vocab("man") != vocab(Vocabulary.UNK)
+    # reference-era pickle serialization must also work as an output format
+    pkl = os.path.join(data_dir, "vocab.pkl")
+    assert vocab_main(["--data_path", data_dir, "--threshold", "1",
+                       "--out", pkl]) == 0
+    assert Vocabulary.load(pkl).word2idx == vocab.word2idx
+
+    # ---- 2. word2vec .bin covering some vocabulary words ----------------
+    w2v = os.path.join(data_dir, "vectors.bin")
+    write_word2vec_bin(w2v, ["man", "runs", "park", "dog", "woman"],
+                       dim=WORD_DIM)
+
+    # ---- 3. cmhse-train (reference: python train.py; SURVEY 3.1) --------
+    from cmhse_tpu.cli.train import main as train_main
+
+    ckpt = str(tmp_path / "run")
+    rc = train_main([
+        "--preset", "hier_anet", "--platform", "cpu",
+        "--data_path", data_dir,
+        "--word2vec_path", w2v,
+        "--vocab_size", str(len(vocab)),
+        "--feat_dim", str(FEAT), "--word_dim", str(WORD_DIM),
+        "--rnn_hidden", str(HIDDEN), "--embed_size", str(EMBED),
+        "--max_clips", "3", "--max_frames", "6",
+        "--max_sentences", "3", "--max_words", "12",
+        "--batch_size", "8", "--num_epochs", "2", "--log_step", "1",
+        "--logger_name", ckpt,
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "word2vec init: 5/" in out  # all 5 vector words are in-vocab
+    assert "Video to Paragraph" in out  # validation table printed
+    events = _jsonl(os.path.join(ckpt, "log.jsonl"))
+    kinds = {e["event"] for e in events}
+    assert {"word2vec_init", "train_step", "epoch_end", "validate"} <= kinds
+    assert os.path.exists(os.path.join(ckpt, "config.json"))
+    assert os.path.isdir(os.path.join(ckpt, "best"))
+
+    # ---- 4. cmhse-eval, plain and sharded/gallery (SURVEY 3.2) ----------
+    from cmhse_tpu.cli.evaluate import main as eval_main
+
+    assert eval_main([ckpt, "--platform", "cpu", "--split", "val"]) == 0
+    plain = capsys.readouterr().out
+    assert "Paragraph to Video" in plain and "rsum" in plain
+
+    assert eval_main([ckpt, "--platform", "cpu", "--split", "val",
+                      "--sharded", "--mode", "gallery"]) == 0
+    sharded = capsys.readouterr().out
+
+    def _rsum(text):
+        return float([ln for ln in text.splitlines()
+                      if ln.startswith("rsum")][0].split(":")[1])
+
+    # sharded ranks are bit-identical to the single-device path
+    assert _rsum(sharded) == _rsum(plain)
+
+    # ---- 5. cmhse-import of a reference-style .pth.tar ------------------
+    torch = pytest.importorskip("torch")
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from torch_replica import TorchCMHSE
+
+    from cmhse_tpu.cli.import_torch import main as import_main
+
+    torch.manual_seed(0)
+    tm = TorchCMHSE(len(vocab), WORD_DIM, FEAT, HIDDEN, EMBED,
+                    hierarchical=True)
+    pth = str(tmp_path / "model_best.pth.tar")
+    torch.save({"model": tm.state_dict(), "epoch": 3, "best_rsum": 1.0}, pth)
+    imported = str(tmp_path / "imported")
+    assert import_main([pth, imported, "--platform", "cpu"]) == 0
+    capsys.readouterr()
+
+    # the imported dir drives the SAME eval CLI over the same data dir
+    assert eval_main([imported, "--data_path", data_dir, "--platform", "cpu",
+                      "--split", "val"]) == 0
+    imp_out = capsys.readouterr().out
+    assert "rsum" in imp_out
+
+    # ---- 6. cmhse-retrieve (serving surface; SURVEY 3.5) ----------------
+    from cmhse_tpu.cli.retrieve import main as retrieve_main
+
+    rng = np.random.RandomState(3)
+    query = make_sentence(rng)
+    assert retrieve_main([ckpt, "--platform", "cpu", "--split", "val",
+                          "--query", query, "-k", "3"]) == 0
+    ret = capsys.readouterr().out
+    assert f"query: {query!r}" in ret
+    hits = [ln for ln in ret.splitlines() if ln.strip().startswith("1.")]
+    assert hits and "v_val" in hits[0]  # ranked rows name real gallery keys
+    assert ret.count("score=") == 3
+
+    # oversized k clamps to the valid gallery size instead of surfacing
+    # -inf padding rows under a real key (VERDICT r2 weak 3)
+    assert retrieve_main([ckpt, "--platform", "cpu", "--split", "val",
+                          "--query", query, "-k", "99"]) == 0
+    big = capsys.readouterr().out
+    assert big.count("score=") == 8  # n_val valid rows
+    assert "-inf" not in big
