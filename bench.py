@@ -391,6 +391,53 @@ def bench_rank_counts_100k():
     return out
 
 
+def bench_topk_100k():
+    """Serving top-k at a 100k gallery (VERDICT r2 next-step 2's bench leg):
+    the chunked-scan streaming path (peak block [Q, chunk]) vs the dense
+    [Q, N] masked top_k. Returns dict of QPS per variant."""
+    import jax
+    import jax.numpy as jnp
+
+    from cmhse_tpu.ops.topk import streaming_sim_topk
+
+    n, q, k = 100_000, 1024, 10
+    rng = np.random.RandomState(2)
+    gallery = jax.device_put(rng.randn(n, EMBED).astype(np.float32))
+    queries = jax.device_put(rng.randn(q, EMBED).astype(np.float32))
+
+    def factory_stream(n_iters):
+        @jax.jit
+        def run(seed, qs, gal):
+            def body(carry, i):
+                qq = qs + (seed + i.astype(jnp.float32)) * 1e-3
+                s, idx = streaming_sim_topk(qq, gal, k)
+                return carry + jnp.sum(s) + jnp.sum(idx).astype(
+                    jnp.float32), None
+            total, _ = jax.lax.scan(body, jnp.float32(0),
+                                    jnp.arange(n_iters))
+            return total
+        return lambda seed: run(seed, queries, gallery)
+
+    def factory_dense(n_iters):
+        @jax.jit
+        def run(seed, qs, gal):
+            def body(carry, i):
+                qq = qs + (seed + i.astype(jnp.float32)) * 1e-3
+                sims = jnp.dot(qq, gal.T, preferred_element_type=jnp.float32)
+                s, idx = jax.lax.top_k(sims, k)
+                return carry + jnp.sum(s) + jnp.sum(idx).astype(
+                    jnp.float32), None
+            total, _ = jax.lax.scan(body, jnp.float32(0),
+                                    jnp.arange(n_iters))
+            return total
+        return lambda seed: run(seed, queries, gallery)
+
+    return {
+        "stream": q / _timed_scan(factory_stream, n_iters_pair=(10, 50)),
+        "dense": q / _timed_scan(factory_dense, n_iters_pair=(10, 50)),
+    }
+
+
 def _enable_compile_cache():
     """Persistent compilation cache: verified to work through the axon
     remote-compile relay (81s -> 0.5s on a cache hit), so repeated bench
@@ -433,6 +480,14 @@ def main():
         print("bench_rank_counts_100k FAILED (reporting null):",
               file=sys.stderr)
         traceback.print_exc()
+    try:
+        topk_qps_100k = {
+            k: round(v, 2) for k, v in bench_topk_100k().items()
+        }
+    except Exception:
+        topk_qps_100k = None
+        print("bench_topk_100k FAILED (reporting null):", file=sys.stderr)
+        traceback.print_exc()
 
     # hardware-grounded self-report: analytic FLOPs -> achieved TFLOP/s -> MFU
     flops_per_pair = analytic_encode_flops_per_pair()
@@ -448,6 +503,7 @@ def main():
             "sim_matrix_qps_10k_gallery": round(sim_qps, 2),
             "train_pairs_per_sec": round(train_pps, 2) if train_pps else None,
             "rank_qps_100k": rank_qps_100k,
+            "topk_qps_100k": topk_qps_100k,
             "model_gflops_per_pair": round(flops_per_pair / 1e9, 2),
             "achieved_tflops_per_sec": round(achieved_flops / 1e12, 2),
             "mfu": round(achieved_flops / peak, 3) if peak else None,

