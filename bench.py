@@ -391,6 +391,48 @@ def bench_rank_counts_100k():
     return out
 
 
+def bench_mfu_device(n_steps: int = 3):
+    """Device-time-grounded MFU for the headline encode shape (VERDICT r2
+    weak 1): run ``n_steps`` profiled encode batches, parse the xplane
+    trace's TPU compute line, and divide analytic FLOPs by MEASURED device
+    busy time. Unlike the slope-derived ``mfu`` (which flatters via relay
+    execution pipelining), this is the number an MFU claim should quote.
+    Returns (mfu_device, device_ms_per_batch); raises off-TPU."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from cmhse_tpu.utils.profiling import device_busy_seconds
+
+    model, params, batch = _build_model_and_batch()
+
+    @jax.jit
+    def encode_once(seed):
+        b = batch.replace(
+            frames=batch.frames + (seed * 1e-3).astype(batch.frames.dtype)
+        )
+        out = model.apply({"params": params}, b)
+        return (jnp.sum(out.video_emb.astype(jnp.float32))
+                + jnp.sum(out.para_emb.astype(jnp.float32)))
+
+    float(encode_once(jnp.float32(0.5)))  # compile outside the trace
+    trace_dir = tempfile.mkdtemp(prefix="cmhse_mfu_")
+    with jax.profiler.trace(trace_dir):
+        for i in range(n_steps):
+            # distinct seeds: the relay memoizes identical executions; the
+            # scalar fetch forces completion inside the trace window
+            float(encode_once(jnp.float32(1.0 + i)))
+    dev_s = device_busy_seconds(trace_dir)
+    if dev_s <= 0:
+        raise RuntimeError("empty device timeline in profile")
+    flops = n_steps * BATCH * analytic_encode_flops_per_pair()
+    dev = jax.devices()[0]
+    peak = PEAK_BF16_FLOPS.get(getattr(dev, "device_kind", ""), None)
+    mfu_dev = (flops / dev_s / peak) if peak else None
+    return mfu_dev, dev_s / n_steps * 1e3
+
+
 def bench_topk_100k():
     """Serving top-k at a 100k gallery (VERDICT r2 next-step 2's bench leg):
     the chunked-scan streaming path (peak block [Q, chunk]) vs the dense
@@ -488,6 +530,14 @@ def main():
         topk_qps_100k = None
         print("bench_topk_100k FAILED (reporting null):", file=sys.stderr)
         traceback.print_exc()
+    mfu_device = device_ms_per_batch = None
+    if platform == "tpu":
+        try:
+            mfu_device, device_ms_per_batch = bench_mfu_device()
+        except Exception:
+            print("bench_mfu_device FAILED (reporting null):",
+                  file=sys.stderr)
+            traceback.print_exc()
 
     # hardware-grounded self-report: analytic FLOPs -> achieved TFLOP/s -> MFU
     flops_per_pair = analytic_encode_flops_per_pair()
@@ -507,6 +557,14 @@ def main():
             "model_gflops_per_pair": round(flops_per_pair / 1e9, 2),
             "achieved_tflops_per_sec": round(achieved_flops / 1e12, 2),
             "mfu": round(achieved_flops / peak, 3) if peak else None,
+            # device-time-grounded MFU from the xplane profile (the honest
+            # number; the slope "mfu" above includes relay pipelining
+            # flattery — see PERFORMANCE.md "Measurement pitfalls")
+            "mfu_device": round(mfu_device, 3) if mfu_device else None,
+            "encode_device_ms_per_batch": (
+                round(device_ms_per_batch, 2) if device_ms_per_batch
+                else None
+            ),
             "device_kind": getattr(dev, "device_kind", "unknown"),
             "platform": platform,
             "baseline_note": "reference throughput unpublished; denominator "

@@ -14,8 +14,11 @@ images), reported by :func:`tokenizer_backend`:
      SINGLE-SENTENCE captions — which is what both ActivityNet Captions and
      DiDeMo provide (one caption per clip/moment) — this is byte-identical
      to ``word_tokenize``; multi-sentence strings may keep a sentence-final
-     period attached mid-string. tests/test_tokenizer_fixture.py pins the
-     exact ids.
+     period attached mid-string. No production path feeds multi-sentence
+     strings anymore: flat mode encodes PER SENTENCE and concatenates ids
+     (datasets.py), using the captions json's ground-truth boundaries
+     instead of a sentence splitter. tests/test_tokenizer_fixture.py pins
+     the exact ids for both cases.
   3. ``regex``    — last resort if nltk itself is missing; token ids DIVERGE
      from the reference. A loud warning is emitted once.
 """

@@ -54,6 +54,7 @@ class ReconstructionDecoder(nn.Module):
     embed_size: int
     rnn_hidden: int
     dtype: Any = jnp.float32
+    use_pallas_gru: bool = False
 
     @nn.compact
     def __call__(self, high_emb: Array, low_seq: Array, lengths: Array) -> Array:
@@ -82,7 +83,26 @@ class ReconstructionDecoder(nn.Module):
         )
         b_i = self.param("b_i", nn.initializers.zeros, (3 * self.rnn_hidden,), jnp.float32)
         b_h = self.param("b_h", nn.initializers.zeros, (3 * self.rnn_hidden,), jnp.float32)
-        outs, _ = gru_sequence(shifted, lengths, w_i, w_h, b_i, b_h, h0=h0)
+        # Fused-kernel routing is LENGTH-GATED, unlike the encoders: at the
+        # flagship config-3 shape the decoder sequences are only Cmax=8
+        # steps, and the measured full train step is SLOWER with the kernel
+        # (11.50 vs 11.15 ms/step, B=64 v5e — scripts/recon_profile.py):
+        # at tiny T the kernel's fixed costs (grid setup + gate streaming
+        # for the BPTT backward) outweigh the scan's per-step inefficiency.
+        # The seeded-h0 kernels win for long sequences, so they engage at
+        # T >= 16 (hardware-smoked both ways, scripts/tpu_smoke.py 4c).
+        if self.use_pallas_gru and t >= 16:
+            # fused time loop + BPTT custom VJP, seeded-h0 variant (the h0
+            # gradient flows back to the init projection)
+            from cmhse_tpu.ops.pallas_gru_grad import pallas_gru_trainable
+
+            x = shifted.astype(self.dtype)
+            outs, _ = pallas_gru_trainable(
+                x, lengths, w_i, w_h, b_i, b_h, h0=h0.astype(self.dtype)
+            )
+        else:
+            outs, _ = gru_sequence(shifted, lengths, w_i, w_h, b_i, b_h,
+                                   h0=h0)
         return nn.Dense(self.embed_size, dtype=self.dtype, name="out")(outs)
 
 
@@ -130,11 +150,11 @@ class CMHSE(nn.Module):
         if c.reconstruction:
             self.video_decoder = ReconstructionDecoder(
                 embed_size=c.embed_size, rnn_hidden=c.rnn_hidden,
-                dtype=dtype, name="video_decoder",
+                dtype=dtype, use_pallas_gru=pallas_gru, name="video_decoder",
             )
             self.text_decoder = ReconstructionDecoder(
                 embed_size=c.embed_size, rnn_hidden=c.rnn_hidden,
-                dtype=dtype, name="text_decoder",
+                dtype=dtype, use_pallas_gru=pallas_gru, name="text_decoder",
             )
 
     # ---- public encode entry points (reference parity: encode_video /

@@ -48,8 +48,7 @@ def _use_interpret() -> bool:
     return jax.devices()[0].platform not in ("tpu",)
 
 
-def _gru_kernel(len_ref, wh_ref, bh_ref, xw_ref, outs_ref, final_ref,
-                *rest, steps: int, save_gates: bool):
+def _gru_kernel(*refs, steps: int, save_gates: bool, with_h0: bool):
     """Forward time loop; with ``save_gates`` it ALSO streams out the gate
     activations ``[r, z, n, hn]`` (4H per step) for a following fused BPTT
     backward.
@@ -59,17 +58,32 @@ def _gru_kernel(len_ref, wh_ref, bh_ref, xw_ref, outs_ref, final_ref,
     bandwidth stream that hides under the backward's remaining GEMM — the
     backward kernel then needs neither ``x @ W_i`` nor ``b_h`` at all. The
     extra forward write is DMA that hides under the forward's MXU time.
+
+    ``with_h0``: an extra ``[TB, H]`` input block seeds the carry (the
+    reconstruction decoder's projected high-level embedding); without it the
+    carry starts at zero and the kernel signature is unchanged.
     """
-    if save_gates:
-        gates_ref, h_scratch = rest
+    if with_h0:
+        len_ref, wh_ref, bh_ref, xw_ref, h0_ref = refs[:5]
+        rest = refs[5:]
     else:
-        (h_scratch,) = rest
+        len_ref, wh_ref, bh_ref, xw_ref = refs[:4]
+        h0_ref = None
+        rest = refs[4:]
+    outs_ref, final_ref = rest[0], rest[1]
+    if save_gates:
+        gates_ref, h_scratch = rest[2], rest[3]
+    else:
+        h_scratch = rest[2]
     tb = pl.program_id(1)  # time-block index
     n_tb = pl.num_programs(1)
 
     @pl.when(tb == 0)
     def _():
-        h_scratch[:] = jnp.zeros_like(h_scratch)
+        if h0_ref is None:
+            h_scratch[:] = jnp.zeros_like(h_scratch)
+        else:
+            h_scratch[:] = h0_ref[:].astype(jnp.float32)
 
     hdtype = wh_ref.dtype
     hidden = h_scratch.shape[-1]
@@ -116,11 +130,13 @@ def pallas_gru_sequence(
     b_i: Array,
     b_h: Array,
     save_gates: bool = False,
+    h0: Array | None = None,
 ) -> tuple[Array, Array] | tuple[Array, Array, Array, Array]:
     """Forward-only masked GRU with the time loop fused in one kernel.
 
-    Same contract as :func:`cmhse_tpu.models.gru.gru_sequence` (zero initial
-    state): returns (outputs ``[B, T, H]``, final ``[B, H]``).
+    Same contract as :func:`cmhse_tpu.models.gru.gru_sequence` (``h0``
+    optional initial state, zeros by default): returns (outputs
+    ``[B, T, H]``, final ``[B, H]``).
 
     With ``save_gates=True`` (the training path, see
     ``ops/pallas_gru_grad.py``) additionally returns the per-step gate
@@ -167,6 +183,8 @@ def pallas_gru_sequence(
     if pad:
         xw = jnp.pad(xw, ((0, 0), (0, pad), (0, 0)))
         lengths = jnp.pad(lengths, (0, pad))
+        if h0 is not None:
+            h0 = jnp.pad(h0, ((0, pad), (0, 0)))
     bp = b + pad
     n_chunks = bp // tb
 
@@ -184,6 +202,11 @@ def pallas_gru_sequence(
         pl.BlockSpec((steps, tb, 3 * hdim), lambda c, tt: (tt, c, 0),
                      memory_space=pltpu.VMEM),
     ]
+    if h0 is not None:
+        in_specs.append(
+            pl.BlockSpec((tb, hdim), lambda c, tt: (c, 0),
+                         memory_space=pltpu.VMEM)
+        )
     out_specs = [
         pl.BlockSpec((steps, tb, hdim), lambda c, tt: (tt, c, 0),
                      memory_space=pltpu.VMEM),
@@ -201,8 +224,12 @@ def pallas_gru_sequence(
         )
         out_shape.append(jax.ShapeDtypeStruct((tp, bp, 4 * hdim), dtype))
 
+    operands = [len2, wh, bh2, xw]
+    if h0 is not None:
+        operands.append(h0.astype(dtype))
     results = pl.pallas_call(
-        functools.partial(_gru_kernel, steps=steps, save_gates=save_gates),
+        functools.partial(_gru_kernel, steps=steps, save_gates=save_gates,
+                          with_h0=h0 is not None),
         grid=(n_chunks, n_tblocks),
         in_specs=in_specs,
         out_specs=tuple(out_specs),
@@ -214,7 +241,7 @@ def pallas_gru_sequence(
             bytes_accessed=bp * tp * 4 * hdim * 2,
             transcendentals=bp * tp * 3 * hdim,
         ),
-    )(len2, wh, bh2, xw)
+    )(*operands)
 
     outs, final = results[0], results[1]
     outs_bt = jnp.swapaxes(outs, 0, 1)[:b, :t]

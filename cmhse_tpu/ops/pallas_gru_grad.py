@@ -67,10 +67,15 @@ def _bwd_chunk_cap(dtype) -> int:
     return _TB // 2 if jnp.dtype(dtype) == jnp.bfloat16 else _TB // 4
 
 
-def _gru_bwd_kernel(
-    len_ref, wh_ref, gates_ref, hprev_ref, douts_ref, dfinal_ref,
-    dxw_ref, dhn_ref, db_ref, dh_scratch, db_scratch,
-):
+def _gru_bwd_kernel(*refs, with_h0: bool):
+    if with_h0:
+        (len_ref, wh_ref, gates_ref, hprev_ref, douts_ref, dfinal_ref,
+         h0_ref, dxw_ref, dhn_ref, db_ref, dh0_ref,
+         dh_scratch, db_scratch) = refs
+    else:
+        (len_ref, wh_ref, gates_ref, hprev_ref, douts_ref, dfinal_ref,
+         dxw_ref, dhn_ref, db_ref, dh_scratch, db_scratch) = refs
+        h0_ref = dh0_ref = None
     tt = pl.program_id(1)
     n_t = pl.num_programs(1)
     t = n_t - 1 - tt  # walk time backwards
@@ -88,12 +93,11 @@ def _gru_bwd_kernel(
     # pass-through masking back to each row's true length
     dh = dh + jnp.where(tt == 0, dfinal_ref[:].astype(jnp.float32), 0.0)
     # h_prev streams from the forward outputs shifted by one step; t=0 reads
-    # a dummy block (index map clamps) and uses the true zero initial state
-    h_prev = jnp.where(
-        t == 0,
-        jnp.zeros((dh.shape[0], hidden), jnp.float32),
-        hprev_ref[0].astype(jnp.float32),
-    )
+    # a dummy block (index map clamps) and uses the true initial state
+    # (zeros, or the caller's h0 in the seeded variant)
+    h_at_0 = (jnp.zeros((dh.shape[0], hidden), jnp.float32)
+              if h0_ref is None else h0_ref[:].astype(jnp.float32))
+    h_prev = jnp.where(t == 0, h_at_0, hprev_ref[0].astype(jnp.float32))
 
     g = gates_ref[0].astype(jnp.float32)  # (TB, 4H) saved by the forward
     r = g[:, :hidden]
@@ -149,9 +153,13 @@ def _gru_bwd_kernel(
     @pl.when(tt == n_t - 1)
     def _():
         db_ref[0] = db_scratch[:]
+        if dh0_ref is not None:
+            # gradient w.r.t. the seeded initial state: the carry gradient
+            # after the t=0 step (flows to the decoder's init projection)
+            dh0_ref[:] = dh_prev.astype(dh0_ref.dtype)
 
 
-def _gru_bwd_pallas(gates, outs_raw, douts, dfinal, lengths, w_h):
+def _gru_bwd_pallas(gates, outs_raw, douts, dfinal, lengths, w_h, h0=None):
     """Run the backward kernel.
 
     Args:
@@ -188,6 +196,8 @@ def _gru_bwd_pallas(gates, outs_raw, douts, dfinal, lengths, w_h):
         douts_t = jnp.pad(douts_t, ((0, 0), (0, pad), (0, 0)))
         dfinal = jnp.pad(dfinal, ((0, pad), (0, 0)))
         lengths = jnp.pad(lengths, (0, pad))
+        if h0 is not None:
+            h0 = jnp.pad(h0, ((0, pad), (0, 0)))
     bp = b + pad
     if gates.shape[1] != bp:
         # fallback for mismatched forward padding (different chunk caps);
@@ -207,31 +217,43 @@ def _gru_bwd_pallas(gates, outs_raw, douts, dfinal, lengths, w_h):
     # h_prev: block t-1; clamped at t=0 where the kernel substitutes zeros
     shift = lambda c, tt: (jnp.maximum(t - 2 - tt, 0), c, 0)
 
-    dxw, dhn, db = pl.pallas_call(
-        _gru_bwd_kernel,
+    in_specs = [
+        pl.BlockSpec((tb, 1), lambda c, tt: (c, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((hdim, 3 * hdim), lambda c, tt: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tb, 4 * hdim), rev_t, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tb, hdim), shift, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tb, hdim), rev_t, memory_space=pltpu.VMEM),
+        pl.BlockSpec((tb, hdim), lambda c, tt: (c, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_specs = [
+        pl.BlockSpec((1, tb, 3 * hdim), rev_t, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, tb, hdim), rev_t, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 8, 4 * hdim), lambda c, tt: (c, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((t, bp, 3 * hdim), out_dtype),
+        jax.ShapeDtypeStruct((t, bp, hdim), out_dtype),
+        jax.ShapeDtypeStruct((n_chunks, 8, 4 * hdim), jnp.float32),
+    ]
+    operands = [len2, wh, gates, outs_raw, douts_t, dfinal]
+    if h0 is not None:
+        in_specs.append(pl.BlockSpec((tb, hdim), lambda c, tt: (c, 0),
+                                     memory_space=pltpu.VMEM))
+        operands.append(h0.astype(dtype))
+        out_specs.append(pl.BlockSpec((tb, hdim), lambda c, tt: (c, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((bp, hdim), out_dtype))
+
+    results = pl.pallas_call(
+        functools.partial(_gru_bwd_kernel, with_h0=h0 is not None),
         grid=(n_chunks, t),
-        in_specs=[
-            pl.BlockSpec((tb, 1), lambda c, tt: (c, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((hdim, 3 * hdim), lambda c, tt: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tb, 4 * hdim), rev_t, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tb, hdim), shift, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tb, hdim), rev_t, memory_space=pltpu.VMEM),
-            pl.BlockSpec((tb, hdim), lambda c, tt: (c, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, tb, 3 * hdim), rev_t, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tb, hdim), rev_t, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 8, 4 * hdim), lambda c, tt: (c, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((t, bp, 3 * hdim), out_dtype),
-            jax.ShapeDtypeStruct((t, bp, hdim), out_dtype),
-            jax.ShapeDtypeStruct((n_chunks, 8, 4 * hdim), jnp.float32),
-        ),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         scratch_shapes=[
             pltpu.VMEM((tb, hdim), jnp.float32),
             pltpu.VMEM((8, 4 * hdim), jnp.float32),
@@ -242,12 +264,12 @@ def _gru_bwd_pallas(gates, outs_raw, douts, dfinal, lengths, w_h):
             bytes_accessed=bp * t * hdim * 9 * 2,
             transcendentals=0,
         ),
-    )(len2, wh, gates, outs_raw, douts_t, dfinal)
+    )(*operands)
+    dxw, dhn, db = results[0], results[1], results[2]
+    dh0 = results[3] if h0 is not None else None
+    return dxw, dhn, jnp.sum(db, axis=(0, 1)), outs_raw, dh0
 
-    return dxw, dhn, jnp.sum(db, axis=(0, 1)), outs_raw
 
-
-@jax.custom_vjp
 def pallas_gru_trainable(
     x: Array,
     lengths: Array,
@@ -255,9 +277,19 @@ def pallas_gru_trainable(
     w_h: Array,
     b_i: Array,
     b_h: Array,
+    h0: Array | None = None,
 ) -> tuple[Array, Array]:
-    """Drop-in for :func:`cmhse_tpu.models.gru.gru_sequence` (zero h0) with
-    BOTH directions of the time loop as fused Pallas kernels."""
+    """Drop-in for :func:`cmhse_tpu.models.gru.gru_sequence` with BOTH
+    directions of the time loop as fused Pallas kernels. ``h0`` seeds the
+    carry (the reconstruction decoder's projected high-level embedding) and
+    receives a gradient; None keeps the zero-h0 fast path unchanged."""
+    if h0 is None:
+        return _gru_trainable_zero(x, lengths, w_i, w_h, b_i, b_h)
+    return _gru_trainable_h0(x, lengths, w_i, w_h, b_i, b_h, h0)
+
+
+@jax.custom_vjp
+def _gru_trainable_zero(x, lengths, w_i, w_h, b_i, b_h):
     return pallas_gru_sequence(x, lengths, w_i, w_h, b_i, b_h)
 
 
@@ -275,7 +307,7 @@ def _bwd(residuals, grads):
     b, t, _ = x.shape
     hdim = w_h.shape[0]
 
-    dxw, dhn, db, outs_raw = _gru_bwd_pallas(
+    dxw, dhn, db, outs_raw, _ = _gru_bwd_pallas(
         gates, outs_raw, douts.astype(x.dtype), dfinal.astype(x.dtype),
         lengths, w_h,
     )
@@ -318,4 +350,69 @@ def _bwd(residuals, grads):
     )
 
 
-pallas_gru_trainable.defvjp(_fwd, _bwd)
+_gru_trainable_zero.defvjp(_fwd, _bwd)
+
+
+@jax.custom_vjp
+def _gru_trainable_h0(x, lengths, w_i, w_h, b_i, b_h, h0):
+    return pallas_gru_sequence(x, lengths, w_i, w_h, b_i, b_h, h0=h0)
+
+
+def _fwd_h0(x, lengths, w_i, w_h, b_i, b_h, h0):
+    outs, final, gates, outs_raw = pallas_gru_sequence(
+        x, lengths, w_i, w_h, b_i, b_h, save_gates=True, h0=h0
+    )
+    res = (x, lengths, w_i, w_h, b_i, b_h, h0, gates, outs_raw)
+    return (outs, final), res
+
+
+def _bwd_h0(residuals, grads):
+    x, lengths, w_i, w_h, b_i, b_h, h0, gates, outs_raw = residuals
+    douts, dfinal = grads
+    b, t, _ = x.shape
+    hdim = w_h.shape[0]
+
+    dxw, dhn, db, outs_raw, dh0 = _gru_bwd_pallas(
+        gates, outs_raw, douts.astype(x.dtype), dfinal.astype(x.dtype),
+        lengths, w_h, h0=h0.astype(x.dtype),
+    )
+
+    # same GEMMs as the zero-h0 path, plus the t=0 term: h_prev[0] = h0
+    # (the zero-h0 path's vanishing term)
+    h0c = h0.astype(dxw.dtype)
+    dW_h = jnp.concatenate(
+        [
+            jnp.einsum("tbh,tbk->hk", outs_raw[: t - 1],
+                       dxw[1:, :, : 2 * hdim],
+                       preferred_element_type=jnp.float32)
+            + jnp.einsum("bh,bk->hk", h0c, dxw[0, :b, : 2 * hdim],
+                         preferred_element_type=jnp.float32),
+            jnp.einsum("tbh,tbk->hk", outs_raw[: t - 1], dhn[1:],
+                       preferred_element_type=jnp.float32)
+            + jnp.einsum("bh,bk->hk", h0c, dhn[0, :b],
+                         preferred_element_type=jnp.float32),
+        ],
+        axis=1,
+    )
+    db_h = jnp.concatenate([db[: 2 * hdim], db[3 * hdim :]])
+    dxw_bt = jnp.swapaxes(dxw, 0, 1)[:b]  # [B, T, 3H] (layout bitcast)
+    dW_i = jnp.einsum(
+        "btd,btk->dk", x, dxw_bt, preferred_element_type=jnp.float32
+    )
+    db_i = db[: 3 * hdim]
+    dx = jnp.dot(
+        dxw_bt, w_i.astype(dxw.dtype).T, preferred_element_type=jnp.float32
+    ).astype(x.dtype)
+
+    return (
+        dx,
+        None,  # lengths
+        dW_i.astype(w_i.dtype),
+        dW_h.astype(w_h.dtype),
+        db_i.astype(b_i.dtype),
+        db_h.astype(b_h.dtype),
+        dh0[:b].astype(h0.dtype),
+    )
+
+
+_gru_trainable_h0.defvjp(_fwd_h0, _bwd_h0)

@@ -4,17 +4,23 @@ serving analogue of ``pallas_rank_counts``).
 ``Retriever.retrieve`` / ``sharded_sim_topk`` used to materialize the full
 ``[Q, N]`` similarity block at any gallery size — 800 MB for a 2048-query
 block against a 100k gallery (VERDICT r2 missing 2). This module computes
-top-k by scanning gallery CHUNKS with a running ``[Q, k]`` candidate set:
+top-k by scanning gallery CHUNKS:
 
     per chunk: sims = Q @ G_c^T      (MXU GEMM, [Q, C] block)
                local top-k            (lax.top_k over the chunk)
-               merge into running     (top-k over [Q, k + k'] candidates)
+    finally:   ONE merge top-k over the [Q, n_chunks*k'] stacked candidates
 
-Peak similarity memory is ``[Q, chunk]`` regardless of N. The merge keeps
-dense-path tie semantics: ``lax.top_k`` is stable (first occurrence wins
-among equals) and the running candidates — always from LOWER global indices
-— are concatenated first, so equal scores resolve to the lowest gallery
-index exactly like one dense ``top_k`` over ``[Q, N]`` would.
+Peak similarity memory is ``[Q, chunk]`` regardless of N. Two measured
+design points (v5e, Q=1024, N=100k, D=1024 — see PERFORMANCE.md):
+equal-size chunks, because a padded final chunk is pure wasted GEMM (a
+fixed-32768 chunking padded 100k -> 131k rows and cost 31% QPS), and a
+single final merge, because a per-chunk running merge added ~25% (13 extra
+[Q, k+k'] top_k launches). With both, streaming BEATS the dense [Q, N]
+path at the 100k gallery: 207k QPS vs 200k dense (the dense path pays one
+giant [Q, N] top_k; per-chunk top_k over 4 x 25k columns is cheaper). Tie
+semantics match the dense path exactly: candidates stack in chunk order
+(ascending global index) and ``lax.top_k`` is stable, so equal scores
+resolve to the lowest gallery index.
 
 A ``lax.scan`` (not a Pallas kernel) is the right tool here: the FLOPs are
 one big GEMM per chunk, which XLA already schedules at full MXU rate, and a
@@ -30,11 +36,13 @@ import jax
 import jax.numpy as jnp
 from jax import Array
 
-# default gallery rows per scan step: [Q, 8192] f32 similarities at the
-# serving block size (Q=2048) is 64 MB of HBM traffic per step — large
-# enough that GEMM time dominates the top-k merge, small enough that
-# galleries in the tens of millions stream comfortably
-TOPK_CHUNK = 8192
+# gallery-rows-per-chunk CAP; actual chunks are equalized so the final
+# chunk never pads more than n_chunks-1 rows. Measured at Q=1024/N=100k/
+# D=1024 on v5e (equalized + single merge): cap 8192 -> 158k QPS, 16384 ->
+# 170k, 32768 -> 207k (vs 200k fully-dense), 65536 -> 193k. 32768 is both
+# the fastest AND caps the peak block at Q x 32k f32 = 128 MB per 1024
+# queries — faster than dense with bounded memory.
+TOPK_CHUNK = 32768
 
 
 def should_stream_topk(n_gallery: int, force: bool | None = None) -> bool:
@@ -65,7 +73,8 @@ def streaming_sim_topk(
       gallery: ``[N, D]`` gallery embeddings.
       k: candidates to return (caller clamps to the valid row count).
       valid: optional bool ``[N]``; False rows can never surface.
-      chunk: gallery rows per scan step (static).
+      chunk: CAP on gallery rows per scan step (static); actual chunks are
+        equalized so the final chunk carries no large padding.
 
     Returns: (scores ``[Q, k]`` f32 desc-sorted, indices ``[Q, k]`` i32),
     identical — including tie order — to a dense masked ``lax.top_k``.
@@ -74,41 +83,42 @@ def streaming_sim_topk(
     n = gallery.shape[0]
     if k > n:
         raise ValueError(f"k={k} exceeds gallery size {n}")
-    chunk = min(chunk, max(n, 1))
-    pad = (-n) % chunk
+    # equalize: smallest chunk size that covers N in the same number of
+    # chunks as the cap would — a padded FINAL chunk is wasted GEMM (see
+    # module docstring; measured 31% at the worst alignment). Total padding
+    # is < n_chunks rows.
+    n_chunks = max(1, -(-n // max(chunk, 1)))
+    chunk = -(-n // n_chunks)
+    pad = n_chunks * chunk - n
     g = jnp.pad(gallery, ((0, pad), (0, 0))) if pad else gallery
     npad = n + pad
     gvalid = jnp.arange(npad) < n
     if valid is not None:
         gvalid = gvalid & jnp.pad(valid.astype(bool), (0, pad))
-    n_chunks = npad // chunk
     g_chunks = g.reshape(n_chunks, chunk, d)
     v_chunks = gvalid.reshape(n_chunks, chunk)
     kk = min(k, chunk)
 
-    init = (
-        jnp.full((q, k), -jnp.inf, jnp.float32),
-        jnp.full((q, k), jnp.iinfo(jnp.int32).max, jnp.int32),
-    )
-
-    def body(carry, xs):
-        run_s, run_i = carry
+    def body(_, xs):
         g_c, v_c, ci = xs
         sims = jnp.dot(
             queries, g_c.T, preferred_element_type=jnp.float32
         )  # [Q, chunk] — the ONLY similarity block ever materialized
         sims = jnp.where(v_c[None, :], sims, -jnp.inf)
         loc_s, loc_i = jax.lax.top_k(sims, kk)
-        glob_i = loc_i + ci * chunk
-        # running candidates first: they carry lower global indices, so the
-        # stable top_k resolves ties to the lowest index (dense semantics)
-        cat_s = jnp.concatenate([run_s, loc_s], axis=1)
-        cat_i = jnp.concatenate([run_i, glob_i], axis=1)
-        new_s, pos = jax.lax.top_k(cat_s, k)
-        new_i = jnp.take_along_axis(cat_i, pos, axis=1)
-        return (new_s, new_i), None
+        return None, (loc_s, loc_i + ci * chunk)
 
-    (scores, idx), _ = jax.lax.scan(
-        body, init, (g_chunks, v_chunks, jnp.arange(n_chunks, dtype=jnp.int32))
-    )
+    _, (all_s, all_i) = jax.lax.scan(
+        body, None, (g_chunks, v_chunks, jnp.arange(n_chunks, dtype=jnp.int32))
+    )  # [n_chunks, Q, kk] — k' candidates per chunk, tiny vs [Q, N]
+    # stack in CHUNK ORDER (ascending global index): the stable final top_k
+    # then resolves equal scores to the lowest gallery index, exactly like
+    # one dense top_k over [Q, N]
+    cat_s = jnp.swapaxes(all_s, 0, 1).reshape(q, n_chunks * kk)
+    cat_i = jnp.swapaxes(all_i, 0, 1).reshape(q, n_chunks * kk)
+    if n_chunks * kk == k:
+        # single-chunk fast path: candidates are already the answer
+        return cat_s, cat_i
+    scores, pos = jax.lax.top_k(cat_s, k)
+    idx = jnp.take_along_axis(cat_i, pos, axis=1)
     return scores, idx

@@ -120,6 +120,57 @@ for dt, band in ((jnp.float32, 1e-3), (jnp.bfloat16, 2e-2)):
           f"{worst:.2e}", flush=True)
     assert worst < band, f"BPTT grads diverged on hardware ({dt})"
 
+# 4c) seeded-h0 variant (the reconstruction decoder's path): extra input
+# block in the forward, extra dh0 output in the backward — new Mosaic
+# surface, must compile+match on hardware at both dtypes
+h0 = jnp.asarray((rng.randn(B2, H) * 0.5).astype(np.float32))
+
+def _gru_loss_h0(seq_fn):
+    def loss(x, w_i, w_h, b_i, b_h, h0):
+        outs, fin = seq_fn(x, lengths, w_i, w_h, b_i, b_h, h0=h0)
+        return (jnp.sum(fin.astype(jnp.float32) ** 2)
+                + jnp.sum(outs.astype(jnp.float32) ** 2))
+    return loss
+
+for dt, band in ((jnp.float32, 1e-3), (jnp.bfloat16, 2e-2)):
+    xd = x.astype(dt)
+    h0d = h0.astype(dt)
+    f_ref = jax.jit(lambda *a: gru_sequence(a[0], lengths, *a[1:5], h0=a[5]))(
+        xd, w_i, w_h, bi, bh, h0d)
+    f_pal = jax.jit(
+        lambda *a: pallas_gru_trainable(a[0], lengths, *a[1:5], h0=a[5]))(
+        xd, w_i, w_h, bi, bh, h0d)
+    ef = float(jnp.abs(f_ref[1].astype(jnp.float32)
+                       - f_pal[1].astype(jnp.float32)).max())
+    g_ref = jax.jit(jax.grad(_gru_loss_h0(gru_sequence),
+                             argnums=(0, 1, 2, 3, 4, 5)))(
+        xd, w_i, w_h, bi, bh, h0d)
+    g_pal = jax.jit(jax.grad(_gru_loss_h0(pallas_gru_trainable),
+                             argnums=(0, 1, 2, 3, 4, 5)))(
+        xd, w_i, w_h, bi, bh, h0d)
+    worst = 0.0
+    for gr, gp in zip(g_ref, g_pal):
+        gr = np.asarray(gr, np.float32)
+        gp = np.asarray(gp, np.float32)
+        worst = max(worst,
+                    float(np.linalg.norm(gp - gr)
+                          / max(np.linalg.norm(gr), 1e-6)))
+    print(f"h0 gru fwd max err ({np.dtype(dt).name}): {ef:.2e}, "
+          f"bwd rel-L2 err: {worst:.2e}", flush=True)
+    assert worst < band, f"h0 BPTT grads diverged on hardware ({dt})"
+
+# 4d) streaming serving top-k vs dense on hardware (scan path, no Mosaic,
+# but pin the dispatch-boundary parity where it will actually run)
+from cmhse_tpu.ops.topk import streaming_sim_topk
+qk = jnp.asarray(rng.randn(64, D).astype(np.float32))
+gk = jnp.asarray(rng.randn(5000, D).astype(np.float32))
+sims_k = jnp.dot(qk, gk.T, preferred_element_type=jnp.float32)
+dk_s, dk_i = jax.jit(lambda s: jax.lax.top_k(s, 10))(sims_k)
+sk_s, sk_i = jax.jit(
+    lambda q, g: streaming_sim_topk(q, g, 10, chunk=1024))(qk, gk)
+assert (np.asarray(dk_i) == np.asarray(sk_i)).all(), "topk idx mismatch"
+print("streaming top-k OK", flush=True)
+
 # 5) one real train step with the pallas loss AND the pallas GRU kernels at
 # production-ish shape (bf16 mixed precision, like real training)
 from cmhse_tpu.config import DataConfig, ExperimentConfig, LossConfig, ModelConfig
@@ -130,6 +181,9 @@ cfg = ExperimentConfig(
                     max_clips=4, max_frames=32, max_sentences=4, max_words=16),
     model=ModelConfig(embed_size=512, word_dim=300, feat_dim=500,
                       rnn_hidden=512, hierarchical=True,
+                      # full config-3 stack: the recon decoders now route
+                      # through the seeded-h0 pallas kernels too
+                      attention_pool=True, reconstruction=True,
                       dtype="bfloat16", pallas_gru=True),
     loss=LossConfig(),
 )

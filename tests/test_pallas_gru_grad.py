@@ -111,6 +111,105 @@ def test_bptt_mismatched_chunk_caps_fallback(monkeypatch):
                                    rtol=2e-4, atol=2e-5)
 
 
+def _loss_from_h0(seq_fn):
+    def loss(x, lengths, w_i, w_h, b_i, b_h, h0, key):
+        outs, final = seq_fn(x, lengths, w_i, w_h, b_i, b_h, h0=h0)
+        co = jax.random.normal(key, outs.shape)
+        cf = jax.random.normal(jax.random.fold_in(key, 1), final.shape)
+        return jnp.sum(outs * co) + jnp.sum(final * cf)
+
+    return loss
+
+
+@pytest.mark.parametrize("B,T,D,H", [
+    (6, 5, 8, 16),
+    (140, 7, 12, 8),   # batch not a multiple of the backward chunk
+    (10, 1, 8, 16),    # T=1: dW_h is exactly the h0 x grad[0] term
+])
+def test_bptt_h0_matches_autodiff(B, T, D, H):
+    """Seeded-h0 variant (the reconstruction decoder's path, VERDICT r2
+    weak 2): value and ALL grads — including dh0, which feeds the decoder's
+    init projection — must match autodiff of the scan GRU."""
+    args = _setup(B, T, D, H)
+    rng = np.random.RandomState(11)
+    h0 = jnp.asarray(rng.randn(B, H).astype(np.float32) * 0.5)
+    key = jax.random.PRNGKey(5)
+
+    outs_ref, final_ref = gru_sequence(*args, h0=h0)
+    outs_pal, final_pal = pallas_gru_trainable(*args, h0=h0)
+    np.testing.assert_allclose(np.asarray(outs_pal), np.asarray(outs_ref),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(final_pal), np.asarray(final_ref),
+                               rtol=1e-5, atol=1e-6)
+
+    grads_ref = jax.grad(_loss_from_h0(gru_sequence),
+                         argnums=(0, 2, 3, 4, 5, 6))(*args, h0, key)
+    grads_pal = jax.grad(_loss_from_h0(pallas_gru_trainable),
+                         argnums=(0, 2, 3, 4, 5, 6))(*args, h0, key)
+    names = ("dx", "dW_i", "dW_h", "db_i", "db_h", "dh0")
+    for name, g_ref, g_pal in zip(names, grads_ref, grads_pal):
+        np.testing.assert_allclose(
+            np.asarray(g_pal), np.asarray(g_ref), rtol=2e-4, atol=2e-5,
+            err_msg=f"{name} diverged",
+        )
+
+
+def test_bptt_h0_zero_length_rows_pass_through():
+    """Rows with length 0 never step: final == h0 exactly and dh0 == dfinal
+    for those rows (the pass-through contract the decoder's masking needs)."""
+    x, lengths, w_i, w_h, b_i, b_h = _setup(5, 4, 6, 8, seed=6)
+    lengths = lengths.at[0].set(0)
+    rng = np.random.RandomState(12)
+    h0 = jnp.asarray(rng.randn(5, 8).astype(np.float32))
+
+    outs, final = pallas_gru_trainable(x, lengths, w_i, w_h, b_i, b_h, h0=h0)
+    np.testing.assert_allclose(np.asarray(final)[0], np.asarray(h0)[0],
+                               rtol=1e-6)
+
+    def loss(h0_):
+        _, f = pallas_gru_trainable(x, lengths, w_i, w_h, b_i, b_h, h0=h0_)
+        return jnp.sum(f[0] * 2.0)
+
+    dh0 = jax.grad(loss)(h0)
+    np.testing.assert_allclose(np.asarray(dh0)[0], 2 * np.ones(8), rtol=1e-6)
+
+
+def test_recon_decoder_pallas_matches_scan():
+    """ReconstructionDecoder(use_pallas_gru=True) end-to-end: outputs and
+    parameter grads match the scan-path decoder with identical params."""
+    from cmhse_tpu.models.cmhse import ReconstructionDecoder
+
+    rng = np.random.RandomState(13)
+    # t >= 16: below that the decoder length-gates BOTH variants onto the
+    # scan path (measured tradeoff, see ReconstructionDecoder)
+    b, t, e, h = 6, 18, 12, 16
+    high = jnp.asarray(rng.randn(b, e).astype(np.float32))
+    low = jnp.asarray(rng.randn(b, t, e).astype(np.float32))
+    lengths = jnp.asarray(rng.randint(0, t + 1, b).astype(np.int32))
+
+    dec_scan = ReconstructionDecoder(embed_size=e, rnn_hidden=h)
+    dec_pal = ReconstructionDecoder(embed_size=e, rnn_hidden=h,
+                                    use_pallas_gru=True)
+    params = dec_scan.init(jax.random.PRNGKey(0), high, low, lengths)
+
+    out_scan = dec_scan.apply(params, high, low, lengths)
+    out_pal = dec_pal.apply(params, high, low, lengths)
+    np.testing.assert_allclose(np.asarray(out_pal), np.asarray(out_scan),
+                               rtol=1e-5, atol=1e-6)
+
+    def loss(p, mod):
+        out = mod.apply(p, high, low, lengths)
+        return jnp.sum(out * out)
+
+    g_scan = jax.grad(loss)(params, dec_scan)
+    g_pal = jax.grad(loss)(params, dec_pal)
+    flat_s, _ = jax.tree.flatten(g_scan)
+    flat_p, _ = jax.tree.flatten(g_pal)
+    for gs, gp in zip(flat_s, flat_p):
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gs),
+                                   rtol=2e-4, atol=2e-5)
+
+
 def test_bptt_zero_length_rows_zero_grads():
     x, lengths, w_i, w_h, b_i, b_h = _setup(5, 4, 6, 8, seed=4)
     lengths = lengths.at[0].set(0)
