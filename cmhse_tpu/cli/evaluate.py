@@ -15,6 +15,10 @@ def main(argv=None) -> int:
     p.add_argument("--sharded", action="store_true",
                    help="shard the gallery across all visible devices")
     p.add_argument("--mode", default="query", choices=["query", "gallery"])
+    p.add_argument("--streaming", action="store_true", default=None,
+                   help="force the streaming rank-count kernel (no [Q, N] "
+                        "similarity block); default: auto by gallery size")
+    p.add_argument("--no_streaming", dest="streaming", action="store_false")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu", "axon"])
     args = p.parse_args(argv)
 
@@ -32,7 +36,7 @@ def main(argv=None) -> int:
 
     ks = tuple(int(k) for k in args.ks.split(","))
     evalrank(args.checkpoint, data_path=args.data_path, split=args.split,
-             ks=ks, mesh=mesh)
+             ks=ks, mesh=mesh, mode=args.mode, streaming=args.streaming)
     return 0
 
 

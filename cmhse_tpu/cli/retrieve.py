@@ -18,6 +18,8 @@ def main(argv=None) -> int:
                    help="natural-language query (repeatable)")
     p.add_argument("-k", type=int, default=5)
     p.add_argument("--sharded", action="store_true")
+    p.add_argument("--vocab_path", default=None,
+                   help="default: vocab.json/vocab.pkl under the data dir")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu", "axon"])
     args = p.parse_args(argv)
 
@@ -29,9 +31,11 @@ def main(argv=None) -> int:
     from cmhse_tpu.eval.serve import Retriever
     from cmhse_tpu.train.checkpoint import restore_for_eval
 
+    from cmhse_tpu.data.vocab import find_vocab
+
     model, params, cfg = restore_for_eval(args.checkpoint)
     data_path = args.data_path or cfg.data.data_path
-    vocab = Vocabulary.load(f"{data_path}/vocab.json")
+    vocab = Vocabulary.load(find_vocab(data_path, args.vocab_path))
     dataset = PrecompDataset(data_path, args.split, vocab,
                              feat_dim=cfg.data.feat_dim,
                              flat=not cfg.model.hierarchical)

@@ -239,8 +239,10 @@ def main(argv=None) -> int:
     else:
         from cmhse_tpu.data import PrecompDataset, Vocabulary, batches_from_dataset
 
-        vocab_path = args.vocab_path or f"{cfg.data.data_path}/vocab.json"
-        vocab = Vocabulary.load(vocab_path)
+        from cmhse_tpu.data.vocab import find_vocab
+
+        vocab = Vocabulary.load(find_vocab(cfg.data.data_path,
+                                           args.vocab_path))
         flat = not cfg.model.hierarchical
         train_ds = PrecompDataset(cfg.data.data_path, "train", vocab,
                                   feat_dim=cfg.data.feat_dim, flat=flat)

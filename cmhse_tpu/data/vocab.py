@@ -141,6 +141,31 @@ class Vocabulary:
         return vocab
 
 
+def find_vocab(data_path: str, explicit: str | None = None) -> str:
+    """Resolve the vocabulary file for a data directory: an explicit path
+    wins; otherwise the first of ``vocab.json`` / ``vocab.pkl`` /
+    ``vocab.pickle`` / ``<dataset>_vocab.pkl``-style files present.
+    Reference users arrive with PICKLE vocabs (the reference's ``vocab.py``
+    wrote them), so eval/serving entry points must not hardcode .json."""
+    import glob
+    import os
+
+    if explicit:
+        return explicit
+    for name in ("vocab.json", "vocab.pkl", "vocab.pickle"):
+        p = os.path.join(data_path, name)
+        if os.path.exists(p):
+            return p
+    hits = sorted(glob.glob(os.path.join(data_path, "*vocab*.pkl")))
+    if hits:
+        return hits[0]
+    raise FileNotFoundError(
+        f"no vocabulary file found under {data_path} (looked for "
+        "vocab.json / vocab.pkl / *vocab*.pkl); build one with cmhse-vocab "
+        "or pass --vocab_path"
+    )
+
+
 class _TolerantUnpickler(pickle.Unpickler):
     """Resolve any pickled ``*.Vocabulary`` class to ours, so vocab pickles
     written by the reference's ``vocab.py`` module (not importable here)

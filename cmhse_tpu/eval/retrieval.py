@@ -160,15 +160,18 @@ def evalrank(
     split: str = "val",
     ks: tuple[int, ...] = (1, 5, 10, 50),
     mesh=None,
+    mode: str = "query",
+    streaming: bool | None = None,
 ) -> dict[str, float]:
     """Load a checkpoint and evaluate a split, printing the R@k table
     (mirrors the reference's ``python evaluation.py`` offline entry)."""
     from cmhse_tpu.train.checkpoint import restore_for_eval
     from cmhse_tpu.data import PrecompDataset, Vocabulary, batches_from_dataset
+    from cmhse_tpu.data.vocab import find_vocab
 
     model, params, cfg = restore_for_eval(checkpoint_path)
     data_path = data_path or cfg.data.data_path
-    vocab = Vocabulary.load(f"{data_path}/vocab.json")
+    vocab = Vocabulary.load(find_vocab(data_path))
     # flat (non-hierarchical) models consume the whole video as ONE clip and
     # the paragraph as ONE joined sentence — same flag the train CLI sets;
     # without it pad_batch would silently truncate to the first clip/sentence
@@ -184,6 +187,7 @@ def evalrank(
         process_index=jax.process_index(),
         process_count=jax.process_count(),
     )
-    metrics = validate_metrics(model, params, batches, ks=ks, mesh=mesh)
+    metrics = validate_metrics(model, params, batches, ks=ks, mesh=mesh,
+                               mode=mode, streaming=streaming)
     print(format_table(metrics, ks))
     return metrics

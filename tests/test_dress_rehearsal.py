@@ -43,6 +43,26 @@ def _jsonl(path):
         return [json.loads(line) for line in f if line.strip()]
 
 
+def test_find_vocab_resolution(tmp_path):
+    """Reference users arrive with PICKLE vocabs; eval/serving entry points
+    resolve vocab.json, then vocab.pkl, then *vocab*.pkl, and an explicit
+    path always wins."""
+    from cmhse_tpu.data.vocab import build_vocab, find_vocab
+
+    vocab = build_vocab(["a man runs"] * 2, threshold=1)
+    with pytest.raises(FileNotFoundError, match="cmhse-vocab"):
+        find_vocab(str(tmp_path))
+    vocab.save(str(tmp_path / "anet_precomp_vocab.pkl"))
+    assert find_vocab(str(tmp_path)).endswith("anet_precomp_vocab.pkl")
+    vocab.save(str(tmp_path / "vocab.pkl"))
+    assert find_vocab(str(tmp_path)).endswith("/vocab.pkl")
+    vocab.save(str(tmp_path / "vocab.json"))
+    assert find_vocab(str(tmp_path)).endswith("/vocab.json")
+    assert find_vocab(str(tmp_path), "explicit.pkl") == "explicit.pkl"
+    loaded = Vocabulary.load(find_vocab(str(tmp_path)))
+    assert loaded.word2idx == vocab.word2idx
+
+
 def test_cli_dress_rehearsal(data_dir, tmp_path, capsys):
     # ---- 1. cmhse-vocab (reference: python vocab.py; SURVEY 3.4) --------
     from cmhse_tpu.cli.build_vocab import main as vocab_main
@@ -105,6 +125,12 @@ def test_cli_dress_rehearsal(data_dir, tmp_path, capsys):
 
     # sharded ranks are bit-identical to the single-device path
     assert _rsum(sharded) == _rsum(plain)
+
+    # forced streaming rank counting (the large-gallery path) must agree on
+    # this tiny gallery too — the dispatch boundary cannot move metrics
+    assert eval_main([ckpt, "--platform", "cpu", "--split", "val",
+                      "--streaming"]) == 0
+    assert _rsum(capsys.readouterr().out) == _rsum(plain)
 
     # ---- 5. cmhse-import of a reference-style .pth.tar ------------------
     torch = pytest.importorskip("torch")
