@@ -7,7 +7,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
-from cmhse_tpu.ops.topk import streaming_sim_topk, should_stream_topk
+from cmhse_tpu.ops.topk import (prepare_topk_gallery, should_stream_topk,
+                                streaming_sim_topk)
 
 
 def _dense_topk(q, g, k, valid=None):
@@ -30,8 +31,11 @@ def test_streaming_matches_dense(n, chunk, k):
     g = jnp.asarray(rng.randn(n, 16).astype(np.float32))
     ds, di = _dense_topk(q, g, k)
     ss, si = streaming_sim_topk(q, g, k, chunk=chunk)
+    # indices exact (the semantic contract); scores within GEMM
+    # reassociation noise (CPU oneDNN fuses padded/unpadded shapes apart)
     np.testing.assert_array_equal(np.asarray(si), np.asarray(di))
-    np.testing.assert_allclose(np.asarray(ss), np.asarray(ds), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ss), np.asarray(ds),
+                               rtol=1e-4, atol=1e-5)
 
 
 def test_streaming_respects_valid_mask():
@@ -65,6 +69,70 @@ def test_streaming_tie_order_matches_dense():
     np.testing.assert_array_equal(np.asarray(si), np.asarray(di))
     np.testing.assert_allclose(np.asarray(ss), np.asarray(ds),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_grouped_preselect_matches_dense():
+    """Chunks wide enough for the grouped pre-select (ngroups >= 2k) must
+    still be exact: group-max selection provably covers the dense top-k,
+    and ascending re-sort of selected groups preserves tie order."""
+    rng = np.random.RandomState(5)
+    n, k = 5000, 8  # chunk 5000 -> 40 groups of 128 > 2k: grouped path
+    base = rng.randn(n, 16).astype(np.float32)
+    # duplicates: same group (40,41), cross-group (100, 3000), and a
+    # triplicate spanning group boundaries (255, 256, 257)
+    base[41] = base[40]
+    base[3000] = base[100]
+    base[256] = base[255]
+    base[257] = base[255]
+    q = jnp.asarray(rng.randn(7, 16).astype(np.float32))
+    g = jnp.asarray(base)
+    ds, di = _dense_topk(q, g, k)
+    ss, si = streaming_sim_topk(q, g, k, chunk=8192)
+    np.testing.assert_array_equal(np.asarray(si), np.asarray(di))
+    np.testing.assert_allclose(np.asarray(ss), np.asarray(ds),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_grouped_preselect_with_valid_mask_and_ragged_groups():
+    """Grouped path with a chunk that is not a multiple of the group width
+    (column padding) and a validity mask killing whole stretches."""
+    rng = np.random.RandomState(6)
+    n, k = 4000, 5  # ngroups = ceil(4000/128) = 32 > 2k
+    q = jnp.asarray(rng.randn(4, 8).astype(np.float32))
+    g = jnp.asarray(rng.randn(n, 8).astype(np.float32))
+    valid = np.ones(n, bool)
+    valid[:256] = False          # two whole leading groups dead
+    valid[3900:] = False         # the ragged tail group dead
+    ds, di = _dense_topk(q, g, k, valid)
+    ss, si = streaming_sim_topk(q, g, k, valid=jnp.asarray(valid),
+                                chunk=8192)
+    np.testing.assert_array_equal(np.asarray(si), np.asarray(di))
+    assert np.asarray(si).max() < 3900 and np.asarray(si).min() >= 256
+
+
+def test_prepared_gallery_matches_per_call():
+    """prepare_topk_gallery (the encode-once/serve-forever path) must give
+    bit-identical indices to the per-call path, with and without a validity
+    mask, across the grouped and plain chunk widths."""
+    rng = np.random.RandomState(8)
+    n, k = 4600, 6
+    q = jnp.asarray(rng.randn(5, 8).astype(np.float32))
+    g = jnp.asarray(rng.randn(n, 8).astype(np.float32))
+    valid = np.ones(n, bool)
+    valid[::13] = False
+    for chunk in (512, 4096):
+        ds, di = streaming_sim_topk(q, g, k, valid=jnp.asarray(valid),
+                                    chunk=chunk)
+        prep = prepare_topk_gallery(g, jnp.asarray(valid), chunk=chunk)
+        ps, pi = streaming_sim_topk(q, prep, k)
+        np.testing.assert_array_equal(np.asarray(pi), np.asarray(di))
+        np.testing.assert_allclose(np.asarray(ps), np.asarray(ds),
+                                   rtol=1e-5, atol=1e-6)
+        # off-TPU the chunks keep the source dtype (true-f32 CPU dot parity)
+        import jax as _jax
+
+        if _jax.devices()[0].platform != "tpu":
+            assert prep.chunks.dtype == g.dtype
 
 
 def test_should_stream_topk_policy():
