@@ -14,8 +14,12 @@ def main(argv=None) -> int:
     p.add_argument("checkpoint", help="checkpoint dir (with config.json)")
     p.add_argument("--data_path", default=None)
     p.add_argument("--split", default="val", help="gallery split")
-    p.add_argument("--query", action="append", required=True,
-                   help="natural-language query (repeatable)")
+    p.add_argument("--query", action="append", default=None,
+                   help="natural-language query: text->video direction "
+                        "(repeatable)")
+    p.add_argument("--query_video", action="append", default=None,
+                   help="dataset video key used as the query: "
+                        "video->paragraph direction (repeatable)")
     p.add_argument("-k", type=int, default=5)
     p.add_argument("--sharded", action="store_true")
     p.add_argument("--vocab_path", default=None,
@@ -40,36 +44,72 @@ def main(argv=None) -> int:
                              feat_dim=cfg.data.feat_dim,
                              flat=not cfg.model.hierarchical)
 
+    if not args.query and not args.query_video:
+        p.error("pass --query (text->video) and/or --query_video "
+                "(video->paragraph)")
+
     mesh = None
     if args.sharded:
         from cmhse_tpu.parallel.mesh import make_mesh
 
         mesh = make_mesh((-1,), ("data",))
 
-    retriever = Retriever(model, params, mesh=mesh)
-    retriever.build_gallery(
-        batches_from_dataset(dataset, cfg.data, shuffle=False),
-        keys=None,
-    )
-
-    # tokenize queries into a one-sentence padded batch
-    smax, wmax = cfg.data.max_sentences, cfg.data.max_words
-    q = len(args.query)
-    words = np.zeros((q, smax, wmax), np.int32)
-    word_len = np.zeros((q, smax), np.int32)
-    sent_len = np.ones((q,), np.int32)
-    for i, text in enumerate(args.query):
-        ids = vocab.encode(text)[:wmax]
-        words[i, 0, : len(ids)] = ids
-        word_len[i, 0] = len(ids)
-
-    scores, idx = retriever.retrieve(words, word_len, sent_len, k=args.k)
-    for i, text in enumerate(args.query):
-        print(f"query: {text!r}")
-        for rank, (j, s) in enumerate(zip(idx[i], scores[i]), start=1):
+    def _print_hits(label, scores, idx, retriever):
+        print(label)
+        for rank, (j, s) in enumerate(zip(idx, scores), start=1):
             key = dataset.keys[int(retriever.gallery_keys[int(j)])] \
                 if retriever.gallery_keys is not None else int(j)
             print(f"  {rank}. {key}  score={float(s):.4f}")
+
+    if args.query:
+        retriever = Retriever(model, params, mesh=mesh)
+        retriever.build_gallery(
+            batches_from_dataset(dataset, cfg.data, shuffle=False),
+            keys=None, side="video",
+        )
+        # tokenize queries into a one-sentence padded batch
+        smax, wmax = cfg.data.max_sentences, cfg.data.max_words
+        q = len(args.query)
+        words = np.zeros((q, smax, wmax), np.int32)
+        word_len = np.zeros((q, smax), np.int32)
+        sent_len = np.ones((q,), np.int32)
+        for i, text in enumerate(args.query):
+            ids = vocab.encode(text)[:wmax]
+            words[i, 0, : len(ids)] = ids
+            word_len[i, 0] = len(ids)
+        scores, idx = retriever.retrieve(words, word_len, sent_len, k=args.k)
+        for i, text in enumerate(args.query):
+            _print_hits(f"query: {text!r}", scores[i], idx[i], retriever)
+
+    if args.query_video:
+        # video->paragraph: TEXT gallery, video queries looked up by key
+        from cmhse_tpu.data.bucketing import BucketSpec, pad_batch
+
+        retriever_t = Retriever(model, params, mesh=mesh)
+        retriever_t.build_gallery(
+            batches_from_dataset(dataset, cfg.data, shuffle=False),
+            keys=None, side="text",
+        )
+        key_to_idx = {key: i for i, key in enumerate(dataset.keys)}
+        missing = [kq for kq in args.query_video if kq not in key_to_idx]
+        if missing:
+            raise SystemExit(
+                f"video keys not in the {args.split} split: {missing}"
+            )
+        examples = [dataset[key_to_idx[kq]] for kq in args.query_video]
+        spec = BucketSpec(
+            batch_size=len(examples), max_clips=cfg.data.max_clips,
+            max_frames=cfg.data.max_frames,
+            max_sentences=cfg.data.max_sentences,
+            max_words=cfg.data.max_words, feat_dim=cfg.data.feat_dim,
+        )
+        qb = pad_batch(examples, spec)
+        scores, idx = retriever_t.retrieve_video(
+            qb.frames, qb.frame_len, qb.clip_len, k=args.k
+        )
+        for i, kq in enumerate(args.query_video):
+            _print_hits(f"video query: {kq!r} (paragraphs)", scores[i],
+                        idx[i], retriever_t)
     return 0
 
 

@@ -66,6 +66,24 @@ def _jitted_text_encode(mcfg, vocab_size: int):
     return _encode
 
 
+@functools.lru_cache(maxsize=32)
+def _jitted_video_encode(mcfg, vocab_size: int):
+    """One compiled video-encode program per (ModelConfig, vocab) — the
+    query-side encoder of video->paragraph serving (Retriever.retrieve_video);
+    module-level cache like the text one."""
+    model = CMHSE(cfg=mcfg, vocab_size=vocab_size)
+
+    @jax.jit
+    def _encode(params, frames, frame_len, clip_len):
+        emb, _ = model.apply(
+            {"params": params}, frames, frame_len, clip_len,
+            method=CMHSE.encode_video,
+        )
+        return emb
+
+    return _encode
+
+
 def _resolve_pallas(mcfg, use_pallas_gru: bool | None):
     """Resolve the encode-time Pallas GRU toggle: None = auto (on for real
     TPU, off elsewhere — interpret mode is slower than the scan). The flag

@@ -34,7 +34,8 @@ class Retriever:
     """
 
     def __init__(self, model: CMHSE, params, mesh=None):
-        from cmhse_tpu.eval.encode import _jitted_text_encode
+        from cmhse_tpu.eval.encode import (_jitted_text_encode,
+                                           _jitted_video_encode)
 
         self.model = model
         self.params = params
@@ -45,16 +46,26 @@ class Retriever:
         self.n_valid: int = 0
         self._prepared = None
         self._encode_text = _jitted_text_encode(model.cfg, model.vocab_size)
+        self._encode_video = _jitted_video_encode(model.cfg, model.vocab_size)
 
-    def build_gallery(self, batches, keys: list | None = None) -> None:
-        """Encode video batches into the on-device gallery (no per-batch
-        host transfers; see ``encode_gallery_device``)."""
+    def build_gallery(self, batches, keys: list | None = None,
+                      side: str = "video") -> None:
+        """Encode batches into the on-device gallery (no per-batch host
+        transfers; see ``encode_gallery_device``).
+
+        ``side``: which modality becomes the gallery — "video" (text->video
+        retrieval via :meth:`retrieve`, the default) or "text"
+        (video->paragraph retrieval via :meth:`retrieve_video`). The
+        reference evaluates BOTH directions (SURVEY.md C12), so serving
+        supports both."""
         from cmhse_tpu.eval.encode import encode_gallery_device
 
-        v, _, valid, ids = encode_gallery_device(
+        if side not in ("video", "text"):
+            raise ValueError(f"side must be 'video' or 'text', got {side!r}")
+        v, p, valid, ids = encode_gallery_device(
             self.model, self.params, batches, return_ids=True
         )
-        self.gallery = v
+        self.gallery = v if side == "video" else p
         self.gallery_valid = jnp.asarray(valid)
         self.n_valid = int(np.asarray(valid).sum())
         # large galleries: pre-chunk once for the streaming top-k (skips
@@ -93,7 +104,8 @@ class Retriever:
     def retrieve(
         self, words: Array, word_len: Array, sent_len: Array, k: int = 10
     ) -> tuple[np.ndarray, np.ndarray]:
-        """Top-k gallery indices + scores for a batch of tokenized queries.
+        """Top-k gallery indices + scores for a batch of tokenized TEXT
+        queries (text->video with the default gallery side).
 
         Padding gallery rows are masked to ``-inf`` and can never appear in
         the result: ``k`` is clamped to the number of valid gallery rows, so
@@ -107,6 +119,26 @@ class Retriever:
             return (np.zeros((q_rows, 0), np.float32),
                     np.zeros((q_rows, 0), np.int32))
         q = self._encode_text(self.params, words, word_len, sent_len)
+        return self._search(q, k)
+
+    def retrieve_video(
+        self, frames: Array, frame_len: Array, clip_len: Array, k: int = 10
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Top-k gallery indices + scores for a batch of VIDEO queries —
+        the video->paragraph direction (build the gallery with
+        ``side="text"``). Same clamping/masking contract as
+        :meth:`retrieve`."""
+        if self.gallery is None:
+            raise RuntimeError("call build_gallery() first")
+        k = min(k, self.n_valid)
+        if k == 0:
+            q_rows = int(frames.shape[0])
+            return (np.zeros((q_rows, 0), np.float32),
+                    np.zeros((q_rows, 0), np.int32))
+        q = self._encode_video(self.params, frames, frame_len, clip_len)
+        return self._search(q, k)
+
+    def _search(self, q: Array, k: int) -> tuple[np.ndarray, np.ndarray]:
         if self.mesh is not None:
             from cmhse_tpu.parallel.eval_sharded import sharded_sim_topk
 

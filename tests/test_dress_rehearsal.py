@@ -176,3 +176,15 @@ def test_cli_dress_rehearsal(data_dir, tmp_path, capsys):
     big = capsys.readouterr().out
     assert big.count("score=") == 8  # n_val valid rows
     assert "-inf" not in big
+
+    # video->paragraph direction: a dataset key as the query
+    assert retrieve_main([ckpt, "--platform", "cpu", "--split", "val",
+                          "--query_video", "v_val000", "-k", "3"]) == 0
+    v2p = capsys.readouterr().out
+    assert "video query: 'v_val000'" in v2p
+    assert v2p.count("score=") == 3
+
+    # unknown key fails loudly, not with a KeyError traceback
+    with pytest.raises(SystemExit, match="not in the val split"):
+        retrieve_main([ckpt, "--platform", "cpu", "--split", "val",
+                       "--query_video", "v_nope", "-k", "3"])

@@ -198,6 +198,44 @@ def test_retriever_topk_single_and_sharded():
     np.testing.assert_allclose(scores, scores2, rtol=1e-5)
 
 
+def test_retriever_video_to_paragraph_direction():
+    """side="text" gallery + retrieve_video = the v2p serving direction
+    (the reference evaluates both directions; SURVEY.md C12). Pinned
+    against a manual dense top-k over the same embeddings."""
+    from cmhse_tpu.eval.encode import encode_gallery_device
+
+    cfg = ExperimentConfig(
+        data=DataConfig(batch_size=8, feat_dim=8, vocab_size=64, max_clips=2,
+                        max_frames=4, max_sentences=2, max_words=4),
+        model=ModelConfig(embed_size=16, word_dim=8, feat_dim=8,
+                          rnn_hidden=16),
+    )
+    ds = SyntheticHierarchicalDataset(num_videos=12, feat_dim=8,
+                                      vocab_size=64, max_clips=2,
+                                      max_frames=4, max_words=4)
+    batches = list(batches_from_dataset(ds, cfg.data, shuffle=False))
+    state = create_train_state(cfg, jax.random.PRNGKey(0), batches[0])
+    model = CMHSE(cfg=cfg.model, vocab_size=cfg.data.vocab_size)
+
+    r = Retriever(model, state.params)
+    r.build_gallery(batches, side="text")
+    b = batches[0]
+    scores, idx = r.retrieve_video(b.frames, b.frame_len, b.clip_len, k=5)
+    assert scores.shape == (8, 5)
+
+    v, p, valid = encode_gallery_device(model, state.params, batches)
+    sims = np.array(jnp.dot(v[:8], p.T,
+                            preferred_element_type=jnp.float32))
+    sims[:, ~np.asarray(valid)] = -np.inf
+    want = np.argsort(-sims, axis=1, kind="stable")[:, :5]
+    np.testing.assert_array_equal(idx, want)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="side"):
+        r.build_gallery(batches, side="paragraph")
+
+
 def test_retriever_compact_keys_spread_onto_valid_rows():
     """The device gallery keeps padding rows IN PLACE (possibly mid-gallery
     when a non-final batch is short); caller-supplied compact keys — one per
