@@ -20,6 +20,10 @@ def main(argv=None) -> int:
     p.add_argument("--query_video", action="append", default=None,
                    help="dataset video key used as the query: "
                         "video->paragraph direction (repeatable)")
+    p.add_argument("--interactive", action="store_true",
+                   help="after any --query flags, read further text queries "
+                        "from stdin (one per line) against the SAME encoded "
+                        "gallery — the encode-once/serve-many pattern")
     p.add_argument("-k", type=int, default=5)
     p.add_argument("--sharded", action="store_true")
     p.add_argument("--vocab_path", default=None,
@@ -44,9 +48,9 @@ def main(argv=None) -> int:
                              feat_dim=cfg.data.feat_dim,
                              flat=not cfg.model.hierarchical)
 
-    if not args.query and not args.query_video:
-        p.error("pass --query (text->video) and/or --query_video "
-                "(video->paragraph)")
+    if not args.query and not args.query_video and not args.interactive:
+        p.error("pass --query (text->video), --query_video "
+                "(video->paragraph), or --interactive")
 
     mesh = None
     if args.sharded:
@@ -61,25 +65,42 @@ def main(argv=None) -> int:
                 if retriever.gallery_keys is not None else int(j)
             print(f"  {rank}. {key}  score={float(s):.4f}")
 
-    if args.query:
+    if args.query or args.interactive:
         retriever = Retriever(model, params, mesh=mesh)
         retriever.build_gallery(
             batches_from_dataset(dataset, cfg.data, shuffle=False),
             keys=None, side="video",
         )
-        # tokenize queries into a one-sentence padded batch
         smax, wmax = cfg.data.max_sentences, cfg.data.max_words
-        q = len(args.query)
-        words = np.zeros((q, smax, wmax), np.int32)
-        word_len = np.zeros((q, smax), np.int32)
-        sent_len = np.ones((q,), np.int32)
-        for i, text in enumerate(args.query):
-            ids = vocab.encode(text)[:wmax]
-            words[i, 0, : len(ids)] = ids
-            word_len[i, 0] = len(ids)
-        scores, idx = retriever.retrieve(words, word_len, sent_len, k=args.k)
-        for i, text in enumerate(args.query):
-            _print_hits(f"query: {text!r}", scores[i], idx[i], retriever)
+
+        def _text_batch(texts):
+            # tokenize queries into a one-sentence padded batch
+            words = np.zeros((len(texts), smax, wmax), np.int32)
+            word_len = np.zeros((len(texts), smax), np.int32)
+            sent_len = np.ones((len(texts),), np.int32)
+            for i, text in enumerate(texts):
+                ids = vocab.encode(text)[:wmax]
+                words[i, 0, : len(ids)] = ids
+                word_len[i, 0] = len(ids)
+            return words, word_len, sent_len
+
+        if args.query:
+            scores, idx = retriever.retrieve(*_text_batch(args.query),
+                                             k=args.k)
+            for i, text in enumerate(args.query):
+                _print_hits(f"query: {text!r}", scores[i], idx[i], retriever)
+        if args.interactive:
+            # encode-once/serve-many: the gallery (pre-chunked when large)
+            # stays on device; each stdin line is one query
+            import sys
+
+            for line in sys.stdin:
+                text = line.strip()
+                if not text:
+                    continue
+                scores, idx = retriever.retrieve(*_text_batch([text]),
+                                                 k=args.k)
+                _print_hits(f"query: {text!r}", scores[0], idx[0], retriever)
 
     if args.query_video:
         # video->paragraph: TEXT gallery, video queries looked up by key

@@ -63,7 +63,7 @@ def test_find_vocab_resolution(tmp_path):
     assert loaded.word2idx == vocab.word2idx
 
 
-def test_cli_dress_rehearsal(data_dir, tmp_path, capsys):
+def test_cli_dress_rehearsal(data_dir, tmp_path, capsys, monkeypatch):
     # ---- 1. cmhse-vocab (reference: python vocab.py; SURVEY 3.4) --------
     from cmhse_tpu.cli.build_vocab import main as vocab_main
 
@@ -188,3 +188,14 @@ def test_cli_dress_rehearsal(data_dir, tmp_path, capsys):
     with pytest.raises(SystemExit, match="not in the val split"):
         retrieve_main([ckpt, "--platform", "cpu", "--split", "val",
                        "--query_video", "v_nope", "-k", "3"])
+
+    # interactive mode: encode once, answer a stream of stdin queries
+    import io
+
+    q2 = make_sentence(np.random.RandomState(9))
+    monkeypatch.setattr("sys.stdin", io.StringIO(f"{query}\n\n{q2}\n"))
+    assert retrieve_main([ckpt, "--platform", "cpu", "--split", "val",
+                          "--interactive", "-k", "2"]) == 0
+    inter = capsys.readouterr().out
+    assert inter.count("query:") == 2  # blank line skipped
+    assert inter.count("score=") == 4
