@@ -59,6 +59,38 @@ def test_dp_step_matches_single_device():
         )
 
 
+def test_dp_on_2d_mesh_with_idle_model_axis():
+    """SURVEY.md section 2b: the mesh keeps a model axis so TP could be
+    added WITHOUT call-site changes. Pin that claim: the same train_step /
+    place_* calls must run unchanged on a 2-D (data=4, model=2) mesh — the
+    batch sharded over 'data', everything replicated over the idle 'model'
+    axis — and match the 1-D mesh numerics exactly."""
+    cfg = _tiny_cfg()
+    batches = _batches(cfg, n_videos=16)
+    mesh1 = make_mesh((-1,), ("data",))
+    s1 = place_state(
+        create_train_state(cfg, jax.random.PRNGKey(0), batches[0]), mesh1
+    )
+    for b in batches:
+        s1, m1 = train_step(s1, place_batch(b, mesh1), cfg.loss)
+
+    mesh2 = make_mesh((4, 2), ("data", "model"))
+    assert dict(mesh2.shape) == {"data": 4, "model": 2}
+    s2 = place_state(
+        create_train_state(cfg, jax.random.PRNGKey(0), batches[0]), mesh2
+    )
+    for b in batches:
+        s2, m2 = train_step(s2, place_batch(b, mesh2), cfg.loss)
+
+    # 4-way vs 8-way data sharding reassociates the gradient all-reduce:
+    # ulp-level drift is expected, anything beyond the band is a real bug
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-6)
+    for a, b_ in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-5)
+
+
 def test_loss_decreases_under_dp():
     cfg = _tiny_cfg()
     batches = _batches(cfg)
