@@ -26,13 +26,14 @@ import argparse
 import json
 import os
 
-# module-level switch (not a function arg) so library callers of
-# load_flat_state_dict stay safe-by-default; main() flips it on --unsafe-load
-_ALLOW_UNSAFE_LOAD = [False]
 
+def load_flat_state_dict(path: str, allow_unsafe: bool = False) -> dict:
+    """Load a flat name->numpy dict from .pth/.pt/.pth.tar or .npz.
 
-def load_flat_state_dict(path: str) -> dict:
-    """Load a flat name->numpy dict from .pth/.pt/.pth.tar or .npz."""
+    ``allow_unsafe`` is a per-call parameter (NOT process state — a single
+    opted-in call must not weaken later library calls): full pickle
+    deserialization runs only when the safe loader fails AND the caller
+    opted in."""
     import numpy as np
 
     if path.endswith(".npz"):
@@ -45,7 +46,7 @@ def load_flat_state_dict(path: str) -> dict:
     try:
         obj = torch.load(path, map_location="cpu", weights_only=True)
     except Exception as safe_err:
-        if not _ALLOW_UNSAFE_LOAD[0]:
+        if not allow_unsafe:
             raise ValueError(
                 f"{path}: not loadable with torch's safe weights_only mode "
                 f"({safe_err}). If you trust this checkpoint, re-run with "
@@ -171,14 +172,14 @@ def main(argv=None) -> int:
                         "torch's safe weights_only loader rejects (executes "
                         "code embedded in the file — trusted inputs only)")
     args = p.parse_args(argv)
-    _ALLOW_UNSAFE_LOAD[0] = args.unsafe_load
 
     from cmhse_tpu.cli.train import _force_platform
 
     _force_platform(args.platform)
 
     prefix_map = json.loads(args.prefix_map) if args.prefix_map else None
-    flat = load_flat_state_dict(args.checkpoint)
+    flat = load_flat_state_dict(args.checkpoint,
+                                allow_unsafe=args.unsafe_load)
     model, params, cfg = import_checkpoint(
         flat, args.out_dir, prefix_map=prefix_map, dtype=args.dtype,
         readout=args.readout,

@@ -70,10 +70,13 @@ class Retriever:
         self.n_valid = int(np.asarray(valid).sum())
         # large galleries: pre-chunk once for the streaming top-k (skips
         # the per-call pad/chunk/convert of the whole gallery — the
-        # loop-invariant 30% of the 1M-gallery serving profile)
+        # loop-invariant 30% of the 1M-gallery serving profile). Must chunk
+        # the SELECTED side: preparing `v` unconditionally searched video
+        # embeddings for side="text" galleries (review catch).
         self._prepared = (
-            prepare_topk_gallery(v, self.gallery_valid)
-            if self.mesh is None and should_stream_topk(int(v.shape[0]))
+            prepare_topk_gallery(self.gallery, self.gallery_valid)
+            if self.mesh is None
+            and should_stream_topk(int(self.gallery.shape[0]))
             else None
         )
         # row-aligned keys: the device gallery keeps padding rows IN PLACE,

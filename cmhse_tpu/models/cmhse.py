@@ -42,6 +42,12 @@ class ModelOutputs:
     text_recon: Array | None  # [B, Smax, E]
 
 
+# minimum decoder sequence length at which the seeded-h0 Pallas kernels
+# engage (module-level so scripts/recon_profile.py can force either path
+# for an honest A/B on hardware); see the routing comment in __call__
+DECODER_PALLAS_MIN_T = 16
+
+
 class ReconstructionDecoder(nn.Module):
     """GRU decoder reconstructing the low-level embedding sequence from the
     high-level embedding (SURVEY.md C8; paper's layer-wise reconstruction).
@@ -85,13 +91,12 @@ class ReconstructionDecoder(nn.Module):
         b_h = self.param("b_h", nn.initializers.zeros, (3 * self.rnn_hidden,), jnp.float32)
         # Fused-kernel routing is LENGTH-GATED, unlike the encoders: at the
         # flagship config-3 shape the decoder sequences are only Cmax=8
-        # steps, and the measured full train step is SLOWER with the kernel
-        # (11.50 vs 11.15 ms/step, B=64 v5e — scripts/recon_profile.py):
-        # at tiny T the kernel's fixed costs (grid setup + gate streaming
-        # for the BPTT backward) outweigh the scan's per-step inefficiency.
-        # The seeded-h0 kernels win for long sequences, so they engage at
-        # T >= 16 (hardware-smoked both ways, scripts/tpu_smoke.py 4c).
-        if self.use_pallas_gru and t >= 16:
+        # steps, where the kernel's fixed costs (grid setup + gate streaming
+        # for the BPTT backward) outweigh the scan's per-step inefficiency
+        # (measured A/B: scripts/recon_profile.py, PERFORMANCE.md). The
+        # seeded-h0 kernels engage at T >= DECODER_PALLAS_MIN_T
+        # (hardware-smoked both ways, scripts/tpu_smoke.py 4c).
+        if self.use_pallas_gru and t >= DECODER_PALLAS_MIN_T:
             # fused time loop + BPTT custom VJP, seeded-h0 variant (the h0
             # gradient flows back to the init projection)
             from cmhse_tpu.ops.pallas_gru_grad import pallas_gru_trainable

@@ -114,11 +114,19 @@ def pack_batch_native(examples: list, spec):
         *[s.ctypes.data for s in sent_arrays]
     )
 
-    # allocate straight in the target dtype: bf16 batches convert inside the
-    # native copy loop (pack_frames_bf16, RNE — parity-tested vs numpy
-    # astype), so no second full-size buffer exists on either path
+    # allocate straight in the target dtype for the two dtypes the native
+    # packer writes (f32 passthrough, bf16 RNE-converted in the copy loop —
+    # parity-tested vs numpy astype); any OTHER dtype packs f32 and casts
+    # after (itemsize alone must NOT pick the bf16 writer: f16 shares
+    # itemsize 2 but not bit layout — review catch)
+    import ml_dtypes
+
     dt = spec.np_feature_dtype()
-    frames = np.empty((b, spec.max_clips, spec.max_frames, spec.feat_dim), dt)
+    native_dt = dt if dt in (np.dtype(np.float32),
+                             np.dtype(ml_dtypes.bfloat16)) else \
+        np.dtype(np.float32)
+    frames = np.empty((b, spec.max_clips, spec.max_frames, spec.feat_dim),
+                      native_dt)
     frame_len = np.empty((b, spec.max_clips), np.int32)
     clip_len = np.empty((b,), np.int32)
     words = np.empty((b, spec.max_sentences, spec.max_words), np.int32)
@@ -126,7 +134,9 @@ def pack_batch_native(examples: list, spec):
     sent_len = np.empty((b,), np.int32)
 
     i64p = ctypes.POINTER(ctypes.c_int64)
-    pack_fr = (lib.pack_frames_bf16 if dt.itemsize == 2 else lib.pack_frames)
+    pack_fr = (lib.pack_frames_bf16
+               if native_dt == np.dtype(ml_dtypes.bfloat16)
+               else lib.pack_frames)
     pack_fr(
         clip_ptrs, nframes.ctypes.data_as(i64p), clip_off.ctypes.data_as(i64p),
         b, spec.max_clips, spec.max_frames, spec.feat_dim,
@@ -144,6 +154,8 @@ def pack_batch_native(examples: list, spec):
         video_ids[i] = ex.video_id
         valid[i] = True
 
+    if frames.dtype != dt:
+        frames = frames.astype(dt)  # non-f32/bf16 dtypes: cast after packing
     return Batch(
         frames=frames, frame_len=frame_len, clip_len=clip_len,
         words=words, word_len=word_len, sent_len=sent_len,

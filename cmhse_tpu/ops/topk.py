@@ -72,9 +72,19 @@ def prepare_topk_gallery(
     gallery: Array,
     valid: Array | None = None,
     chunk: int = TOPK_CHUNK,
+    convert: bool = True,
 ) -> PreparedGallery:
-    """Pad + equalize-chunk (+ bf16-convert on TPU) a gallery once."""
+    """Pad + equalize-chunk (+ bf16-convert on TPU, ``convert=True``) a
+    gallery once. ``convert=False`` is the per-call path inside
+    :func:`streaming_sim_topk` (XLA handles the dot-operand conversion
+    there); both paths share THIS function so the subtle chunk-equalization
+    arithmetic exists exactly once."""
     n, _ = gallery.shape
+    # equalize: smallest chunk size that covers N in the same number of
+    # chunks as the cap would — a padded FINAL chunk is wasted GEMM
+    # (measured 31% at the worst alignment) — rounded up to the pre-select
+    # group width so the grouped path needs no column pad (a [Q, chunk]
+    # pad op cost 12.5 ms/call at N=1M in the op profile)
     n_chunks = max(1, -(-n // max(chunk, 1)))
     csize = -(-(-(-n // n_chunks)) // _GROUP) * _GROUP
     pad = n_chunks * csize - n
@@ -82,7 +92,8 @@ def prepare_topk_gallery(
     gvalid = jnp.arange(n + pad) < n
     if valid is not None:
         gvalid = gvalid & jnp.pad(valid.astype(bool), (0, pad))
-    if jax.devices()[0].platform == "tpu" and g.dtype == jnp.float32:
+    if (convert and jax.devices()[0].platform == "tpu"
+            and g.dtype == jnp.float32):
         g = g.astype(jnp.bfloat16)  # see PreparedGallery docstring
     return PreparedGallery(
         chunks=g.reshape(n_chunks, csize, g.shape[-1]),
@@ -137,20 +148,9 @@ def streaming_sim_topk(
         n = gallery.shape[0]
         if k > n:
             raise ValueError(f"k={k} exceeds gallery size {n}")
-        # equalize: smallest chunk size that covers N in the same number of
-        # chunks as the cap would — a padded FINAL chunk is wasted GEMM (see
-        # module docstring; measured 31% at the worst alignment). Rounded up
-        # to the pre-select group width so the grouped path needs no column
-        # pad (a [Q, chunk] pad cost 12.5 ms/call at N=1M in the op profile).
-        n_chunks = max(1, -(-n // max(chunk, 1)))
-        chunk = -(-(-(-n // n_chunks)) // _GROUP) * _GROUP
-        pad = n_chunks * chunk - n
-        g = jnp.pad(gallery, ((0, pad), (0, 0))) if pad else gallery
-        gvalid = jnp.arange(n + pad) < n
-        if valid is not None:
-            gvalid = gvalid & jnp.pad(valid.astype(bool), (0, pad))
-        g_chunks = g.reshape(n_chunks, chunk, d)
-        v_chunks = gvalid.reshape(n_chunks, chunk)
+        prep = prepare_topk_gallery(gallery, valid, chunk, convert=False)
+        g_chunks, v_chunks = prep.chunks, prep.valid
+        n_chunks, chunk, _ = g_chunks.shape
     if g_chunks.dtype == jnp.bfloat16 and queries.dtype == jnp.float32:
         # prepared-on-TPU chunks are bf16; casting the (small) query block
         # reproduces exactly what XLA's default f32 dot does to both sides
@@ -218,8 +218,11 @@ def streaming_sim_topk(
     # one dense top_k over [Q, N]
     cat_s = jnp.swapaxes(all_s, 0, 1).reshape(q, n_chunks * kk)
     cat_i = jnp.swapaxes(all_i, 0, 1).reshape(q, n_chunks * kk)
-    if n_chunks * kk == k:
-        # single-chunk fast path: candidates are already the answer
+    if n_chunks == 1 and kk == k:
+        # single-chunk fast path: the chunk's own top-k IS the answer.
+        # (`n_chunks * kk == k` was WRONG: with several chunks it returned
+        # per-chunk candidates concatenated, not globally sorted — caught by
+        # review; pinned in tests/test_topk.py::test_k_equals_capacity.)
         return cat_s, cat_i
     scores, pos = jax.lax.top_k(cat_s, k)
     idx = jnp.take_along_axis(cat_i, pos, axis=1)

@@ -22,12 +22,12 @@ import bench
 from bench import _timed_scan
 
 
-def _build(decoder_pallas: bool):
+def _build():
     from cmhse_tpu.config import (DataConfig, ExperimentConfig, LossConfig,
                                   ModelConfig, TrainConfig)
     from cmhse_tpu.data.bucketing import BucketSpec, pad_batch
     from cmhse_tpu.data.datasets import SyntheticHierarchicalDataset
-    from cmhse_tpu.models import CMHSE, cmhse as cmhse_mod
+    from cmhse_tpu.models import CMHSE
     from cmhse_tpu.train.state import make_optimizer
 
     bsz = 64
@@ -57,19 +57,8 @@ def _build(decoder_pallas: bool):
                       feature_dtype="bfloat16")
     batch = jax.device_put(pad_batch([ds[i] for i in range(bsz)], spec))
 
-    orig = cmhse_mod.ReconstructionDecoder
-    if not decoder_pallas:
-        # encoders keep the fused kernels; only the decoders flip to scan
-        def scan_decoder(**kw):
-            kw["use_pallas_gru"] = False
-            return orig(**kw)
-
-        cmhse_mod.ReconstructionDecoder = scan_decoder
-    try:
-        model = CMHSE(cfg=cfg.model, vocab_size=bench.VOCAB)
-        params0 = model.init(jax.random.PRNGKey(0), batch)["params"]
-    finally:
-        cmhse_mod.ReconstructionDecoder = orig
+    model = CMHSE(cfg=cfg.model, vocab_size=bench.VOCAB)
+    params0 = model.init(jax.random.PRNGKey(0), batch)["params"]
     tx = make_optimizer(cfg)
     return cfg, model, params0, tx, tx.init(params0), batch, bsz
 
@@ -108,13 +97,25 @@ def _factory(cfg, model, params0, tx, opt0, batch):
 
 def main():
     bench._enable_compile_cache()
+    from cmhse_tpu.models import cmhse as cmhse_mod
+
     out = {}
-    for name, dec_pallas in (("decoder_scan", False),
-                             ("decoder_pallas", True)):
-        parts = _build(dec_pallas)
-        cfg, model, params0, tx, opt0, batch, bsz = parts
-        sec = _timed_scan(_factory(cfg, model, params0, tx, opt0, batch),
-                          n_iters_pair=(2, 6))
+    # Flip the routing via the module-level gate, and KEEP the override
+    # active through the timed region: flax re-runs setup() on every
+    # apply, so a patch restored after model.init silently reverts the
+    # routing inside the jit trace (exactly the bug an earlier version of
+    # this script had — both legs measured the same path).
+    for name, min_t in (("decoder_scan", 10**9), ("decoder_pallas", 0)):
+        old = cmhse_mod.DECODER_PALLAS_MIN_T
+        cmhse_mod.DECODER_PALLAS_MIN_T = min_t
+        try:
+            cfg, model, params0, tx, opt0, batch, bsz = _build()
+            sec = _timed_scan(
+                _factory(cfg, model, params0, tx, opt0, batch),
+                n_iters_pair=(2, 6),
+            )
+        finally:
+            cmhse_mod.DECODER_PALLAS_MIN_T = old
         out[f"{name}_ms"] = round(sec * 1e3, 2)
         out[f"{name}_pairs_per_sec"] = round(bsz / sec, 1)
         print(f"{name}: {out[f'{name}_ms']} ms/step "

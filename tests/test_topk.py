@@ -110,6 +110,21 @@ def test_grouped_preselect_with_valid_mask_and_ragged_groups():
     assert np.asarray(si).max() < 3900 and np.asarray(si).min() >= 256
 
 
+def test_k_equals_capacity():
+    """k == the padded gallery capacity with MORE than one chunk: the old
+    fast-path condition (`n_chunks * kk == k`) skipped the global merge and
+    returned per-chunk candidates concatenated (review catch). Results must
+    be globally desc-sorted and dense-identical."""
+    rng = np.random.RandomState(9)
+    n = 256
+    q = jnp.asarray(rng.randn(4, 8).astype(np.float32))
+    g = jnp.asarray(rng.randn(n, 8).astype(np.float32))
+    ds, di = _dense_topk(q, g, n)
+    ss, si = streaming_sim_topk(q, g, n, chunk=128)  # 2 chunks, kk=128
+    np.testing.assert_array_equal(np.asarray(si), np.asarray(di))
+    assert (np.diff(np.asarray(ss), axis=1) <= 0).all()  # globally sorted
+
+
 def test_prepared_gallery_matches_per_call():
     """prepare_topk_gallery (the encode-once/serve-forever path) must give
     bit-identical indices to the per-call path, with and without a validity

@@ -236,6 +236,58 @@ def test_retriever_video_to_paragraph_direction():
         r.build_gallery(batches, side="paragraph")
 
 
+def test_prepared_gallery_uses_selected_side(monkeypatch):
+    """With streaming forced, the pre-chunked gallery must hold the SELECTED
+    modality — a side="text" build once pre-chunked the video embeddings and
+    silently searched the wrong space (review catch)."""
+    from cmhse_tpu.eval import serve as serve_mod
+
+    cfg = ExperimentConfig(
+        data=DataConfig(batch_size=8, feat_dim=8, vocab_size=64, max_clips=2,
+                        max_frames=4, max_sentences=2, max_words=4),
+        model=ModelConfig(embed_size=16, word_dim=8, feat_dim=8,
+                          rnn_hidden=16),
+    )
+    ds = SyntheticHierarchicalDataset(num_videos=12, feat_dim=8,
+                                      vocab_size=64, max_clips=2,
+                                      max_frames=4, max_words=4)
+    batches = list(batches_from_dataset(ds, cfg.data, shuffle=False))
+    state = create_train_state(cfg, jax.random.PRNGKey(0), batches[0])
+    model = CMHSE(cfg=cfg.model, vocab_size=cfg.data.vocab_size)
+
+    monkeypatch.setattr(serve_mod, "should_stream_topk",
+                        lambda n, force=None: True)
+    for side in ("video", "text"):
+        r = Retriever(model, state.params)
+        r.build_gallery(batches, side=side)
+        assert r._prepared is not None
+        rows = int(r.gallery.shape[0])
+        flat = np.asarray(r._prepared.chunks).reshape(-1, 16)[:rows]
+        np.testing.assert_array_equal(flat, np.asarray(r.gallery))
+        # and the streaming search returns the same hits as a fresh dense
+        # retriever on the same side
+        b = batches[0]
+        if side == "video":
+            s_stream, i_stream = r.retrieve(b.words, b.word_len, b.sent_len,
+                                            k=5)
+        else:
+            s_stream, i_stream = r.retrieve_video(b.frames, b.frame_len,
+                                                  b.clip_len, k=5)
+        monkeypatch.setattr(serve_mod, "should_stream_topk",
+                            lambda n, force=None: False)
+        r2 = Retriever(model, state.params)
+        r2.build_gallery(batches, side=side)
+        if side == "video":
+            s_dense, i_dense = r2.retrieve(b.words, b.word_len, b.sent_len,
+                                           k=5)
+        else:
+            s_dense, i_dense = r2.retrieve_video(b.frames, b.frame_len,
+                                                 b.clip_len, k=5)
+        monkeypatch.setattr(serve_mod, "should_stream_topk",
+                            lambda n, force=None: True)
+        np.testing.assert_array_equal(i_stream, i_dense)
+
+
 def test_retriever_compact_keys_spread_onto_valid_rows():
     """The device gallery keeps padding rows IN PLACE (possibly mid-gallery
     when a non-final batch is short); caller-supplied compact keys — one per
