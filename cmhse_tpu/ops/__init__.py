@@ -4,8 +4,8 @@ from cmhse_tpu.ops.loss import (
     positive_mask_from_ids,
 )
 from cmhse_tpu.ops.ranking import retrieval_ranks, recall_at_k, retrieval_metrics
-from cmhse_tpu.ops.topk import (prepare_topk_gallery, should_stream_topk,
-                                streaming_sim_topk)
+from cmhse_tpu.ops.topk import (PreparedGallery, prepare_topk_gallery,
+                                should_stream_topk, streaming_sim_topk)
 
 __all__ = [
     "l2norm",
@@ -15,6 +15,7 @@ __all__ = [
     "retrieval_ranks",
     "recall_at_k",
     "retrieval_metrics",
+    "PreparedGallery",
     "prepare_topk_gallery",
     "should_stream_topk",
     "streaming_sim_topk",
