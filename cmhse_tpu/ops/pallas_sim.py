@@ -275,6 +275,10 @@ def _rc_tiles(q: int, d: int) -> tuple[int, int]:
     budget_m = max(128, (6 * 2**20 // (d * 4)) // 128 * 128)
     budget_n = max(128, (3 * 2**20 // (d * 4)) // 128 * 128)
     tm = min(_cdiv(q, 128) * 128, 1024, budget_m)
+    # tn=1024 was tried in round 3 on the overhead hypothesis and measured
+    # THE SAME (430k vs 434k QPS at Q=1024/N=100k/D=1024): the kernel sits
+    # at ~89-92% of the f32 MXU roofline, so bigger tiles buy nothing —
+    # keep the sweep-best (1024, 512).
     tn = min(512, budget_n)
     return tm, tn
 
