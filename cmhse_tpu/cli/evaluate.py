@@ -19,6 +19,9 @@ def main(argv=None) -> int:
                    help="force the streaming rank-count kernel (no [Q, N] "
                         "similarity block); default: auto by gallery size")
     p.add_argument("--no_streaming", dest="streaming", action="store_false")
+    p.add_argument("--profile_dir", default=None,
+                   help="wrap the evaluation in a jax.profiler trace to "
+                        "this dir (parse with cmhse_tpu.utils.profiling)")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu", "axon"])
     args = p.parse_args(argv)
 
@@ -27,6 +30,7 @@ def main(argv=None) -> int:
     _force_platform(args.platform)
 
     from cmhse_tpu.eval.retrieval import evalrank
+    from cmhse_tpu.utils.timing import profiler_trace
 
     mesh = None
     if args.sharded:
@@ -35,8 +39,9 @@ def main(argv=None) -> int:
         mesh = make_mesh((-1,), ("data",))
 
     ks = tuple(int(k) for k in args.ks.split(","))
-    evalrank(args.checkpoint, data_path=args.data_path, split=args.split,
-             ks=ks, mesh=mesh, mode=args.mode, streaming=args.streaming)
+    with profiler_trace(args.profile_dir):
+        evalrank(args.checkpoint, data_path=args.data_path, split=args.split,
+                 ks=ks, mesh=mesh, mode=args.mode, streaming=args.streaming)
     return 0
 
 

@@ -127,10 +127,16 @@ def test_cli_dress_rehearsal(data_dir, tmp_path, capsys, monkeypatch):
     assert _rsum(sharded) == _rsum(plain)
 
     # forced streaming rank counting (the large-gallery path) must agree on
-    # this tiny gallery too — the dispatch boundary cannot move metrics
+    # this tiny gallery too — the dispatch boundary cannot move metrics;
+    # also exercises the eval-side profiler trace flag
+    prof_dir = str(tmp_path / "eval_profile")
     assert eval_main([ckpt, "--platform", "cpu", "--split", "val",
-                      "--streaming"]) == 0
+                      "--streaming", "--profile_dir", prof_dir]) == 0
     assert _rsum(capsys.readouterr().out) == _rsum(plain)
+    import glob
+
+    assert glob.glob(os.path.join(prof_dir, "**", "*.xplane.pb"),
+                     recursive=True)
 
     # ---- 5. cmhse-import of a reference-style .pth.tar ------------------
     torch = pytest.importorskip("torch")
