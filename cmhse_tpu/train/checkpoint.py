@@ -162,6 +162,12 @@ def restore_for_eval(directory: str):
     from cmhse_tpu.models import CMHSE
 
     directory = _abs(directory)
+    if (not os.path.exists(os.path.join(directory, "config.json"))
+            and os.path.basename(directory) == "best"
+            and os.path.exists(os.path.join(directory, "..", "config.json"))):
+        # pointing cmhse-eval at <run>/best instead of <run> is a natural
+        # mistake (best/ looks like a checkpoint dir); accept it
+        directory = os.path.dirname(directory)
     with open(os.path.join(directory, "config.json")) as f:
         cfg = ExperimentConfig.from_json(f.read())
     model = CMHSE(cfg=cfg.model, vocab_size=cfg.data.vocab_size)

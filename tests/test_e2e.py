@@ -4,6 +4,7 @@ full ``fit`` loop with validation, checkpoint best-save, and resume."""
 import glob
 import os
 
+import chex
 import numpy as np
 import jax
 import pytest
@@ -66,6 +67,13 @@ def test_fit_validates_checkpoints_and_resumes(tmp_path):
     assert np.isfinite(m["rsum"])
     table = format_table(m, ks=(1, 5))
     assert "Video to Paragraph" in table and "MedR" in table
+
+    # pointing at <run>/best (a natural mistake — it looks like a checkpoint
+    # dir) must resolve to the run dir, not die on a missing config.json
+    model_b, params_b, cfg_b = restore_for_eval(
+        os.path.join(cfg.train.checkpoint_dir, "best"))
+    assert cfg_b.model.embed_size == 24
+    chex.assert_trees_all_equal(params_b, params)
 
 
 def test_fit_applies_word2vec_init(tmp_path):
