@@ -436,16 +436,33 @@ def bench_mfu_device(n_steps: int = 3):
 def bench_topk_100k():
     """Serving top-k at a 100k gallery (VERDICT r2 next-step 2's bench leg):
     the chunked-scan streaming path (peak block [Q, chunk]) vs the dense
-    [Q, N] masked top_k. Returns dict of QPS per variant."""
+    [Q, N] masked top_k, plus the prepared-gallery serving path
+    (encode-once/serve-forever: pad/chunk/bf16-convert hoisted out of the
+    query path). Returns dict of QPS per variant."""
     import jax
     import jax.numpy as jnp
 
-    from cmhse_tpu.ops.topk import streaming_sim_topk
+    from cmhse_tpu.ops.topk import prepare_topk_gallery, streaming_sim_topk
 
     n, q, k = 100_000, 1024, 10
     rng = np.random.RandomState(2)
     gallery = jax.device_put(rng.randn(n, EMBED).astype(np.float32))
     queries = jax.device_put(rng.randn(q, EMBED).astype(np.float32))
+    prepared = jax.jit(prepare_topk_gallery)(gallery)
+    jax.block_until_ready(prepared)
+
+    def factory_prepared(n_iters):
+        @jax.jit
+        def run(seed, qs, prep):
+            def body(carry, i):
+                qq = qs + (seed + i.astype(jnp.float32)) * 1e-3
+                s, idx = streaming_sim_topk(qq, prep, k)
+                return carry + jnp.sum(s) + jnp.sum(idx).astype(
+                    jnp.float32), None
+            total, _ = jax.lax.scan(body, jnp.float32(0),
+                                    jnp.arange(n_iters))
+            return total
+        return lambda seed: run(seed, queries, prepared)
 
     def factory_stream(n_iters):
         @jax.jit
@@ -476,6 +493,8 @@ def bench_topk_100k():
 
     return {
         "stream": q / _timed_scan(factory_stream, n_iters_pair=(10, 50)),
+        "stream_prepared": q / _timed_scan(factory_prepared,
+                                           n_iters_pair=(10, 50)),
         "dense": q / _timed_scan(factory_dense, n_iters_pair=(10, 50)),
     }
 

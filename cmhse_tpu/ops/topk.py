@@ -10,17 +10,20 @@ top-k by scanning gallery CHUNKS:
                local top-k            (lax.top_k over the chunk)
     finally:   ONE merge top-k over the [Q, n_chunks*k'] stacked candidates
 
-Peak similarity memory is ``[Q, chunk]`` regardless of N. Two measured
-design points (v5e, Q=1024, N=100k, D=1024 — see PERFORMANCE.md):
-equal-size chunks, because a padded final chunk is pure wasted GEMM (a
-fixed-32768 chunking padded 100k -> 131k rows and cost 31% QPS), and a
-single final merge, because a per-chunk running merge added ~25% (13 extra
-[Q, k+k'] top_k launches). With both, streaming BEATS the dense [Q, N]
-path at the 100k gallery: 207k QPS vs 200k dense (the dense path pays one
-giant [Q, N] top_k; per-chunk top_k over 4 x 25k columns is cheaper). Tie
-semantics match the dense path exactly: candidates stack in chunk order
-(ascending global index) and ``lax.top_k`` is stable, so equal scores
-resolve to the lowest gallery index.
+Peak similarity memory is ``[Q, chunk]`` regardless of N (chunk capped at
+:data:`TOPK_CHUNK_CAP` rows). Three measured design points (v5e, Q=1024,
+D=1024 — tuning history in PERFORMANCE.md): equal-size chunks, because a
+padded final chunk is pure wasted GEMM (a fixed-32768 chunking padded
+100k -> 131k rows and cost 31% QPS); a single final merge, because a
+per-chunk running merge added ~25% (13 extra [Q, k+k'] top_k launches);
+and FEW large chunks, because with the born-grouped 3D GEMM (below) the
+remaining per-chunk cost is the selection epilogue (~4 equalized chunks is
+the optimum at both 100k and 1M). Streaming BEATS the dense [Q, N] path
+at the 100k gallery: 351k QPS vs 200k dense (the dense path pays one
+giant [Q, N] top_k). Tie semantics match the dense path exactly:
+candidates stack in chunk order (ascending global index) and
+``lax.top_k`` is stable, so equal scores resolve to the lowest gallery
+index.
 
 A ``lax.scan`` (not a Pallas kernel) is the right tool here: the FLOPs are
 one big GEMM per chunk, which XLA already schedules at full MXU rate, and a
@@ -37,13 +40,21 @@ import jax
 import jax.numpy as jnp
 from jax import Array
 
-# gallery-rows-per-chunk CAP; actual chunks are equalized (and rounded to
-# the group width) so the final chunk carries no large padding. Measured at
-# Q=1024/N=100k/D=1024 on v5e (equalized + single merge): cap 8192 -> 158k
-# QPS, 16384 -> 170k, 32768 -> 207k (vs 200k fully-dense), 65536 -> 193k.
-# 32768 is both the fastest AND caps the peak block at Q x 32k f32 = 128 MB
-# per 1024 queries — faster than dense with bounded memory. The grouped
-# pre-select (below) lifts 100k to 263k.
+# Adaptive chunking (chunk=None): equalize the gallery into
+# max(TOPK_NCHUNKS, ceil(N / TOPK_CHUNK_CAP)) chunks. With the born-grouped
+# 3D body the per-chunk GEMM runs at roofline and the cost that scales with
+# chunk COUNT is the selection epilogue, so few large chunks win — measured
+# at Q=1024/D=1024/k=10 on v5e: N=100k: 4x25k chunks 351k QPS vs 2x50k
+# 310k vs 1x100k 333k; N=1M: 4x250k 38.6k vs 8x125k 37.6k vs 31x32k 29.4k.
+# Four chunks is the sweet spot at BOTH scales; the cap bounds the peak
+# similarity block ([Q, chunk] f32 <= 1 GB per 1024 queries) for galleries
+# beyond ~1M rows.
+TOPK_NCHUNKS = 4
+TOPK_CHUNK_CAP = 262144
+
+# legacy fixed per-chunk row cap for callers that pass an explicit `chunk`
+# (tuning history in PERFORMANCE.md; with the pre-3D scalar epilogue this
+# was the measured optimum)
 TOPK_CHUNK = 32768
 
 # pre-select group width (columns reduced to one max before the top-k);
@@ -71,21 +82,28 @@ class PreparedGallery(NamedTuple):
 def prepare_topk_gallery(
     gallery: Array,
     valid: Array | None = None,
-    chunk: int = TOPK_CHUNK,
+    chunk: int | None = None,
     convert: bool = True,
 ) -> PreparedGallery:
     """Pad + equalize-chunk (+ bf16-convert on TPU, ``convert=True``) a
-    gallery once. ``convert=False`` is the per-call path inside
-    :func:`streaming_sim_topk` (XLA handles the dot-operand conversion
-    there); both paths share THIS function so the subtle chunk-equalization
-    arithmetic exists exactly once."""
+    gallery once. ``chunk=None`` (default) picks the measured-optimal
+    adaptive chunking (see :data:`TOPK_NCHUNKS`); an explicit ``chunk``
+    caps rows per chunk instead. ``convert=False`` is the per-call path
+    inside :func:`streaming_sim_topk` (XLA handles the dot-operand
+    conversion there); both paths share THIS function so the subtle
+    chunk-equalization arithmetic exists exactly once."""
     n, _ = gallery.shape
-    # equalize: smallest chunk size that covers N in the same number of
-    # chunks as the cap would — a padded FINAL chunk is wasted GEMM
-    # (measured 31% at the worst alignment) — rounded up to the pre-select
-    # group width so the grouped path needs no column pad (a [Q, chunk]
-    # pad op cost 12.5 ms/call at N=1M in the op profile)
-    n_chunks = max(1, -(-n // max(chunk, 1)))
+    # equalize: smallest chunk size that covers N in the target number of
+    # chunks — a padded FINAL chunk is wasted GEMM (measured 31% at the
+    # worst alignment) — rounded up to the pre-select group width so the
+    # grouped path needs no column pad (a [Q, chunk] pad op cost
+    # 12.5 ms/call at N=1M in the op profile)
+    if chunk is None:
+        n_chunks = max(TOPK_NCHUNKS, -(-n // TOPK_CHUNK_CAP))
+        # degenerate tiny galleries: never more chunks than _GROUP-wide rows
+        n_chunks = min(n_chunks, max(1, -(-n // _GROUP)))
+    else:
+        n_chunks = max(1, -(-n // max(chunk, 1)))
     csize = -(-(-(-n // n_chunks)) // _GROUP) * _GROUP
     pad = n_chunks * csize - n
     g = jnp.pad(gallery, ((0, pad), (0, 0))) if pad else gallery
@@ -120,7 +138,7 @@ def streaming_sim_topk(
     gallery: Array | PreparedGallery,
     k: int,
     valid: Array | None = None,
-    chunk: int = TOPK_CHUNK,
+    chunk: int | None = None,
 ) -> tuple[Array, Array]:
     """Top-k gallery scores+indices for each query, streaming the gallery.
 
@@ -132,8 +150,10 @@ def streaming_sim_topk(
         then ignored).
       k: candidates to return (caller clamps to the valid row count).
       valid: optional bool ``[N]``; False rows can never surface.
-      chunk: CAP on gallery rows per scan step (static); actual chunks are
-        equalized so the final chunk carries no large padding.
+      chunk: None (default) = adaptive equalized chunking (see
+        :data:`TOPK_NCHUNKS`); an int CAPS gallery rows per scan step
+        (static); actual chunks are always equalized so the final chunk
+        carries no large padding.
 
     Returns: (scores ``[Q, k]`` f32 desc-sorted, indices ``[Q, k]`` i32),
     identical — including tie order — to a dense masked ``lax.top_k``.
@@ -156,62 +176,70 @@ def streaming_sim_topk(
         # reproduces exactly what XLA's default f32 dot does to both sides
         queries = queries.astype(jnp.bfloat16)
     kk = min(k, chunk)
+    ngroups = chunk // _GROUP
 
-    def _chunk_topk(sims):
-        """Exact top-kk of one [Q, chunk] block; grouped pre-select when the
-        chunk is wide enough that a full-width ``lax.top_k`` dominates.
-
-        Grouped pre-select is EXACT including tie order: partition columns
-        into groups of _GROUP, reduce each to its max (a strided
-        ``reduce_window`` — NOT a 3D reshape, whose layout copy cost
-        12.5 ms/call at N=1M in the op profile), take the top-kk groups
-        (stable), gather those kk*_GROUP candidate columns from the 2D
-        block, and run the real top-k on them. Any element of the true
-        top-kk must live in a selected group — were its group unselected,
-        kk groups would beat it by (max, group-index), each contributing an
-        element that beats it in dense tie order too, contradicting
-        membership. Selected group ids are re-sorted ASCENDING before the
-        gather so the candidate row is in ascending column order and the
-        stable final top_k reproduces dense tie-breaking exactly.
-        """
-        c = sims.shape[1]
-        ngroups = -(-c // _GROUP)
-        if ngroups < 2 * kk:
-            return jax.lax.top_k(sims, kk)
-        if ngroups * _GROUP != c:
-            # only reachable via a caller-forced unaligned chunk (the
-            # equalized path rounds chunks to _GROUP); -inf-padded columns
-            # can never surface under the k <= n_valid contract
-            sims = jnp.pad(sims, ((0, 0), (0, ngroups * _GROUP - c)),
-                           constant_values=-jnp.inf)
+    if ngroups * _GROUP == chunk and ngroups >= 2 * kk:
+        # Grouped pre-select with BORN-GROUPED similarities: the gallery
+        # chunk is viewed as [ngroups, _GROUP, D] and the per-chunk GEMM is
+        # a 3D dot producing sims directly in [Q, ngroups, _GROUP] layout —
+        # no [Q, chunk] 2D block ever exists, so the 2D->3D group-reshape
+        # layout copy that dominated the 1M-gallery op profile is gone
+        # (measured 19.3k -> 29.4k QPS at N=1M, Q=1024, D=1024 on v5e; the
+        # gallery-side reshape below is hoisted out of the scan and touches
+        # the already-chunked layout only once per call).
+        #
+        # Grouped pre-select is EXACT including tie order: reduce each
+        # group to its max, take the top-kk groups (stable), gather those
+        # kk*_GROUP candidate columns, and run the real top-k on them. Any
+        # element of the true top-kk must live in a selected group — were
+        # its group unselected, kk groups would beat it by (max,
+        # group-index), each contributing an element that beats it in dense
+        # tie order too, contradicting membership. Selected group ids are
+        # re-sorted ASCENDING before the gather so the candidate row is in
+        # ascending column order and the stable final top_k reproduces
+        # dense tie-breaking exactly.
+        #
         # NOTE a 2D take_along_axis(sims, cols) formulation (with a strided
         # reduce_window for gmax) measured 15x SLOWER on v5e — XLA lowers
-        # the arbitrary-column gather scalar-by-scalar. The 3D reshape costs
-        # a layout copy but its axis-1 group gather lowers to dynamic
-        # slices; keep this shape.
-        grp = sims.reshape(q, ngroups, _GROUP)
-        gmax = jnp.max(grp, axis=2)  # [Q, ngroups]
-        _, gsel = jax.lax.top_k(gmax, kk)
-        gsel = jnp.sort(gsel, axis=1)  # ascending: dense tie order
-        cand = jnp.take_along_axis(grp, gsel[:, :, None], axis=1)
-        cols = gsel[:, :, None] * _GROUP + jnp.arange(_GROUP)[None, None, :]
-        cols = jnp.minimum(cols, c - 1)  # padded columns stay in range
-        loc_s, sel = jax.lax.top_k(cand.reshape(q, kk * _GROUP), kk)
-        loc_i = jnp.take_along_axis(cols.reshape(q, kk * _GROUP), sel,
-                                    axis=1)
-        return loc_s, loc_i
+        # the arbitrary-column gather scalar-by-scalar. The 3D axis-1 group
+        # gather lowers to dynamic slices; keep this shape.
+        g_feed = g_chunks.reshape(n_chunks, ngroups, _GROUP, d)
+        v_feed = v_chunks.reshape(n_chunks, ngroups, _GROUP)
 
-    def body(_, xs):
-        g_c, v_c, ci = xs
-        sims = jnp.dot(
-            queries, g_c.T, preferred_element_type=jnp.float32
-        )  # [Q, chunk] — the ONLY similarity block ever materialized
-        sims = jnp.where(v_c[None, :], sims, -jnp.inf)
-        loc_s, loc_i = _chunk_topk(sims)
-        return None, (loc_s, loc_i + ci * chunk)
+        def body(_, xs):
+            g_c, v_c, ci = xs
+            sims = jnp.einsum(
+                "qd,gkd->qgk", queries, g_c,
+                preferred_element_type=jnp.float32,
+            )  # [Q, ngroups, _GROUP] — the ONLY similarity block ever made
+            sims = jnp.where(v_c[None], sims, -jnp.inf)
+            gmax = jnp.max(sims, axis=2)  # [Q, ngroups]
+            _, gsel = jax.lax.top_k(gmax, kk)
+            gsel = jnp.sort(gsel, axis=1)  # ascending: dense tie order
+            cand = jnp.take_along_axis(sims, gsel[:, :, None], axis=1)
+            cols = (gsel[:, :, None] * _GROUP
+                    + jnp.arange(_GROUP)[None, None, :])
+            loc_s, sel = jax.lax.top_k(cand.reshape(q, kk * _GROUP), kk)
+            loc_i = jnp.take_along_axis(cols.reshape(q, kk * _GROUP), sel,
+                                        axis=1)
+            return None, (loc_s, loc_i + ci * chunk)
+    else:
+        # narrow chunk (ngroups < 2*kk: pre-select would not shrink the
+        # top-k) or a caller-forced non-_GROUP-aligned chunk: plain 2D GEMM
+        # + full-width top_k per chunk
+        g_feed, v_feed = g_chunks, v_chunks
+
+        def body(_, xs):
+            g_c, v_c, ci = xs
+            sims = jnp.dot(
+                queries, g_c.T, preferred_element_type=jnp.float32
+            )  # [Q, chunk] — the ONLY similarity block ever materialized
+            sims = jnp.where(v_c[None, :], sims, -jnp.inf)
+            loc_s, loc_i = jax.lax.top_k(sims, kk)
+            return None, (loc_s, loc_i + ci * chunk)
 
     _, (all_s, all_i) = jax.lax.scan(
-        body, None, (g_chunks, v_chunks, jnp.arange(n_chunks, dtype=jnp.int32))
+        body, None, (g_feed, v_feed, jnp.arange(n_chunks, dtype=jnp.int32))
     )  # [n_chunks, Q, kk] — k' candidates per chunk, tiny vs [Q, N]
     # stack in CHUNK ORDER (ascending global index): the stable final top_k
     # then resolves equal scores to the lowest gallery index, exactly like
