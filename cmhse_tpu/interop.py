@@ -252,6 +252,100 @@ def model_params_from_state_dict(
     return params
 
 
+def _to_f32_np(a) -> np.ndarray:
+    """Param leaf -> float32 numpy (torch has no bfloat16-numpy bridge, and
+    reference checkpoints are f32 anyway; integer leaves pass through)."""
+    arr = np.asarray(a)
+    if np.issubdtype(arr.dtype, np.floating) or arr.dtype.name == "bfloat16":
+        arr = arr.astype(np.float32)
+    return arr
+
+
+def _gru_to_torch(gru: dict) -> dict:
+    """Inverse of :func:`gru_params_from_torch`: a :class:`MaskedGRU` param
+    dict -> torch fused-GRU state_dict tensors ([3H, D], gate order r,z,n),
+    with ``*_reverse`` keys when the bwd direction is present."""
+    out = {}
+    for direction, suffix in (("fwd", ""), ("bwd", "_reverse")):
+        if f"{direction}_w_i" not in gru:
+            continue
+        out[f"weight_ih_l0{suffix}"] = np.ascontiguousarray(
+            _to_f32_np(gru[f"{direction}_w_i"]).T)
+        out[f"weight_hh_l0{suffix}"] = np.ascontiguousarray(
+            _to_f32_np(gru[f"{direction}_w_h"]).T)
+        out[f"bias_ih_l0{suffix}"] = _to_f32_np(gru[f"{direction}_b_i"])
+        out[f"bias_hh_l0{suffix}"] = _to_f32_np(gru[f"{direction}_b_h"])
+    return out
+
+
+def _dense_to_torch(dense: dict) -> dict:
+    """Inverse of :func:`dense_params_from_torch`."""
+    out = {"weight": np.ascontiguousarray(_to_f32_np(dense["kernel"]).T)}
+    if "bias" in dense:
+        out["bias"] = _to_f32_np(dense["bias"])
+    return out
+
+
+def _encoder_to_flat(enc: dict, prefix: str, out: dict) -> None:
+    """One SequenceEncoder's params -> flat ``{prefix}.gru.*`` (+ proj/attn)
+    torch-layout keys, exactly inverting :func:`_encoder_from_flat`."""
+    for k, v in _gru_to_torch(enc["gru"]).items():
+        out[f"{prefix}.gru.{k}"] = v
+    if "proj" in enc:
+        for k, v in _dense_to_torch(enc["proj"]).items():
+            out[f"{prefix}.proj.{k}"] = v
+    if "attn_pool" in enc:
+        for k, v in _dense_to_torch(enc["attn_pool"]["proj"]).items():
+            out[f"{prefix}.attn_proj.{k}"] = v
+        for k, v in _dense_to_torch(enc["attn_pool"]["score"]).items():
+            out[f"{prefix}.attn_score.{k}"] = v
+
+
+def _decoder_to_flat(dec: dict, prefix: str, out: dict) -> None:
+    """Inverse of :func:`_decoder_from_flat` (init Linear, teacher-forcing
+    GRU, out Linear)."""
+    for k, v in _dense_to_torch(dec["init"]).items():
+        out[f"{prefix}.init.{k}"] = v
+    gru = {"fwd_w_i": dec["w_i"], "fwd_w_h": dec["w_h"],
+           "fwd_b_i": dec["b_i"], "fwd_b_h": dec["b_h"]}
+    for k, v in _gru_to_torch(gru).items():
+        out[f"{prefix}.gru.{k}"] = v
+    for k, v in _dense_to_torch(dec["out"]).items():
+        out[f"{prefix}.out.{k}"] = v
+
+
+def state_dict_from_model_params(
+    params: dict, prefix_map: dict | None = None
+) -> dict:
+    """CMHSE params pytree -> a flat reference-style torch state_dict.
+
+    The exact inverse of :func:`model_params_from_state_dict` (round-trip
+    pinned by tests/test_export.py), keyed by :data:`DEFAULT_PREFIX_MAP`
+    (override via ``prefix_map``). Which submodules exist is read off the
+    tree itself (``video_high`` => hierarchical, ``video_decoder`` =>
+    reconstruction, a ``bwd_w_i`` => bidirectional ``*_reverse`` keys).
+    All float tensors are emitted as contiguous float32 numpy arrays —
+    loadable by ``torch.nn.Module.load_state_dict`` after ``torch.from_numpy``
+    (the ``cmhse-export`` CLI does this), or re-importable via ``.npz``.
+    """
+    pm = dict(DEFAULT_PREFIX_MAP)
+    if prefix_map:
+        pm.update(prefix_map)
+    sd: dict = {
+        f"{pm['word_embedding']}.weight":
+            _to_f32_np(params["word_embedding"]["embedding"]),
+    }
+    _encoder_to_flat(params["video_low"], pm["video_low"], sd)
+    _encoder_to_flat(params["text_low"], pm["text_low"], sd)
+    if "video_high" in params:
+        _encoder_to_flat(params["video_high"], pm["video_high"], sd)
+        _encoder_to_flat(params["text_high"], pm["text_high"], sd)
+    if "video_decoder" in params:
+        _decoder_to_flat(params["video_decoder"], pm["video_decoder"], sd)
+        _decoder_to_flat(params["text_decoder"], pm["text_decoder"], sd)
+    return sd
+
+
 def recon_decoder_params_from_torch(
     init: tuple[np.ndarray, np.ndarray],
     gru_tensors: dict,
