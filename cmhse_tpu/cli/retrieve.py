@@ -26,6 +26,11 @@ def main(argv=None) -> int:
                         "gallery — the encode-once/serve-many pattern")
     p.add_argument("-k", type=int, default=5)
     p.add_argument("--sharded", action="store_true")
+    p.add_argument("--quantized", action="store_true",
+                   help="two-stage int8 serving for million-row galleries "
+                        "(2.1x QPS at 1M; exact rescoring of the "
+                        "int8-preselected pool — see ops/topk.py). No "
+                        "effect under --sharded or on small galleries")
     p.add_argument("--vocab_path", default=None,
                    help="default: vocab.json/vocab.pkl under the data dir")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu", "axon"])
@@ -66,7 +71,8 @@ def main(argv=None) -> int:
             print(f"  {rank}. {key}  score={float(s):.4f}")
 
     if args.query or args.interactive:
-        retriever = Retriever(model, params, mesh=mesh)
+        retriever = Retriever(model, params, mesh=mesh,
+                              quantize=args.quantized)
         retriever.build_gallery(
             batches_from_dataset(dataset, cfg.data, shuffle=False),
             keys=None, side="video",
@@ -106,7 +112,8 @@ def main(argv=None) -> int:
         # video->paragraph: TEXT gallery, video queries looked up by key
         from cmhse_tpu.data.bucketing import BucketSpec, pad_batch
 
-        retriever_t = Retriever(model, params, mesh=mesh)
+        retriever_t = Retriever(model, params, mesh=mesh,
+                                quantize=args.quantized)
         retriever_t.build_gallery(
             batches_from_dataset(dataset, cfg.data, shuffle=False),
             keys=None, side="text",

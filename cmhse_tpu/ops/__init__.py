@@ -5,7 +5,8 @@ from cmhse_tpu.ops.loss import (
 )
 from cmhse_tpu.ops.ranking import retrieval_ranks, recall_at_k, retrieval_metrics
 from cmhse_tpu.ops.topk import (PreparedGallery, prepare_topk_gallery,
-                                should_stream_topk, streaming_sim_topk)
+                                quantized_sim_topk, should_stream_topk,
+                                streaming_sim_topk)
 
 __all__ = [
     "l2norm",
@@ -17,6 +18,7 @@ __all__ = [
     "retrieval_metrics",
     "PreparedGallery",
     "prepare_topk_gallery",
+    "quantized_sim_topk",
     "should_stream_topk",
     "streaming_sim_topk",
 ]

@@ -77,6 +77,34 @@ class PreparedGallery(NamedTuple):
 
     chunks: Array  # [n_chunks, chunk, D]
     valid: Array   # bool [n_chunks, chunk]
+    # present only when prepared with quantize=True (the int8 serving path,
+    # :func:`quantized_sim_topk`): per-row symmetric int8 values + scales
+    int8_chunks: Array | None = None  # [n_chunks, chunk, D] i8
+    int8_scale: Array | None = None   # [n_chunks, chunk] f32
+
+
+def _round_to_bf16_bits(x: Array) -> Array:
+    """f32 -> bf16 with round-to-nearest-even, via integer bits.
+
+    Exists because a plain ``x.astype(bf16)`` whose result is widened back
+    to f32 forms an excess-precision convert pair that XLA on TPU is
+    allowed to (and does) ELIDE — the value silently stays full-precision
+    f32. When bit-parity with a physically-rounded path matters (the
+    quantized rescore vs the exact MXU dot), the rounding must be opaque
+    to the simplifier. Finite inputs only (embeddings)."""
+    u = jax.lax.bitcast_convert_type(x, jnp.uint32)
+    bias = jnp.uint32(0x7FFF) + ((u >> 16) & jnp.uint32(1))
+    hi = ((u + bias) >> 16).astype(jnp.uint16)
+    return jax.lax.bitcast_convert_type(hi, jnp.bfloat16)
+
+
+def _quantize_rows_int8(x: Array) -> tuple[Array, Array]:
+    """Per-row symmetric int8 quantization: ``(values i8, scale f32[rows])``
+    with ``x ~= values * scale[:, None]``. All-zero rows get scale 1."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.where(amax > 0, amax / 127.0, 1.0)
+    q = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+    return q, scale[..., 0]
 
 
 def prepare_topk_gallery(
@@ -84,6 +112,7 @@ def prepare_topk_gallery(
     valid: Array | None = None,
     chunk: int | None = None,
     convert: bool = True,
+    quantize: bool = False,
 ) -> PreparedGallery:
     """Pad + equalize-chunk (+ bf16-convert on TPU, ``convert=True``) a
     gallery once. ``chunk=None`` (default) picks the measured-optimal
@@ -110,12 +139,20 @@ def prepare_topk_gallery(
     gvalid = jnp.arange(n + pad) < n
     if valid is not None:
         gvalid = gvalid & jnp.pad(valid.astype(bool), (0, pad))
+    int8_chunks = int8_scale = None
+    if quantize:
+        # quantize from the highest-precision form (pre-bf16-conversion)
+        qv, qs = _quantize_rows_int8(g)
+        int8_chunks = qv.reshape(n_chunks, csize, g.shape[-1])
+        int8_scale = qs.reshape(n_chunks, csize)
     if (convert and jax.devices()[0].platform == "tpu"
             and g.dtype == jnp.float32):
         g = g.astype(jnp.bfloat16)  # see PreparedGallery docstring
     return PreparedGallery(
         chunks=g.reshape(n_chunks, csize, g.shape[-1]),
         valid=gvalid.reshape(n_chunks, csize),
+        int8_chunks=int8_chunks,
+        int8_scale=int8_scale,
     )
 
 
@@ -254,4 +291,143 @@ def streaming_sim_topk(
         return cat_s, cat_i
     scores, pos = jax.lax.top_k(cat_s, k)
     idx = jnp.take_along_axis(cat_i, pos, axis=1)
+    return scores, idx
+
+
+@functools.partial(jax.jit, static_argnames=("k", "rescore_m"))
+def quantized_sim_topk(
+    queries: Array,
+    prepared: PreparedGallery,
+    k: int,
+    rescore_m: int | None = None,
+) -> tuple[Array, Array]:
+    """Two-stage int8 top-k: quantized pre-select, exact rescore.
+
+    Stage 1 runs the streaming scan on per-row symmetric int8 (v5e's MXU
+    executes int8 dots at 2x the bf16 rate AND the gallery HBM read halves
+    vs bf16), keeping each chunk's top ``ceil(rescore_m / n_chunks)``
+    candidates (per-CHUNK depth, never below ``k``: capture is a per-chunk
+    property — all k true tops could share one chunk). Stage 2 re-scores
+    the whole surviving pool against the exact (bf16-on-TPU) gallery rows
+    in f32 — products of bf16 values are exact in f32, so the rescored
+    values equal :func:`streaming_sim_topk`'s MXU results up to f32
+    summation order (~1e-7 relative) — and returns the top-k of the
+    rescored values. Returned INDICES therefore differ from the exact path
+    only if (a) a true top-k row falls outside the int8 pre-selection pool,
+    or (b) two rows' true similarities are within summation-order noise.
+    Per-query quantization scale is rank-neutral (a positive per-row
+    factor), so only gallery-side int8 error affects capture. Measured at
+    N=1M/Q=1024/D=1024 on worst-case random unit vectors (near-ties
+    everywhere): 79.6k QPS vs 38.7k exact (2.1x) with indices BIT-IDENTICAL
+    to the exact path across all 1024x10 results; every true top-10 row
+    landed at int8 rank <= 12 (PERFORMANCE.md). At 100k the exact path is
+    already faster (sub-ms calls; the extra int8 stage does not pay) —
+    this mode is for million-row-scale galleries. Formally still an OPT-IN
+    approximate mode: capture is probabilistic, not proven.
+
+    Candidates are re-sorted by ascending gallery index before the stable
+    final top-k, so ties among CAPTURED candidates resolve to the lowest
+    index, matching the dense path.
+
+    Args:
+      queries: ``[Q, D]`` f32 query embeddings.
+      prepared: gallery from ``prepare_topk_gallery(..., quantize=True)``.
+      k: results per query (caller clamps to the valid row count).
+      rescore_m: total candidate-pool target (static; default
+        ``max(64, 4*k)``, split across chunks, clamped to capacity).
+        Larger = better capture, slower pre-select.
+    """
+    if prepared.int8_chunks is None:
+        raise ValueError(
+            "gallery was not prepared with quantize=True; call "
+            "prepare_topk_gallery(gallery, valid, quantize=True)")
+    q, d = queries.shape
+    g8, s8, v_chunks = prepared.int8_chunks, prepared.int8_scale, prepared.valid
+    n_chunks, csize, _ = g8.shape
+    capacity = n_chunks * csize
+    if k > capacity:
+        raise ValueError(f"k={k} exceeds prepared gallery capacity")
+    m = min(max(64, 4 * k) if rescore_m is None else rescore_m, capacity)
+    if m < k:
+        raise ValueError(f"rescore_m={m} must be >= k={k}")
+    # per-chunk candidate depth; the full n_chunks*kk pool is rescored (a
+    # global merge to exactly m measured as pure loss: it cannot improve
+    # capture and its [Q, n_chunks*kk] top_k costs ~the same as rescoring
+    # the extra rows)
+    kk = min(max(k, -(-m // n_chunks)), csize)
+    ngroups = csize // _GROUP
+
+    qi, _ = _quantize_rows_int8(queries)  # query scale is rank-neutral
+
+    if ngroups * _GROUP == csize and ngroups >= 2 * kk:
+        g_feed = g8.reshape(n_chunks, ngroups, _GROUP, d)
+        s_feed = s8.reshape(n_chunks, ngroups, _GROUP)
+        v_feed = v_chunks.reshape(n_chunks, ngroups, _GROUP)
+
+        def body(_, xs):
+            g_c, s_c, v_c, ci = xs
+            sims = jnp.einsum("qd,gkd->qgk", qi, g_c,
+                              preferred_element_type=jnp.int32
+                              ).astype(jnp.float32) * s_c[None]
+            sims = jnp.where(v_c[None], sims, -jnp.inf)
+            gmax = jnp.max(sims, axis=2)
+            _, gsel = jax.lax.top_k(gmax, kk)
+            gsel = jnp.sort(gsel, axis=1)
+            cand = jnp.take_along_axis(sims, gsel[:, :, None], axis=1)
+            cols = (gsel[:, :, None] * _GROUP
+                    + jnp.arange(_GROUP)[None, None, :])
+            _, sel = jax.lax.top_k(cand.reshape(q, kk * _GROUP), kk)
+            loc_i = jnp.take_along_axis(cols.reshape(q, kk * _GROUP), sel,
+                                        axis=1)
+            return None, loc_i + ci * csize
+    else:
+        g_feed, s_feed, v_feed = g8, s8, v_chunks
+
+        def body(_, xs):
+            g_c, s_c, v_c, ci = xs
+            sims = jnp.dot(qi, g_c.T, preferred_element_type=jnp.int32
+                           ).astype(jnp.float32) * s_c[None, :]
+            sims = jnp.where(v_c[None, :], sims, -jnp.inf)
+            _, loc_i = jax.lax.top_k(sims, kk)
+            return None, loc_i + ci * csize
+
+    _, all_i = jax.lax.scan(
+        body, None, (g_feed, s_feed, v_feed,
+                     jnp.arange(n_chunks, dtype=jnp.int32)))
+    idx_m = jnp.swapaxes(all_i, 0, 1).reshape(q, n_chunks * kk)
+
+    # exact rescore of the captured pool: ascending-index order so the
+    # stable final top_k reproduces dense tie-breaking among captured rows.
+    # Arithmetic: bf16-valued rows/queries multiplied and accumulated in
+    # f32 — bf16 products are EXACT in f32, so this equals the exact path's
+    # MXU dot up to summation order. (A bf16 einsum here rounded each
+    # product to bf16 before accumulating: ~3e-5 score error that swapped
+    # rank-boundary neighbors — every "capture miss" in the first 1M
+    # measurement was actually this.)
+    idx_m = jnp.sort(idx_m, axis=1)
+    flat = prepared.chunks.reshape(capacity, d)
+    vflat = v_chunks.reshape(capacity)
+    rows = jnp.take(flat, idx_m, axis=0)            # [Q, pool, D]
+    val_m = jnp.take(vflat, idx_m, axis=0)          # [Q, pool]
+    if flat.dtype == jnp.bfloat16:
+        # round the query to bf16 exactly as the exact path's MXU dot sees
+        # it — but via integer bits, because `astype(bf16).astype(f32)`
+        # is an excess-precision pair XLA ELIDES on TPU, silently leaving
+        # the query unrounded here while the exact path's cast (consumed
+        # by a bf16 dot) physically rounds. The ~5e-5 score skew between
+        # the two paths swapped rank-boundary neighbors; chased to this
+        # in the round-3 1M-recall investigation (PERFORMANCE.md).
+        q_f = _round_to_bf16_bits(queries).astype(jnp.float32)
+    else:
+        q_f = queries.astype(jnp.float32)
+    # elementwise multiply + reduce, NOT a batched-matvec dot (a [m, D] x
+    # [D, 1] dot is MXU-degenerate; this VPU form also measured fastest:
+    # 0.56 vs 0.82 ms at Q=1024, m=40). bf16-VALUED operands multiplied in
+    # f32 are exact products, accumulated in f32 — equal to the exact
+    # path's MXU result up to f32 summation order.
+    rescored = jnp.sum(rows.astype(jnp.float32) * q_f[:, None, :],
+                       axis=-1)
+    rescored = jnp.where(val_m, rescored, -jnp.inf)
+    scores, pos = jax.lax.top_k(rescored, k)
+    idx = jnp.take_along_axis(idx_m, pos, axis=1)
     return scores, idx

@@ -7,7 +7,9 @@ eval matrix (4 TB) is absurd. Both streaming paths run at this size with
 bounded memory:
 
   * ``pallas_rank_counts``     — O(Q) output, gallery tiles through VMEM;
-  * ``streaming_sim_topk``     — [Q, 32k] peak block, candidates merged once.
+  * ``streaming_sim_topk``     — [Q, chunk] peak block (~4 equalized
+    chunks, capped at 256k rows), candidates merged once;
+  * ``quantized_sim_topk``     — opt-in int8 pre-select + exact rescore.
 
 The gallery is generated ON DEVICE (jax.random) so no 4 GB host array or
 transfer exists. Run on an idle host: `python scripts/demo_million_gallery.py`.
@@ -72,7 +74,7 @@ def main():
 
     # serving scenario: the gallery is prepared ONCE (pad/chunk/convert
     # hoisted out of the query path) — what Retriever.build_gallery does
-    from cmhse_tpu.ops.topk import prepare_topk_gallery
+    from cmhse_tpu.ops.topk import prepare_topk_gallery, quantized_sim_topk
 
     prepared = jax.jit(prepare_topk_gallery)(gallery)
     jax.block_until_ready(prepared)
@@ -89,13 +91,40 @@ def main():
             return total
         return lambda seed: run(seed, queries, prepared)
 
+    # opt-in int8 two-stage mode (Retriever(quantize=True)): int8
+    # pre-select + exact f32 rescore of the candidate pool
+    prepared_q = jax.jit(
+        lambda g: prepare_topk_gallery(g, quantize=True))(gallery)
+    jax.block_until_ready(prepared_q)
+
+    def factory_topk_int8(n_iters):
+        @jax.jit
+        def run(seed, qs, prep):
+            def body(carry, i):
+                qq = qs + (seed + i.astype(jnp.float32)) * 1e-3
+                s, idx = quantized_sim_topk(qq, prep, K)
+                return carry + jnp.sum(s) + jnp.sum(idx).astype(
+                    jnp.float32), None
+            total, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(n_iters))
+            return total
+        return lambda seed: run(seed, queries, prepared_q)
+
     out = {"gallery_rows": N, "query_block": Q, "k": K}
     for name, fac in (("rank_count_qps", factory_ranks),
                       ("topk_qps", factory_topk),
-                      ("topk_prepared_qps", factory_topk_prepared)):
+                      ("topk_prepared_qps", factory_topk_prepared),
+                      ("topk_int8_qps", factory_topk_int8)):
         qps = Q / _timed_scan(fac, n_iters_pair=(2, 6))
         out[name] = round(qps, 1)
         print(f"{name}: {out[name]:,} QPS @ 1M gallery", flush=True)
+    # int8-vs-exact agreement at this scale (one call each)
+    es, ei = streaming_sim_topk(queries, prepared, K)
+    _, qi = quantized_sim_topk(queries, prepared_q, K)
+    import numpy as np
+    agree = float(np.mean(
+        (np.asarray(qi)[:, :, None] == np.asarray(ei)[:, None, :]).any(2)))
+    out["int8_recall_vs_exact"] = round(agree, 5)
+    print(f"int8_recall_vs_exact: {agree:.5f}", flush=True)
     print(json.dumps(out))
 
 

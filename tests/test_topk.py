@@ -215,3 +215,123 @@ def test_sharded_topk_streaming_parity():
                               streaming=True)
     np.testing.assert_array_equal(np.asarray(si), np.asarray(di))
     np.testing.assert_allclose(np.asarray(ss), np.asarray(ds), rtol=1e-6)
+
+
+# ---------------- two-stage int8 serving mode (quantized_sim_topk) --------
+
+def _l2n(x):
+    return x / np.linalg.norm(x, axis=-1, keepdims=True)
+
+
+def test_quantized_exact_when_pool_covers_gallery():
+    """With rescore_m >= N the exact rescore sees every row, so the result
+    must be bit-identical to the dense masked top-k (scores AND indices,
+    ties included) — the int8 stage only ordered the candidates."""
+    from cmhse_tpu.ops.topk import quantized_sim_topk
+
+    rng = np.random.RandomState(7)
+    n, k = 1000, 10
+    g = jnp.asarray(_l2n(rng.randn(n, 32).astype(np.float32)))
+    q = jnp.asarray(_l2n(rng.randn(16, 32).astype(np.float32)))
+    g = g.at[5].set(g[9])  # exact tie across rows
+    valid = np.ones(n, bool)
+    valid[997:] = False
+    prep = prepare_topk_gallery(g, jnp.asarray(valid), chunk=256,
+                                quantize=True)
+    qs, qi = quantized_sim_topk(q, prep, k, rescore_m=1024)
+    ds, di = _dense_topk(q, g, k, valid)
+    np.testing.assert_array_equal(np.asarray(qi), np.asarray(di))
+    np.testing.assert_allclose(np.asarray(qs), np.asarray(ds), rtol=1e-6)
+
+
+def test_quantized_default_pool_high_recall_exact_scores():
+    """Default rescore pool on worst-case random unit vectors: indices must
+    capture >= 99% of the true top-k, and every returned score must equal
+    the TRUE similarity of its returned index (rescoring is exact even when
+    the pre-selection is approximate)."""
+    from cmhse_tpu.ops.topk import quantized_sim_topk
+
+    rng = np.random.RandomState(8)
+    n, q_n, d, k = 8192, 64, 64, 10
+    g = jnp.asarray(_l2n(rng.randn(n, d).astype(np.float32)))
+    q = jnp.asarray(_l2n(rng.randn(q_n, d).astype(np.float32)))
+    prep = prepare_topk_gallery(g, chunk=2048, quantize=True)
+    qs, qi = quantized_sim_topk(q, prep, k)
+    ds, di = _dense_topk(q, g, k)
+    recall = np.mean(
+        (np.asarray(qi)[:, :, None] == np.asarray(di)[:, None, :]).any(2))
+    assert recall >= 0.99, recall
+    true_sims = np.asarray(q) @ np.asarray(g).T
+    np.testing.assert_allclose(
+        np.asarray(qs),
+        np.take_along_axis(true_sims, np.asarray(qi), axis=1), rtol=1e-5)
+    # scores descending, no duplicate indices per query
+    assert (np.diff(np.asarray(qs), axis=1) <= 1e-7).all()
+    for row in np.asarray(qi):
+        assert len(set(row.tolist())) == k
+
+
+def test_quantized_requires_quantized_prep():
+    from cmhse_tpu.ops.topk import quantized_sim_topk
+
+    g = jnp.ones((64, 8), jnp.float32)
+    prep = prepare_topk_gallery(g, chunk=32)
+    with pytest.raises(ValueError, match="quantize=True"):
+        quantized_sim_topk(jnp.ones((2, 8), jnp.float32), prep, 4)
+
+
+def test_quantized_invalid_rows_never_surface():
+    from cmhse_tpu.ops.topk import quantized_sim_topk
+
+    rng = np.random.RandomState(9)
+    n = 512
+    g = rng.randn(n, 16).astype(np.float32)
+    valid = np.ones(n, bool)
+    valid[::3] = False  # scattered invalid rows with big scores
+    g[~valid] *= 100.0
+    prep = prepare_topk_gallery(jnp.asarray(g), jnp.asarray(valid),
+                                chunk=128, quantize=True)
+    _, qi = quantized_sim_topk(jnp.asarray(
+        _l2n(rng.randn(8, 16).astype(np.float32))), prep, 16)
+    assert not (set(np.asarray(qi).ravel()) & set(np.nonzero(~valid)[0]))
+
+
+def test_retriever_quantized_mode(monkeypatch):
+    """Retriever(quantize=True) on a (forced) streaming gallery: results
+    match the exact dense retrieval on the same gallery."""
+    from cmhse_tpu.config import DataConfig, ExperimentConfig, ModelConfig
+    from cmhse_tpu.data import (SyntheticHierarchicalDataset,
+                                batches_from_dataset)
+    from cmhse_tpu.eval import serve as serve_mod
+    from cmhse_tpu.models import CMHSE
+    from cmhse_tpu.train import create_train_state
+
+    monkeypatch.setattr(serve_mod, "should_stream_topk",
+                        lambda n, force=None: True)
+    cfg = ExperimentConfig(
+        data=DataConfig(batch_size=8, feat_dim=8, vocab_size=64, max_clips=2,
+                        max_frames=4, max_sentences=2, max_words=4),
+        model=ModelConfig(embed_size=16, word_dim=8, feat_dim=8,
+                          rnn_hidden=16),
+    )
+    ds = SyntheticHierarchicalDataset(num_videos=12, feat_dim=8,
+                                      vocab_size=64, max_clips=2,
+                                      max_frames=4, max_words=4)
+    batches = list(batches_from_dataset(ds, cfg.data, shuffle=False))
+    state = create_train_state(cfg, jax.random.PRNGKey(0), batches[0])
+    model = CMHSE(cfg=cfg.model, vocab_size=cfg.data.vocab_size)
+
+    r = serve_mod.Retriever(model, state.params, quantize=True)
+    r.build_gallery(batches)
+    assert r._prepared is not None and r._prepared.int8_chunks is not None
+    b = batches[0]
+    qs, qi = r.retrieve(b.words, b.word_len, b.sent_len, k=7)
+
+    # exact reference on the same gallery (tiny pool covers everything here,
+    # so equality is guaranteed, not merely likely)
+    sims = np.array(r.gallery @ jnp.asarray(
+        model.apply({"params": state.params}, b.words, b.word_len, b.sent_len,
+                    method=model.encode_text)[0]).T).T
+    sims[:, ~np.asarray(r.gallery_valid)] = -np.inf
+    ref_i = np.argsort(-sims, axis=1, kind="stable")[:, :7]
+    np.testing.assert_array_equal(qi, ref_i)
