@@ -335,3 +335,26 @@ def test_retriever_quantized_mode(monkeypatch):
     sims[:, ~np.asarray(r.gallery_valid)] = -np.inf
     ref_i = np.argsort(-sims, axis=1, kind="stable")[:, :7]
     np.testing.assert_array_equal(qi, ref_i)
+
+
+def test_round_to_bf16_bits_matches_rne():
+    """The bit-level rounding helper must reproduce IEEE round-to-nearest-
+    even f32->bf16 exactly (it exists because astype(bf16).astype(f32)
+    inside jit is an excess-precision pair XLA elides on TPU — the helper
+    is the rescore path's guarantee of parity with the exact path's
+    physically-rounded query)."""
+    import ml_dtypes
+
+    from cmhse_tpu.ops.topk import _round_to_bf16_bits
+
+    rng = np.random.RandomState(11)
+    x = np.concatenate([
+        rng.randn(4096).astype(np.float32) * 10.0 ** rng.randint(-20, 20, 4096),
+        np.array([0.0, -0.0, 1.0, -1.0, 1e-38, -1e-38, 3.0e38], np.float32),
+        # exact tie cases: halfway between two bf16 neighbors must round
+        # to even mantissa
+        np.array([1.00390625, 1.01171875, -1.00390625], np.float32),
+    ])
+    got = np.asarray(jax.jit(_round_to_bf16_bits)(jnp.asarray(x)))
+    want = x.astype(ml_dtypes.bfloat16)
+    np.testing.assert_array_equal(got.view(np.uint16), want.view(np.uint16))
