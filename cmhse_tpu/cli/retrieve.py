@@ -29,8 +29,9 @@ def main(argv=None) -> int:
     p.add_argument("--quantized", action="store_true",
                    help="two-stage int8 serving for million-row galleries "
                         "(2.1x QPS at 1M; exact rescoring of the "
-                        "int8-preselected pool — see ops/topk.py). No "
-                        "effect under --sharded or on small galleries")
+                        "int8-preselected pool — see ops/topk.py; with "
+                        "--sharded it runs per gallery shard). No effect "
+                        "on small galleries")
     p.add_argument("--vocab_path", default=None,
                    help="default: vocab.json/vocab.pkl under the data dir")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu", "axon"])

@@ -41,8 +41,10 @@ class Retriever:
         indices bit-identical to the exact path on the worst-case test;
         formally approximate — a true top-k row could escape the int8
         pre-selection (see ops/topk.py). Only worth it at million-row
-        scale (at 100k the exact path is faster). Ignored under a mesh or
-        below the streaming threshold."""
+        scale (at 100k the exact path is faster). Under a mesh the
+        per-SHARD two-stage path runs inside shard_map
+        (``sharded_sim_topk_prepared``); ignored below the streaming
+        threshold."""
         from cmhse_tpu.eval.encode import (_jitted_text_encode,
                                            _jitted_video_encode)
 
@@ -55,6 +57,7 @@ class Retriever:
         self.gallery_keys: list | None = None
         self.n_valid: int = 0
         self._prepared = None
+        self._prepared_shard_rows = None
         self._encode_text = _jitted_text_encode(model.cfg, model.vocab_size)
         self._encode_video = _jitted_video_encode(model.cfg, model.vocab_size)
 
@@ -83,13 +86,20 @@ class Retriever:
         # loop-invariant 30% of the 1M-gallery serving profile). Must chunk
         # the SELECTED side: preparing `v` unconditionally searched video
         # embeddings for side="text" galleries (review catch).
-        self._prepared = (
-            prepare_topk_gallery(self.gallery, self.gallery_valid,
-                                 quantize=self.quantize)
-            if self.mesh is None
-            and should_stream_topk(int(self.gallery.shape[0]))
-            else None
-        )
+        self._prepared = None
+        self._prepared_shard_rows = None
+        if should_stream_topk(int(self.gallery.shape[0])):
+            if self.mesh is None:
+                self._prepared = prepare_topk_gallery(
+                    self.gallery, self.gallery_valid, quantize=self.quantize)
+            else:
+                from cmhse_tpu.parallel.eval_sharded import (
+                    prepare_sharded_topk_gallery)
+
+                self._prepared, self._prepared_shard_rows = (
+                    prepare_sharded_topk_gallery(
+                        self.gallery, self.mesh, valid=self.gallery_valid,
+                        quantize=self.quantize))
         # row-aligned keys: the device gallery keeps padding rows IN PLACE,
         # so caller-supplied compact keys (one per real example — the
         # pre-device-gallery contract) must be spread onto the valid row
@@ -154,11 +164,21 @@ class Retriever:
 
     def _search(self, q: Array, k: int) -> tuple[np.ndarray, np.ndarray]:
         if self.mesh is not None:
-            from cmhse_tpu.parallel.eval_sharded import sharded_sim_topk
+            from cmhse_tpu.parallel.eval_sharded import (
+                sharded_sim_topk, sharded_sim_topk_prepared)
 
-            scores, idx = sharded_sim_topk(
-                q, self.gallery, k, self.mesh, valid=self.gallery_valid
-            )
+            if self._prepared is not None:
+                # per-shard pre-chunked (and optionally int8) gallery from
+                # build_gallery — no per-call gallery prep on any device
+                scores, idx = sharded_sim_topk_prepared(
+                    q, self._prepared, k, self.mesh,
+                    shard_rows=self._prepared_shard_rows,
+                    quantized=self.quantize,
+                )
+            else:
+                scores, idx = sharded_sim_topk(
+                    q, self.gallery, k, self.mesh, valid=self.gallery_valid
+                )
         elif should_stream_topk(int(self.gallery.shape[0])):
             # large gallery: chunked streaming, no [Q, N] similarity block
             # (VERDICT r2 missing 2); the pre-chunked form from

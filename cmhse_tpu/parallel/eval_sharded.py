@@ -305,3 +305,101 @@ def sharded_sim_topk(
                               streaming=stream)
 
     return _topk(queries, g_pad, gallery_valid)
+
+
+def prepare_sharded_topk_gallery(
+    gallery: Array,
+    mesh: Mesh,
+    axis: str = "data",
+    valid: Array | None = None,
+    quantize: bool = False,
+) -> tuple:
+    """Per-shard ``prepare_topk_gallery`` under ``shard_map`` — the sharded
+    serving analogue of the single-chip encode-once/prepare-once path.
+
+    Each device pads, equalize-chunks (and optionally int8-quantizes) ITS
+    gallery shard once; repeated :func:`sharded_sim_topk_prepared` calls
+    then skip all per-call gallery prep. Returns
+    ``(prepared, shard_rows)``: a :class:`PreparedGallery` pytree whose
+    leaves carry a leading device-shard dimension (sharded over ``axis``),
+    and the per-shard row count needed to map shard-local indices back to
+    global gallery rows.
+    """
+    from cmhse_tpu.ops.topk import prepare_topk_gallery
+
+    ndev = mesh.shape[axis]
+    g_pad, n = _pad_rows(gallery, ndev)
+    npad = g_pad.shape[0]
+    gallery_valid = jnp.arange(npad) < n
+    if valid is not None:
+        valid_pad, _ = _pad_rows(valid, ndev)
+        gallery_valid = gallery_valid & valid_pad
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(axis, None), P(axis)),
+        out_specs=P(axis),
+    )
+    def _prep(g_shard, v_shard):
+        p = prepare_topk_gallery(g_shard, v_shard, quantize=quantize)
+        # leading per-device axis so out_specs=P(axis) concatenates shards
+        return jax.tree.map(lambda a: a[None], p)
+
+    return _prep(g_pad, gallery_valid), npad // ndev
+
+
+def sharded_sim_topk_prepared(
+    queries: Array,
+    prepared,
+    k: int,
+    mesh: Mesh,
+    shard_rows: int,
+    axis: str = "data",
+    quantized: bool = False,
+) -> tuple[Array, Array]:
+    """Serving top-k against a gallery prepared per-shard by
+    :func:`prepare_sharded_topk_gallery`.
+
+    Same candidate protocol as :func:`sharded_sim_topk` (per-device local
+    top-k, ``all_gather`` of k candidates per shard over ICI, final merge),
+    but each device runs the streaming scan over its PRE-CHUNKED shard —
+    or, with ``quantized=True`` (requires ``quantize=True`` at prepare
+    time), the two-stage int8 path (:func:`cmhse_tpu.ops.topk.
+    quantized_sim_topk`). Shard-local padding rows are ``-inf``-masked and
+    cannot surface (the caller clamps ``k`` to the valid row count), so
+    their out-of-shard global indices are never returned.
+    """
+    from cmhse_tpu.ops.topk import (PreparedGallery, quantized_sim_topk,
+                                    streaming_sim_topk)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(P(None, None), P(axis)),
+        out_specs=(P(None), P(None)),
+        check_vma=False,  # same replication argument as sharded_sim_topk
+    )
+    def _topk(q, prep_shard):
+        # strip the leading per-device axis; tree.map preserves the
+        # PreparedGallery structure (None int8 fields stay None)
+        p: PreparedGallery = jax.tree.map(lambda a: a[0], prep_shard)
+        capacity = p.chunks.shape[0] * p.chunks.shape[1]
+        kk = min(k, capacity)
+        if quantized:
+            if p.int8_chunks is None:
+                raise ValueError(
+                    "quantized=True needs prepare_sharded_topk_gallery("
+                    "..., quantize=True)")
+            loc_scores, loc_idx = quantized_sim_topk(q, p, kk)
+        else:
+            loc_scores, loc_idx = streaming_sim_topk(q, p, kk)
+        shard_id = jax.lax.axis_index(axis)
+        glob_idx = loc_idx + shard_id * shard_rows
+        all_scores = jax.lax.all_gather(loc_scores, axis, axis=1, tiled=True)
+        all_idx = jax.lax.all_gather(glob_idx, axis, axis=1, tiled=True)
+        fin_scores, fin_pos = jax.lax.top_k(all_scores, k)
+        fin_idx = jnp.take_along_axis(all_idx, fin_pos, axis=1)
+        return fin_scores, fin_idx
+
+    return _topk(queries, prepared)

@@ -257,3 +257,97 @@ def test_validate_metrics_mesh_batch_not_divisible(mesh):
     for k in m_single:
         np.testing.assert_allclose(m_mesh[k], m_single[k], rtol=1e-5,
                                    err_msg=k)
+
+
+def test_sharded_prepared_topk_matches_dense():
+    """Per-shard prepared galleries (prepare once, serve forever — the
+    sharded serving shape): exact and quantized paths must both reproduce
+    the dense global top-k on a small gallery (pool covers every shard, so
+    quantized equality is guaranteed, not merely likely). N % ndev != 0."""
+    from cmhse_tpu.parallel.eval_sharded import (
+        prepare_sharded_topk_gallery, sharded_sim_topk_prepared)
+    from cmhse_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh((-1,), ("data",))
+    rng = np.random.RandomState(21)
+    n, k = 203, 7
+    g = rng.randn(n, 16).astype(np.float32)
+    valid = np.ones(n, bool)
+    valid[[0, 50, 202]] = False
+    g[~valid] *= 50.0  # invalid rows with huge norms must never surface
+    q = jnp.asarray(rng.randn(5, 16).astype(np.float32))
+    gj, vj = jnp.asarray(g), jnp.asarray(valid)
+
+    sims = np.asarray(q) @ g.T
+    sims[:, ~valid] = -np.inf
+    ref_i = np.argsort(-sims, axis=1, kind="stable")[:, :k]
+
+    for quantize in (False, True):
+        prep, shard_rows = prepare_sharded_topk_gallery(
+            gj, mesh, valid=vj, quantize=quantize)
+        s, i = sharded_sim_topk_prepared(
+            q, prep, k, mesh, shard_rows=shard_rows, quantized=quantize)
+        np.testing.assert_array_equal(np.asarray(i), ref_i,
+                                      err_msg=f"quantize={quantize}")
+        np.testing.assert_allclose(
+            np.asarray(s), np.take_along_axis(sims, ref_i, axis=1),
+            rtol=1e-5, atol=1e-6)
+
+
+def test_sharded_prepared_requires_quantized_prep():
+    from cmhse_tpu.parallel.eval_sharded import (
+        prepare_sharded_topk_gallery, sharded_sim_topk_prepared)
+    from cmhse_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh((-1,), ("data",))
+    g = jnp.asarray(np.random.RandomState(3).randn(64, 8).astype(np.float32))
+    prep, rows = prepare_sharded_topk_gallery(g, mesh)
+    with pytest.raises(ValueError, match="quantize=True"):
+        sharded_sim_topk_prepared(jnp.ones((2, 8), jnp.float32), prep, 3,
+                                  mesh, shard_rows=rows, quantized=True)
+
+
+def test_retriever_mesh_prepared_paths(monkeypatch):
+    """Retriever(mesh=...) above the streaming threshold builds per-shard
+    prepared galleries and serves through sharded_sim_topk_prepared — for
+    both exact and quantized modes, matching the unprepared sharded path."""
+    from cmhse_tpu.config import DataConfig, ExperimentConfig, ModelConfig
+    from cmhse_tpu.data import (SyntheticHierarchicalDataset,
+                                batches_from_dataset)
+    from cmhse_tpu.eval import serve as serve_mod
+    from cmhse_tpu.models import CMHSE
+    from cmhse_tpu.parallel.mesh import make_mesh
+    from cmhse_tpu.train import create_train_state
+
+    mesh = make_mesh((-1,), ("data",))
+    cfg = ExperimentConfig(
+        data=DataConfig(batch_size=8, feat_dim=8, vocab_size=64, max_clips=2,
+                        max_frames=4, max_sentences=2, max_words=4),
+        model=ModelConfig(embed_size=16, word_dim=8, feat_dim=8,
+                          rnn_hidden=16),
+    )
+    ds = SyntheticHierarchicalDataset(num_videos=13, feat_dim=8,
+                                      vocab_size=64, max_clips=2,
+                                      max_frames=4, max_words=4)
+    batches = list(batches_from_dataset(ds, cfg.data, shuffle=False))
+    state = create_train_state(cfg, jax.random.PRNGKey(0), batches[0])
+    model = CMHSE(cfg=cfg.model, vocab_size=cfg.data.vocab_size)
+    b = batches[0]
+
+    # reference: unprepared sharded path (below threshold -> _prepared None)
+    r0 = serve_mod.Retriever(model, state.params, mesh=mesh)
+    r0.build_gallery(batches)
+    assert r0._prepared is None
+    ref_s, ref_i = r0.retrieve(b.words, b.word_len, b.sent_len, k=6)
+
+    monkeypatch.setattr(serve_mod, "should_stream_topk",
+                        lambda n, force=None: True)
+    for quantize in (False, True):
+        r = serve_mod.Retriever(model, state.params, mesh=mesh,
+                                quantize=quantize)
+        r.build_gallery(batches)
+        assert r._prepared is not None
+        assert (r._prepared.int8_chunks is not None) == quantize
+        s, i = r.retrieve(b.words, b.word_len, b.sent_len, k=6)
+        np.testing.assert_array_equal(i, ref_i, err_msg=f"q={quantize}")
+        np.testing.assert_allclose(s, ref_s, rtol=1e-5, atol=1e-6)
