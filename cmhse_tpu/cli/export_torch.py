@@ -38,23 +38,25 @@ def export_checkpoint(
     from cmhse_tpu.interop import state_dict_from_model_params
     from cmhse_tpu.train.checkpoint import restore_for_eval
 
+    out_path = os.path.abspath(out_path)
+    if not out_path.endswith((".npz", ".pth", ".pt", ".tar")):
+        # fail on the typo BEFORE the (expensive) checkpoint restore
+        raise ValueError(
+            f"unsupported output extension on {out_path!r} "
+            "(use .pth/.pth.tar/.pt or .npz)")
+
     _, params, _ = restore_for_eval(checkpoint_dir)
     sd = state_dict_from_model_params(
         jax.tree.map(np.asarray, dict(params)), prefix_map)
 
-    out_path = os.path.abspath(out_path)
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     if out_path.endswith(".npz"):
         np.savez(out_path, **sd)
-    elif out_path.endswith((".pth", ".pt", ".tar")):
+    else:
         import torch  # lazy: only the torch output format needs it
 
         torch.save({"model": {k: torch.from_numpy(v) for k, v in sd.items()}},
                    out_path)
-    else:
-        raise ValueError(
-            f"unsupported output extension on {out_path!r} "
-            "(use .pth/.pth.tar/.pt or .npz)")
     return sd
 
 

@@ -315,8 +315,10 @@ def quantized_sim_topk(
     rescored values. Returned INDICES therefore differ from the exact path
     only if (a) a true top-k row falls outside the int8 pre-selection pool,
     or (b) two rows' true similarities are within summation-order noise.
-    Per-query quantization scale is rank-neutral (a positive per-row
-    factor), so only gallery-side int8 error affects capture. Measured at
+    The per-query quantization SCALE is rank-neutral (a positive per-row
+    factor), but the query's int8 ROUNDING perturbs pre-selection the same
+    way gallery-side rounding does — both sides' noise sets the capture
+    margin. Measured at
     N=1M/Q=1024/D=1024 on worst-case random unit vectors (near-ties
     everywhere): 79.6k QPS vs 38.7k exact (2.1x) with indices BIT-IDENTICAL
     to the exact path across all 1024x10 results; every true top-10 row

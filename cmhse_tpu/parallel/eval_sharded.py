@@ -45,6 +45,28 @@ def _pad_rows(x: Array, multiple: int) -> tuple[Array, int]:
         x = jnp.pad(x, pad_width)
     return x, n
 
+def _pad_gallery_valid(gallery, ndev, valid):
+    """Pad rows to a multiple of ndev and fold caller validity into the
+    padding mask — the one place the subtle padded-row arithmetic lives
+    (shared by sharded_ranks / sharded_sim_topk / the prepared variant)."""
+    g_pad, n = _pad_rows(gallery, ndev)
+    npad = g_pad.shape[0]
+    gallery_valid = jnp.arange(npad) < n
+    if valid is not None:
+        valid_pad, _ = _pad_rows(valid, ndev)
+        gallery_valid = gallery_valid & valid_pad
+    return g_pad, gallery_valid, npad
+
+
+def _merge_shard_candidates(loc_scores, glob_idx, axis, k):
+    """all_gather each shard's k candidates (k*ndev floats over ICI) and
+    take the global top-k — the shared tail of every sharded top-k body."""
+    all_scores = jax.lax.all_gather(loc_scores, axis, axis=1, tiled=True)
+    all_idx = jax.lax.all_gather(glob_idx, axis, axis=1, tiled=True)
+    fin_scores, fin_pos = jax.lax.top_k(all_scores, k)
+    fin_idx = jnp.take_along_axis(all_idx, fin_pos, axis=1)
+    return fin_scores, fin_idx
+
 
 def sharded_ranks(
     v_emb: Array,
@@ -71,16 +93,11 @@ def sharded_ranks(
     ndev = mesh.shape[axis]
     n = v_emb.shape[0]
     v_pad, _ = _pad_rows(v_emb, ndev)
-    p_pad, _ = _pad_rows(p_emb, ndev)
-    npad = v_pad.shape[0]
-    pos_idx = jnp.arange(npad, dtype=jnp.int32)
     # padded gallery rows are all-zero => sim 0; guard by masking them out of
     # the counts with an explicit validity vector. Caller-supplied ``valid``
     # (device-resident galleries keep in-place padding rows) is folded in.
-    gallery_valid = (jnp.arange(npad) < n)
-    if valid is not None:
-        valid_pad, _ = _pad_rows(valid, ndev)
-        gallery_valid = gallery_valid & valid_pad
+    p_pad, gallery_valid, npad = _pad_gallery_valid(p_emb, ndev, valid)
+    pos_idx = jnp.arange(npad, dtype=jnp.int32)
     # dispatch on the FULL gallery size: the dense per-device block is
     # [npad/ndev, npad] in query mode and [npad, npad/ndev] in gallery mode
     # — identical npad^2/ndev elements either way — so npad is the right
@@ -248,11 +265,7 @@ def _sim_topk_body(q, g_shard, gvalid_shard, *, axis: str, k: int,
         loc_scores, loc_idx = jax.lax.top_k(sims, kk)  # [Q, kk]
     glob_idx = loc_idx + shard_id * shard_size
     # gather candidates from all shards: [Q, kk*ndev]
-    all_scores = jax.lax.all_gather(loc_scores, axis, axis=1, tiled=True)
-    all_idx = jax.lax.all_gather(glob_idx, axis, axis=1, tiled=True)
-    fin_scores, fin_pos = jax.lax.top_k(all_scores, k)
-    fin_idx = jnp.take_along_axis(all_idx, fin_pos, axis=1)
-    return fin_scores, fin_idx
+    return _merge_shard_candidates(loc_scores, glob_idx, axis, k)
 
 
 def sharded_sim_topk(
@@ -274,14 +287,9 @@ def sharded_sim_topk(
     ``[Q, k]``).
     """
     ndev = mesh.shape[axis]
-    g_pad, n = _pad_rows(gallery, ndev)
-    npad = g_pad.shape[0]
-    gallery_valid = jnp.arange(npad) < n
-    if valid is not None:
-        # device-resident galleries keep padding rows in place; they must
-        # never surface in a top-k
-        valid_pad, _ = _pad_rows(valid, ndev)
-        gallery_valid = gallery_valid & valid_pad
+    # device-resident galleries keep padding rows in place; they must
+    # never surface in a top-k
+    g_pad, gallery_valid, npad = _pad_gallery_valid(gallery, ndev, valid)
     # dispatch on the FULL gallery size, mirroring sharded_ranks: the dense
     # per-device block is [Q, npad/ndev] and the measured crossover was
     # calibrated against total-gallery scale
@@ -328,12 +336,7 @@ def prepare_sharded_topk_gallery(
     from cmhse_tpu.ops.topk import prepare_topk_gallery
 
     ndev = mesh.shape[axis]
-    g_pad, n = _pad_rows(gallery, ndev)
-    npad = g_pad.shape[0]
-    gallery_valid = jnp.arange(npad) < n
-    if valid is not None:
-        valid_pad, _ = _pad_rows(valid, ndev)
-        gallery_valid = gallery_valid & valid_pad
+    g_pad, gallery_valid, npad = _pad_gallery_valid(gallery, ndev, valid)
 
     @partial(
         shard_map,
@@ -396,10 +399,6 @@ def sharded_sim_topk_prepared(
             loc_scores, loc_idx = streaming_sim_topk(q, p, kk)
         shard_id = jax.lax.axis_index(axis)
         glob_idx = loc_idx + shard_id * shard_rows
-        all_scores = jax.lax.all_gather(loc_scores, axis, axis=1, tiled=True)
-        all_idx = jax.lax.all_gather(glob_idx, axis, axis=1, tiled=True)
-        fin_scores, fin_pos = jax.lax.top_k(all_scores, k)
-        fin_idx = jnp.take_along_axis(all_idx, fin_pos, axis=1)
-        return fin_scores, fin_idx
+        return _merge_shard_candidates(loc_scores, glob_idx, axis, k)
 
     return _topk(queries, prepared)
