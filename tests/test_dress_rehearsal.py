@@ -162,6 +162,18 @@ def test_cli_dress_rehearsal(data_dir, tmp_path, capsys, monkeypatch):
     imp_out = capsys.readouterr().out
     assert "rsum" in imp_out
 
+    # ---- 5b. cmhse-export: the TRAINED run goes back to torch -----------
+    from cmhse_tpu.cli.export_torch import main as export_main
+
+    back = str(tmp_path / "back_to_torch.pth.tar")
+    assert export_main([ckpt, back, "--platform", "cpu"]) == 0
+    capsys.readouterr()
+    sd = torch.load(back, map_location="cpu", weights_only=True)["model"]
+    tm_back = TorchCMHSE(len(vocab), WORD_DIM, FEAT, HIDDEN, EMBED,
+                         hierarchical=True)
+    missing, unexpected = tm_back.load_state_dict(sd)
+    assert not missing and not unexpected  # torch consumes the trained run
+
     # ---- 6. cmhse-retrieve (serving surface; SURVEY 3.5) ----------------
     from cmhse_tpu.cli.retrieve import main as retrieve_main
 
