@@ -137,3 +137,37 @@ def test_bidirectional_model_forward():
     assert np.isfinite(np.asarray(out.video_emb)).all()
     # bidirectional low encoders have both direction param sets
     assert "bwd_w_i" in params["video_low"]["gru"]
+
+
+def test_embedding_lookup_custom_vjp_matches_scatter():
+    """The sorted-segment-sum embedding backward must equal the plain
+    gather's autodiff scatter (same values up to f32 summation order),
+    including repeated ids and ids never used."""
+    from cmhse_tpu.models.encoders import embedding_lookup
+
+    rng = np.random.RandomState(17)
+    V, D = 50, 12
+    table = jnp.asarray(rng.randn(V, D).astype(np.float32))
+    ids = jnp.asarray(
+        np.concatenate([rng.randint(0, V, 100), np.full(20, 7)])
+        .astype(np.int32).reshape(6, 20))
+    cot = jnp.asarray(rng.randn(6, 20, D).astype(np.float32))
+
+    def loss_custom(t):
+        return jnp.sum(embedding_lookup(t, ids) * cot)
+
+    def loss_ref(t):
+        return jnp.sum(jnp.take(t, ids, axis=0) * cot)
+
+    g_custom = jax.grad(loss_custom)(table)
+    g_ref = jax.grad(loss_ref)(table)
+    np.testing.assert_allclose(np.asarray(g_custom), np.asarray(g_ref),
+                               rtol=1e-5, atol=1e-6)
+    # forward unchanged
+    np.testing.assert_array_equal(
+        np.asarray(embedding_lookup(table, ids)),
+        np.asarray(jnp.take(table, ids, axis=0)))
+    # unused rows get exactly zero gradient
+    used = set(np.asarray(ids).ravel().tolist())
+    unused = [i for i in range(V) if i not in used]
+    assert unused and not np.asarray(g_custom)[unused].any()
