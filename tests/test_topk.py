@@ -358,3 +358,42 @@ def test_round_to_bf16_bits_matches_rne():
     got = np.asarray(jax.jit(_round_to_bf16_bits)(jnp.asarray(x)))
     want = x.astype(ml_dtypes.bfloat16)
     np.testing.assert_array_equal(got.view(np.uint16), want.view(np.uint16))
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_streaming_fuzz_ties_and_masks(seed):
+    """Adversarial fuzz at one compiled shape (seeds vary data, not shapes,
+    to keep the 1-core compile count bounded): duplicate-heavy galleries
+    with random validity masks — streaming (adaptive chunks), prepared,
+    and quantized-with-covering-pool must ALL equal the stable dense
+    reference, ties included."""
+    from cmhse_tpu.ops.topk import quantized_sim_topk
+
+    rng = np.random.RandomState(100 + seed)
+    n, k, d = 1536, 9, 24
+    # quantize coordinates so exact cross-row ties happen organically,
+    # then duplicate a random 10% of rows wholesale
+    g = np.round(rng.randn(n, d) * 2) / 2
+    dup_src = rng.randint(0, n, n // 10)
+    dup_dst = rng.randint(0, n, n // 10)
+    g[dup_dst] = g[dup_src]
+    g = g.astype(np.float32)
+    valid = rng.rand(n) > 0.15
+    q = np.round(rng.randn(7, d) * 2).astype(np.float32) / 2
+
+    sims = q @ g.T
+    sims[:, ~valid] = -np.inf
+    ref_i = np.argsort(-sims, axis=1, kind="stable")[:, :k]
+    ref_s = np.take_along_axis(sims, ref_i, axis=1)
+
+    gj, vj, qj = jnp.asarray(g), jnp.asarray(valid), jnp.asarray(q)
+    ss, si = streaming_sim_topk(qj, gj, k, valid=vj)  # adaptive chunk=None
+    np.testing.assert_array_equal(np.asarray(si), ref_i)
+    np.testing.assert_allclose(np.asarray(ss), ref_s, rtol=1e-6, atol=1e-6)
+
+    prep = prepare_topk_gallery(gj, vj, quantize=True)
+    ps, pi = streaming_sim_topk(qj, prep, k)
+    np.testing.assert_array_equal(np.asarray(pi), ref_i)
+    qs_, qi_ = quantized_sim_topk(qj, prep, k, rescore_m=n)  # covering pool
+    np.testing.assert_array_equal(np.asarray(qi_), ref_i)
+    np.testing.assert_allclose(np.asarray(qs_), ref_s, rtol=1e-6, atol=1e-6)
