@@ -32,6 +32,9 @@ def main(argv=None) -> int:
                         "int8-preselected pool — see ops/topk.py; with "
                         "--sharded it runs per gallery shard). No effect "
                         "on small galleries")
+    p.add_argument("--rescore_m", type=int, default=None,
+                   help="int8 candidate-pool depth for --quantized (the "
+                        "recall dial; default max(64, 4k))")
     p.add_argument("--vocab_path", default=None,
                    help="default: vocab.json/vocab.pkl under the data dir")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu", "axon"])
@@ -73,7 +76,8 @@ def main(argv=None) -> int:
 
     if args.query or args.interactive:
         retriever = Retriever(model, params, mesh=mesh,
-                              quantize=args.quantized)
+                              quantize=args.quantized,
+                              rescore_m=args.rescore_m)
         retriever.build_gallery(
             batches_from_dataset(dataset, cfg.data, shuffle=False),
             keys=None, side="video",
@@ -114,7 +118,8 @@ def main(argv=None) -> int:
         from cmhse_tpu.data.bucketing import BucketSpec, pad_batch
 
         retriever_t = Retriever(model, params, mesh=mesh,
-                                quantize=args.quantized)
+                                quantize=args.quantized,
+                                rescore_m=args.rescore_m)
         retriever_t.build_gallery(
             batches_from_dataset(dataset, cfg.data, shuffle=False),
             keys=None, side="text",

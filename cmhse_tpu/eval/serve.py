@@ -34,7 +34,7 @@ class Retriever:
     """
 
     def __init__(self, model: CMHSE, params, mesh=None,
-                 quantize: bool = False):
+                 quantize: bool = False, rescore_m: int | None = None):
         """``quantize=True`` opts the large-gallery path into the two-stage
         int8 serving mode (:func:`quantized_sim_topk`): 2.1x the query
         throughput at a 1M gallery (79.6k vs 38.7k QPS measured), with
@@ -44,7 +44,9 @@ class Retriever:
         scale (at 100k the exact path is faster). Under a mesh the
         per-SHARD two-stage path runs inside shard_map
         (``sharded_sim_topk_prepared``); ignored below the streaming
-        threshold."""
+        threshold. ``rescore_m`` tunes the int8 candidate-pool depth
+        (the recall dial; default ``max(64, 4k)`` — see
+        :func:`quantized_sim_topk`)."""
         from cmhse_tpu.eval.encode import (_jitted_text_encode,
                                            _jitted_video_encode)
 
@@ -52,6 +54,7 @@ class Retriever:
         self.params = params
         self.mesh = mesh
         self.quantize = quantize
+        self.rescore_m = rescore_m
         self.gallery: Array | None = None
         self.gallery_valid: Array | None = None
         self.gallery_keys: list | None = None
@@ -173,7 +176,7 @@ class Retriever:
                 scores, idx = sharded_sim_topk_prepared(
                     q, self._prepared, k, self.mesh,
                     shard_rows=self._prepared_shard_rows,
-                    quantized=self.quantize,
+                    quantized=self.quantize, rescore_m=self.rescore_m,
                 )
             else:
                 scores, idx = sharded_sim_topk(
@@ -185,7 +188,8 @@ class Retriever:
             # build_gallery skips the per-call gallery prep
             if (self.quantize and self._prepared is not None
                     and self._prepared.int8_chunks is not None):
-                scores, idx = quantized_sim_topk(q, self._prepared, k)
+                scores, idx = quantized_sim_topk(
+                    q, self._prepared, k, rescore_m=self.rescore_m)
             else:
                 scores, idx = streaming_sim_topk(
                     q, self._prepared if self._prepared is not None

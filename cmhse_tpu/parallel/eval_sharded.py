@@ -360,6 +360,7 @@ def sharded_sim_topk_prepared(
     shard_rows: int,
     axis: str = "data",
     quantized: bool = False,
+    rescore_m: int | None = None,
 ) -> tuple[Array, Array]:
     """Serving top-k against a gallery prepared per-shard by
     :func:`prepare_sharded_topk_gallery`.
@@ -394,7 +395,8 @@ def sharded_sim_topk_prepared(
                 raise ValueError(
                     "quantized=True needs prepare_sharded_topk_gallery("
                     "..., quantize=True)")
-            loc_scores, loc_idx = quantized_sim_topk(q, p, kk)
+            loc_scores, loc_idx = quantized_sim_topk(
+                q, p, kk, rescore_m=rescore_m)
         else:
             loc_scores, loc_idx = streaming_sim_topk(q, p, kk)
         shard_id = jax.lax.axis_index(axis)
