@@ -54,6 +54,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="update steps scanned inside one jit dispatch (>1 "
                         "amortizes dispatch latency; fixed-shape mode only)")
     p.add_argument("--log_step", type=int, default=None)
+    p.add_argument("--snapshot_step", type=int, default=None,
+                   help="save a mid-epoch-resumable checkpoint every N steps "
+                        "(0 = per-epoch only); --resume then continues the "
+                        "interrupted epoch at the exact batch it stopped")
     p.add_argument("--seed", type=int, default=None)
     # model structure
     p.add_argument("--flat", action="store_true",
@@ -161,8 +165,8 @@ def apply_overrides(cfg, args):
     if args.high_weight is not None:
         l["high_weight"] = args.high_weight
     for name in ("num_epochs", "lr", "lr_update", "grad_clip", "val_step",
-                 "log_step", "seed", "resume", "checkpoint_dir",
-                 "steps_per_dispatch"):
+                 "log_step", "snapshot_step", "seed", "resume",
+                 "checkpoint_dir", "steps_per_dispatch"):
         v = getattr(args, name)
         if v is not None:
             t[name] = v

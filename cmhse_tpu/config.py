@@ -119,6 +119,13 @@ class TrainConfig:
     # and a measurable one at scale on attached VMs. Requires fixed-shape
     # batches; log/val cadence rounds to dispatch boundaries.
     steps_per_dispatch: int = 1
+    # Preemption-safe mid-epoch snapshots: save a resumable checkpoint every
+    # N global steps (0 = off; the reference checkpoints per epoch only).
+    # The snapshot records how many dispatch groups of the current epoch are
+    # already consumed; resume skips exactly those groups (the per-epoch
+    # shuffle is seeded, so the stream reproduces) and continues the epoch
+    # instead of redoing it — TPU-pod preemption is routine in production.
+    snapshot_step: int = 0
 
 
 @dataclass(frozen=True)

@@ -71,7 +71,11 @@ class CheckpointManager:
         epoch: int,
         best_rsum: float,
         is_best: bool = False,
+        groups_done: int = 0,
     ) -> None:
+        """``groups_done``: dispatch groups of epoch ``epoch`` already
+        consumed (mid-epoch snapshot position; 0 = epoch boundary, the only
+        value the reference's per-epoch ``torch.save`` could express)."""
         step = int(state.step)
         payload = {
             "params": state.params,
@@ -80,7 +84,15 @@ class CheckpointManager:
             "step": np.asarray(step, np.int64),
             "epoch": np.asarray(epoch, np.int64),
             "best_rsum": np.asarray(best_rsum, np.float64),
+            "groups_done": np.asarray(groups_done, np.int64),
         }
+        # a mid-epoch snapshot and the epoch-end save can land on the same
+        # optimizer step (snapshot cadence crossing on the epoch's last
+        # group); the later save carries the advanced epoch/groups_done and
+        # must replace the earlier one — orbax raises StepAlreadyExistsError
+        # on a plain re-save (force= only bypasses should_save, not existence)
+        if step in self._mgr.all_steps():
+            self._mgr.delete(step)
         self._mgr.save(step, args=ocp.args.StandardSave(payload))
         self._mgr.wait_until_finished()
         if is_best:
@@ -91,9 +103,13 @@ class CheckpointManager:
     def latest_step(self) -> int | None:
         return self._mgr.latest_step()
 
-    def restore(self, state, step: int | None = None) -> tuple[Any, int, float]:
+    def restore(
+        self, state, step: int | None = None
+    ) -> tuple[Any, int, float, int]:
         """Restore into the structure of ``state``; returns
-        (new_state, epoch, best_rsum)."""
+        (new_state, epoch, best_rsum, groups_done). ``groups_done`` is the
+        mid-epoch snapshot position (0 for epoch-boundary checkpoints,
+        including any written before the snapshot feature existed)."""
         step = step if step is not None else self._mgr.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoints in {self.directory}")
@@ -103,16 +119,27 @@ class CheckpointManager:
             "step": np.asarray(0, np.int64),
             "epoch": np.asarray(0, np.int64),
             "best_rsum": np.asarray(0.0, np.float64),
+            "groups_done": np.asarray(0, np.int64),
         }
-        restored = self._mgr.restore(
-            step, args=ocp.args.StandardRestore(template)
-        )
+        try:
+            restored = self._mgr.restore(
+                step, args=ocp.args.StandardRestore(template)
+            )
+        except (ValueError, KeyError):
+            # pre-snapshot checkpoint layout (no groups_done key): orbax
+            # rejects a template key the saved tree lacks
+            template.pop("groups_done")
+            restored = self._mgr.restore(
+                step, args=ocp.args.StandardRestore(template)
+            )
         new_state = state.replace(
             step=jax.numpy.asarray(restored["step"], jax.numpy.int32),
             params=restored["params"],
             opt_state=restored["opt_state"],
         )
-        return new_state, int(restored["epoch"]), float(restored["best_rsum"])
+        return (new_state, int(restored["epoch"]),
+                float(restored["best_rsum"]),
+                int(restored.get("groups_done", 0)))
 
     def close(self):
         self._mgr.close()

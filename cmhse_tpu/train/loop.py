@@ -142,15 +142,16 @@ def fit(
         logger.log("word2vec_init", hits=hits, vocab_size=len(vocab),
                    path=cfg.data.word2vec_path)
 
-    start_epoch, best_rsum = 0, -np.inf
+    start_epoch, best_rsum, start_groups = 0, -np.inf, 0
     if cfg.train.resume:
         resume_mgr = (
             ckpt if os.path.abspath(cfg.train.resume)
             == os.path.abspath(cfg.train.checkpoint_dir)
             else CheckpointManager(cfg.train.resume)
         )
-        state, start_epoch, best_rsum = resume_mgr.restore(state)
-        print(f"resumed from {cfg.train.resume} at epoch {start_epoch}, "
+        state, start_epoch, best_rsum, start_groups = resume_mgr.restore(state)
+        pos = f" (+{start_groups} dispatch groups)" if start_groups else ""
+        print(f"resumed from {cfg.train.resume} at epoch {start_epoch}{pos}, "
               f"best_rsum {best_rsum:.2f}")
 
     if mesh is not None:
@@ -166,6 +167,38 @@ def fit(
               "running 1 step per dispatch")
         spd = 1
 
+    # Graceful preemption (snapshot mode only): Cloud TPU / GKE deliver
+    # SIGTERM ahead of eviction. Catch it, finish the in-flight group, write
+    # a mid-epoch snapshot, and return cleanly — the next run with --resume
+    # continues at the exact batch training stopped.
+    preempt = {"flag": False}
+    prev_sigterm = None
+    if cfg.train.snapshot_step > 0:
+        import signal
+
+        def _on_sigterm(signum, frame):
+            preempt["flag"] = True
+            print("SIGTERM received: snapshotting after the in-flight "
+                  "dispatch group, then exiting")
+
+        try:
+            prev_sigterm = signal.signal(signal.SIGTERM, _on_sigterm)
+        except ValueError:
+            prev_sigterm = None  # not the main thread; preemption unhandled
+
+    try:
+        return _fit_epochs(cfg, train_dataset, val_dataset, mesh, model,
+                           state, ckpt, logger, start_epoch, best_rsum,
+                           start_groups, spd, preempt)
+    finally:
+        if prev_sigterm is not None:
+            import signal
+
+            signal.signal(signal.SIGTERM, prev_sigterm)
+
+
+def _fit_epochs(cfg, train_dataset, val_dataset, mesh, model, state, ckpt,
+                logger, start_epoch, best_rsum, start_groups, spd, preempt):
     global_step = int(state.step)
     for epoch in range(start_epoch, cfg.train.num_epochs):
         lr = adjust_learning_rate(cfg, epoch)
@@ -185,12 +218,30 @@ def fit(
             process_count=jax.process_count(),
         )
         groups = _grouped_host_batches(batch_iter, spd)
+        groups_done = 0
+        if epoch == start_epoch and start_groups > 0:
+            # mid-epoch resume (snapshot_step): the per-epoch shuffle is
+            # seeded, so the group stream reproduces — drop the groups the
+            # snapshot already consumed (host-side packing only; nothing is
+            # placed on device or executed)
+            from itertools import islice
+
+            skipped = sum(1 for _ in islice(groups, start_groups))
+            if skipped < start_groups:
+                print(f"warning: snapshot recorded {start_groups} consumed "
+                      f"groups but epoch {epoch} only has {skipped}; the "
+                      f"dataset or batching config changed since the save")
+            groups_done = skipped
+            print(f"mid-epoch resume: skipped {skipped} already-trained "
+                  f"dispatch groups of epoch {epoch}")
+            logger.log("resume_mid_epoch", epoch=epoch, groups=skipped)
         for n_steps, group_pairs, batch in _prefetch(groups, mesh, spd):
             if spd > 1:
                 state, metrics = train_steps(state, batch, cfg.loss)
             else:
                 state, metrics = train_step(state, batch, cfg.loss)
             n_pairs += group_pairs
+            groups_done += 1
             prev_step, global_step = global_step, global_step + n_steps
 
             if global_step // cfg.train.log_step > prev_step // cfg.train.log_step:
@@ -211,8 +262,30 @@ def fit(
             ):
                 best_rsum = _validate_and_save(
                     cfg, model, state, val_dataset, mesh, ckpt, logger,
-                    epoch, best_rsum,  # mid-epoch: resume redoes this epoch
+                    epoch, best_rsum, groups_done=groups_done,
                 )
+
+            if (
+                cfg.train.snapshot_step > 0
+                and global_step // cfg.train.snapshot_step
+                > prev_step // cfg.train.snapshot_step
+            ):
+                # preemption point: records the group offset so a resume
+                # continues THIS epoch exactly where the stream stopped
+                ckpt.save(state, epoch=epoch, best_rsum=float(best_rsum),
+                          groups_done=groups_done)
+                logger.log("snapshot", epoch=epoch, step=global_step,
+                           groups_done=groups_done)
+
+            if preempt["flag"]:
+                ckpt.save(state, epoch=epoch, best_rsum=float(best_rsum),
+                          groups_done=groups_done)
+                logger.log("preempt_exit", epoch=epoch, step=global_step,
+                           groups_done=groups_done)
+                print(f"preemption snapshot written at step {global_step} "
+                      f"(epoch {epoch}, {groups_done} groups); exiting")
+                logger.close()
+                return state, best_rsum
 
         # fence outstanding device work before timing: train_step dispatch is
         # async, so without this up to log_step-1 in-flight steps would count
@@ -237,7 +310,7 @@ def fit(
 
 
 def _validate_and_save(cfg, model, state, val_dataset, mesh, ckpt, logger,
-                       epoch, best_rsum):
+                       epoch, best_rsum, groups_done=0):
     # multi-host: each process loads only its slice of every val batch;
     # validate_metrics' mesh path assembles the global arrays (a host-side
     # full iteration per process would feed non-addressable global jits)
@@ -253,5 +326,5 @@ def _validate_and_save(cfg, model, state, val_dataset, mesh, ckpt, logger,
     rsum = metrics["rsum"]
     is_best = rsum > best_rsum
     ckpt.save(state, epoch=epoch, best_rsum=float(max(rsum, best_rsum)),
-              is_best=is_best)
+              is_best=is_best, groups_done=groups_done)
     return max(rsum, best_rsum)

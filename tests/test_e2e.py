@@ -136,8 +136,8 @@ def test_checkpoint_manager_roundtrip(tmp_path):
     mgr.save(state, epoch=3, best_rsum=42.5, is_best=True)
 
     state2 = create_train_state(cfg, jax.random.PRNGKey(1), batches[0])
-    restored, epoch, best_rsum = mgr.restore(state2)
-    assert epoch == 3 and best_rsum == 42.5
+    restored, epoch, best_rsum, groups_done = mgr.restore(state2)
+    assert epoch == 3 and best_rsum == 42.5 and groups_done == 0
     for a, b in zip(jax.tree.leaves(state.params),
                     jax.tree.leaves(restored.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
