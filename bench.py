@@ -514,14 +514,43 @@ def _enable_compile_cache():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+def _acquire_device(timeout_s: float = 900.0):
+    """First contact with the backend, bounded: through the axon relay
+    ``jax.devices()`` BLOCKS INDEFINITELY while the TPU tunnel is down
+    (observed for 2h+ stretches on this image). An unattended driver run
+    must fail loudly instead of hanging past its budget — poll in a daemon
+    thread and give the tunnel ``timeout_s`` to come up."""
+    import threading
+
+    import jax
+
+    out: list = []
+
+    def probe():
+        try:
+            out.append(jax.devices()[0])
+        except Exception as e:  # surfaced below; the thread must not die mute
+            out.append(e)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not out:
+        raise TimeoutError(
+            f"jax.devices() did not return within {timeout_s:.0f}s — the "
+            "TPU tunnel looks down; re-run bench.py when it recovers"
+        )
+    if isinstance(out[0], Exception):
+        raise out[0]
+    return out[0]
+
+
 def main():
     import sys
     import traceback
 
-    import jax
-
     _enable_compile_cache()
-    dev = jax.devices()[0]
+    dev = _acquire_device()
     platform = dev.platform
     pairs_per_sec = bench_encode_pairs()
     sim_qps = bench_sim_qps()
