@@ -22,6 +22,9 @@ def main(argv=None) -> int:
     p.add_argument("--profile_dir", default=None,
                    help="wrap the evaluation in a jax.profiler trace to "
                         "this dir (parse with cmhse_tpu.utils.profiling)")
+    p.add_argument("--dump_ranks", default=None, metavar="PATH",
+                   help="write per-query JSONL (index/key/v2p_rank/p2v_rank) "
+                        "for error analysis; identical across backends")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu", "axon"])
     args = p.parse_args(argv)
 
@@ -41,7 +44,8 @@ def main(argv=None) -> int:
     ks = tuple(int(k) for k in args.ks.split(","))
     with profiler_trace(args.profile_dir):
         evalrank(args.checkpoint, data_path=args.data_path, split=args.split,
-                 ks=ks, mesh=mesh, mode=args.mode, streaming=args.streaming)
+                 ks=ks, mesh=mesh, mode=args.mode, streaming=args.streaming,
+                 dump_ranks=args.dump_ranks)
     return 0
 
 

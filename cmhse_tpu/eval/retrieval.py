@@ -24,6 +24,7 @@ def streaming_bidirectional_metrics(
     p_emb,
     ks: tuple[int, ...] = (1, 5, 10, 50),
     valid=None,
+    return_ranks: bool = False,
 ) -> dict:
     """Bidirectional R@k / MedR / MeanR via the streaming rank-count kernel:
     gallery tiles flow through VMEM and the ``[N, N]`` similarity matrix is
@@ -53,7 +54,8 @@ def streaming_bidirectional_metrics(
         )
 
     return bidirectional_metrics_from_ranks(rank_fn, v_emb, p_emb,
-                                            ks=ks, valid=valid)
+                                            ks=ks, valid=valid,
+                                            return_ranks=return_ranks)
 
 
 def validate_metrics(
@@ -64,6 +66,7 @@ def validate_metrics(
     mesh=None,
     mode: str = "query",
     streaming: bool | None = None,
+    return_ranks: bool = False,
 ) -> dict[str, float]:
     """Encode a split and compute bidirectional retrieval metrics.
 
@@ -71,6 +74,11 @@ def validate_metrics(
     single-device on-device path runs. ``streaming`` selects the Pallas
     rank-count kernel (no [Q, N] materialization); None = auto (on for
     TPU galleries >= STREAMING_GALLERY_MIN). Returns plain floats.
+
+    ``return_ranks``: return ``(metrics, ranks)`` instead, where ``ranks``
+    holds int numpy ``v2p_ranks`` / ``p2v_ranks`` COMPACTED to valid rows in
+    dataset order — identical across the dense / streaming / sharded
+    backends (pinned by tests) — for per-query error analysis.
     """
     if mesh is not None:
         # fully device-resident path: encode -> sharded rank counting ->
@@ -110,7 +118,7 @@ def validate_metrics(
         )
         metrics = sharded_retrieval_metrics(
             video_embs, para_embs, mesh, ks=ks, mode=mode, valid=valid,
-            streaming=streaming,
+            streaming=streaming, return_ranks=return_ranks,
         )
     else:
         if jax.process_count() > 1:
@@ -126,13 +134,25 @@ def validate_metrics(
         )
         if should_stream(video_embs.shape[0], streaming):
             metrics = streaming_bidirectional_metrics(
-                video_embs, para_embs, ks=ks, valid=valid
+                video_embs, para_embs, ks=ks, valid=valid,
+                return_ranks=return_ranks,
             )
         else:
             keep = jnp.asarray(valid)
             sims = cosine_sim(video_embs[keep], para_embs[keep])
-            metrics = bidirectional_metrics(sims, ks=ks)
-    return {k: float(v) for k, v in metrics.items()}
+            metrics = bidirectional_metrics(sims, ks=ks,
+                                            return_ranks=return_ranks)
+            valid = None  # ranks below are already valid-rows-only
+    rank_keys = [k for k in metrics if k.endswith("_ranks")]
+    ranks = {}
+    for k in rank_keys:
+        r = np.asarray(metrics.pop(k))
+        # compact to valid rows; their relative order is dataset order (the
+        # loader runs unshuffled — padding rows, wherever batches put them,
+        # just drop out)
+        ranks[k] = r[np.asarray(valid)] if valid is not None else r
+    scalars = {k: float(v) for k, v in metrics.items()}
+    return (scalars, ranks) if return_ranks else scalars
 
 
 def format_table(metrics: dict[str, float], ks=(1, 5, 10, 50)) -> str:
@@ -162,9 +182,16 @@ def evalrank(
     mesh=None,
     mode: str = "query",
     streaming: bool | None = None,
+    dump_ranks: str | None = None,
 ) -> dict[str, float]:
     """Load a checkpoint and evaluate a split, printing the R@k table
-    (mirrors the reference's ``python evaluation.py`` offline entry)."""
+    (mirrors the reference's ``python evaluation.py`` offline entry).
+
+    ``dump_ranks``: also write one JSONL line per example —
+    ``{"index", "key", "v2p_rank", "p2v_rank"}`` — for per-query error
+    analysis and side-by-side diffing against a reference run (the
+    reference only ever printed the aggregate table).
+    """
     from cmhse_tpu.train.checkpoint import restore_for_eval
     from cmhse_tpu.data import PrecompDataset, Vocabulary, batches_from_dataset
     from cmhse_tpu.data.vocab import find_vocab
@@ -187,7 +214,25 @@ def evalrank(
         process_index=jax.process_index(),
         process_count=jax.process_count(),
     )
-    metrics = validate_metrics(model, params, batches, ks=ks, mesh=mesh,
-                               mode=mode, streaming=streaming)
+    out = validate_metrics(model, params, batches, ks=ks, mesh=mesh,
+                           mode=mode, streaming=streaming,
+                           return_ranks=dump_ranks is not None)
+    if dump_ranks is not None:
+        import json
+
+        metrics, ranks = out
+        v2p, p2v = ranks["v2p_ranks"], ranks["p2v_ranks"]
+        keys = getattr(dataset, "keys", None)
+        with open(dump_ranks, "w") as f:
+            for i in range(len(v2p)):
+                f.write(json.dumps({
+                    "index": i,
+                    "key": keys[i] if keys is not None else i,
+                    "v2p_rank": int(v2p[i]),
+                    "p2v_rank": int(p2v[i]),
+                }) + "\n")
+        print(f"wrote {len(v2p)} per-query ranks to {dump_ranks}")
+    else:
+        metrics = out
     print(format_table(metrics, ks))
     return metrics

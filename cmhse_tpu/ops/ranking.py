@@ -110,6 +110,7 @@ def bidirectional_metrics_from_ranks(
     p_emb: Array,
     ks: tuple[int, ...] = (1, 5, 10, 50),
     valid: Array | None = None,
+    return_ranks: bool = False,
 ) -> dict[str, Array]:
     """Assemble the bidirectional R@k / MedR / MeanR / rsum dict from a
     rank-producing callable ``rank_fn(queries, gallery) -> [N] ranks``.
@@ -121,6 +122,9 @@ def bidirectional_metrics_from_ranks(
     ``valid``: bool[N] row validity for device-resident galleries that keep
     padding rows in place; invalid rows are excluded from the reductions
     (the rank_fn is responsible for excluding them as gallery items).
+    ``return_ranks``: also return the per-query 1-based rank vectors under
+    ``v2p_ranks`` / ``p2v_ranks`` (full length — invalid rows carry junk;
+    filter with ``valid``) for error analysis / reference diffing.
     """
     out: dict[str, Array] = {}
     for prefix, (a, b) in (
@@ -128,6 +132,8 @@ def bidirectional_metrics_from_ranks(
         ("p2v", (p_emb, v_emb)),
     ):
         ranks = rank_fn(a, b)
+        if return_ranks:
+            out[f"{prefix}_ranks"] = ranks
         if valid is None:
             for k in ks:
                 out[f"{prefix}_r@{k}"] = recall_at_k(ranks, k) * 100.0
@@ -149,6 +155,7 @@ def bidirectional_metrics_from_ranks(
 def bidirectional_metrics(
     sims: Array,
     ks: tuple[int, ...] = (1, 5, 10, 50),
+    return_ranks: bool = False,
 ) -> dict[str, Array]:
     """Both retrieval directions from one sim matrix (video rows, text cols).
 
@@ -156,6 +163,8 @@ def bidirectional_metrics(
     (paragraph->video), mirroring the reference's ``i2t``/``t2i`` pair.
     ``rsum`` is the model-selection scalar the reference maximizes for
     best-checkpoint saving (sum of R@1/5/10 over both directions).
+    ``return_ranks`` adds the per-query rank vectors (``v2p_ranks`` /
+    ``p2v_ranks``), same contract as the other backends'.
     """
     v2p = retrieval_metrics(sims, ks)
     p2v = retrieval_metrics(sims.T, ks)
@@ -164,4 +173,7 @@ def bidirectional_metrics(
     out["rsum"] = sum(
         out[f"{d}_r@{k}"] for d in ("v2p", "p2v") for k in ks if k <= 10
     )
+    if return_ranks:
+        out["v2p_ranks"] = retrieval_ranks(sims)
+        out["p2v_ranks"] = retrieval_ranks(sims.T)
     return out

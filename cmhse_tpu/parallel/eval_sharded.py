@@ -220,6 +220,7 @@ def sharded_retrieval_metrics(
     mode: str = "query",
     valid: Array | None = None,
     streaming: bool | None = None,
+    return_ranks: bool = False,
 ) -> dict[str, Array]:
     """Bidirectional R@k / MedR / MeanR over a sharded gallery.
 
@@ -238,7 +239,8 @@ def sharded_retrieval_metrics(
                              streaming=streaming)
 
     return bidirectional_metrics_from_ranks(rank_fn, v_emb, p_emb,
-                                            ks=ks, valid=valid)
+                                            ks=ks, valid=valid,
+                                            return_ranks=return_ranks)
 
 
 def _sim_topk_body(q, g_shard, gvalid_shard, *, axis: str, k: int,

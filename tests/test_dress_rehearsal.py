@@ -111,9 +111,17 @@ def test_cli_dress_rehearsal(data_dir, tmp_path, capsys, monkeypatch):
     # ---- 4. cmhse-eval, plain and sharded/gallery (SURVEY 3.2) ----------
     from cmhse_tpu.cli.evaluate import main as eval_main
 
-    assert eval_main([ckpt, "--platform", "cpu", "--split", "val"]) == 0
+    ranks_path = str(tmp_path / "ranks.jsonl")
+    assert eval_main([ckpt, "--platform", "cpu", "--split", "val",
+                      "--dump_ranks", ranks_path]) == 0
     plain = capsys.readouterr().out
     assert "Paragraph to Video" in plain and "rsum" in plain
+    # per-query rank dump: one line per example, dataset keys, sane ranks
+    rank_rows = _jsonl(ranks_path)
+    val_keys = {f"v_val{i:03d}" for i in range(8)}
+    assert {r["key"] for r in rank_rows} == val_keys
+    assert all(1 <= r["v2p_rank"] <= len(val_keys) and
+               1 <= r["p2v_rank"] <= len(val_keys) for r in rank_rows)
 
     assert eval_main([ckpt, "--platform", "cpu", "--split", "val",
                       "--sharded", "--mode", "gallery"]) == 0

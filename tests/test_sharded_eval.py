@@ -164,6 +164,70 @@ def test_validate_metrics_streaming_dispatch_matches():
         )
 
 
+def test_return_ranks_identical_across_backends(mesh):
+    """The per-query rank export (cmhse-eval --dump_ranks) must be the SAME
+    vector from every backend: dense assembly, streaming single-device, and
+    mesh-sharded — all with interleaved invalid rows."""
+    from cmhse_tpu.eval.retrieval import streaming_bidirectional_metrics
+
+    v, p = _exact_embs(96, seed=7)
+    valid = np.ones(104, bool)
+    valid[[5, 31, 64, 99, 100, 101, 102, 103]] = False
+    v2 = np.zeros((104, 96), np.float32)
+    p2 = np.zeros((104, 96), np.float32)
+    v2[valid], p2[valid] = np.asarray(v), np.asarray(p)
+    v2, p2, valid_j = jnp.asarray(v2), jnp.asarray(p2), jnp.asarray(valid)
+
+    dense = bidirectional_metrics(jnp.dot(v, p.T), ks=(1, 5),
+                                  return_ranks=True)
+    stream = streaming_bidirectional_metrics(v2, p2, ks=(1, 5), valid=valid_j,
+                                             return_ranks=True)
+    shard = sharded_retrieval_metrics(v2, p2, mesh, ks=(1, 5), valid=valid_j,
+                                      return_ranks=True)
+    for key in ("v2p_ranks", "p2v_ranks"):
+        want = np.asarray(dense[key])  # valid-rows-only by construction
+        np.testing.assert_array_equal(np.asarray(stream[key])[valid], want)
+        np.testing.assert_array_equal(np.asarray(shard[key])[valid], want)
+
+
+def test_validate_metrics_return_ranks_compacted():
+    """validate_metrics(return_ranks=True) returns (metrics, ranks) with the
+    rank vectors compacted to exactly one entry per dataset example, equal
+    across the streaming/dense dispatch boundary."""
+    from cmhse_tpu.config import DataConfig, ExperimentConfig, ModelConfig
+    from cmhse_tpu.data import (SyntheticHierarchicalDataset,
+                                batches_from_dataset)
+    from cmhse_tpu.eval.retrieval import validate_metrics
+    from cmhse_tpu.models import CMHSE
+    from cmhse_tpu.train import create_train_state
+
+    cfg = ExperimentConfig(
+        data=DataConfig(batch_size=8, feat_dim=16, vocab_size=64, max_clips=2,
+                        max_frames=6, max_sentences=2, max_words=6),
+        model=ModelConfig(embed_size=24, word_dim=12, feat_dim=16,
+                          rnn_hidden=24, hierarchical=True),
+    )
+    # 20 % 8 != 0: the final short batch exercises the padding/compaction
+    ds = SyntheticHierarchicalDataset(num_videos=20, feat_dim=16,
+                                      vocab_size=64, max_clips=2,
+                                      max_frames=6, max_words=6, seed=12)
+    b0 = next(iter(batches_from_dataset(ds, cfg.data, shuffle=False)))
+    state = create_train_state(cfg, jax.random.PRNGKey(0), b0)
+    model = CMHSE(cfg=cfg.model, vocab_size=cfg.data.vocab_size)
+
+    mk = lambda: batches_from_dataset(ds, cfg.data, shuffle=False)
+    metrics, ranks = validate_metrics(model, state.params, mk(), ks=(1, 5),
+                                      streaming=False, return_ranks=True)
+    assert isinstance(metrics["rsum"], float)
+    assert ranks["v2p_ranks"].shape == ranks["p2v_ranks"].shape == (20,)
+    assert ranks["v2p_ranks"].min() >= 1
+
+    _, ranks_s = validate_metrics(model, state.params, mk(), ks=(1, 5),
+                                  streaming=True, return_ranks=True)
+    for key in ranks:
+        np.testing.assert_array_equal(ranks_s[key], ranks[key])
+
+
 def test_sharded_topk_matches_dense(mesh):
     rng = np.random.RandomState(2)
     q = jnp.asarray(rng.randn(10, 16).astype(np.float32))
