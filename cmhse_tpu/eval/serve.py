@@ -15,8 +15,33 @@ import numpy as np
 from jax import Array
 
 from cmhse_tpu.models.cmhse import CMHSE
-from cmhse_tpu.ops.topk import (prepare_topk_gallery, quantized_sim_topk,
+from cmhse_tpu.ops.topk import (adaptive_n_chunks, append_to_prepared,
+                                prepare_topk_gallery, quantized_sim_topk,
                                 should_stream_topk, streaming_sim_topk)
+
+
+def _row_aligned_keys(keys, ids, valid, rows: int) -> list:
+    """Row-aligned keys for a device gallery segment: padding rows stay IN
+    PLACE, so caller-supplied compact keys (one per real example — the
+    pre-device-gallery contract) must be spread onto the valid row
+    positions, not zipped against raw row indices."""
+    if keys is None:
+        return list(ids)
+    valid_np = np.asarray(valid)
+    nvalid = int(valid_np.sum())
+    if len(keys) == rows:
+        return list(keys)
+    if len(keys) == nvalid:
+        spread: list = [None] * rows
+        it = iter(keys)
+        for i, ok in enumerate(valid_np):
+            if ok:
+                spread[i] = next(it)
+        return spread
+    raise ValueError(
+        f"keys has {len(keys)} entries; expected one per gallery "
+        f"row ({rows}) or one per valid example ({nvalid})"
+    )
 
 
 class Retriever:
@@ -59,6 +84,7 @@ class Retriever:
         self.gallery_valid: Array | None = None
         self.gallery_keys: list | None = None
         self.n_valid: int = 0
+        self.side: str = "video"
         self._prepared = None
         self._prepared_shard_rows = None
         self._encode_text = _jitted_text_encode(model.cfg, model.vocab_size)
@@ -81,6 +107,7 @@ class Retriever:
         v, p, valid, ids = encode_gallery_device(
             self.model, self.params, batches, return_ids=True
         )
+        self.side = side
         self.gallery = v if side == "video" else p
         self.gallery_valid = jnp.asarray(valid)
         self.n_valid = int(np.asarray(valid).sum())
@@ -103,30 +130,64 @@ class Retriever:
                     prepare_sharded_topk_gallery(
                         self.gallery, self.mesh, valid=self.gallery_valid,
                         quantize=self.quantize))
-        # row-aligned keys: the device gallery keeps padding rows IN PLACE,
-        # so caller-supplied compact keys (one per real example — the
-        # pre-device-gallery contract) must be spread onto the valid row
-        # positions, not zipped against raw row indices
-        if keys is None:
-            self.gallery_keys = list(ids)
+        self.gallery_keys = _row_aligned_keys(keys, ids, valid, int(v.shape[0]))
+
+    def add_to_gallery(self, batches, keys: list | None = None) -> None:
+        """Append newly-encoded items to an existing gallery — the gallery
+        that GROWS in production (new videos ingested while serving). The
+        result is exactly a gallery built from all batches at once (indices,
+        keys, scores — pinned by tests), but the pre-chunked serving form is
+        extended INCREMENTALLY (:func:`append_to_prepared`: only the tail
+        chunk plus the new rows are processed, not the whole multi-GB
+        gallery) until the chunk count drifts past ~2x the fresh-prepare
+        optimum, at which point it is rebuilt once."""
+        if self.gallery is None:
+            return self.build_gallery(batches, keys=keys, side=self.side)
+        from cmhse_tpu.eval.encode import encode_gallery_device
+
+        v, p, valid, ids = encode_gallery_device(
+            self.model, self.params, batches, return_ids=True
+        )
+        new_emb = v if self.side == "video" else p
+        new_valid = jnp.asarray(valid)
+        n_old = int(self.gallery.shape[0])
+        n_new_total = n_old + int(new_emb.shape[0])
+
+        if self.mesh is not None:
+            # sharded prepared galleries balance rows across devices; an
+            # append would unbalance shards — rebuild (still one-time work
+            # per ingest batch, not per query)
+            self.gallery = jnp.concatenate([self.gallery, new_emb])
+            self.gallery_valid = jnp.concatenate(
+                [self.gallery_valid, new_valid])
+            self._prepared = None
+            self._prepared_shard_rows = None
+            if should_stream_topk(n_new_total):
+                from cmhse_tpu.parallel.eval_sharded import (
+                    prepare_sharded_topk_gallery)
+
+                self._prepared, self._prepared_shard_rows = (
+                    prepare_sharded_topk_gallery(
+                        self.gallery, self.mesh, valid=self.gallery_valid,
+                        quantize=self.quantize))
         else:
-            rows = int(v.shape[0])
-            valid_np = np.asarray(valid)
-            nvalid = int(valid_np.sum())
-            if len(keys) == rows:
-                self.gallery_keys = list(keys)
-            elif len(keys) == nvalid:
-                spread: list = [None] * rows
-                it = iter(keys)
-                for i, ok in enumerate(valid_np):
-                    if ok:
-                        spread[i] = next(it)
-                self.gallery_keys = spread
-            else:
-                raise ValueError(
-                    f"keys has {len(keys)} entries; expected one per gallery "
-                    f"row ({rows}) or one per valid example ({nvalid})"
-                )
+            if self._prepared is not None:
+                if (self._prepared.chunks.shape[0]
+                        > 2 * adaptive_n_chunks(n_new_total)):
+                    self._prepared = None  # drifted: rebuild below
+                else:
+                    self._prepared = append_to_prepared(
+                        self._prepared, new_emb, n_existing=n_old,
+                        valid=new_valid)
+            self.gallery = jnp.concatenate([self.gallery, new_emb])
+            self.gallery_valid = jnp.concatenate(
+                [self.gallery_valid, new_valid])
+            if self._prepared is None and should_stream_topk(n_new_total):
+                self._prepared = prepare_topk_gallery(
+                    self.gallery, self.gallery_valid, quantize=self.quantize)
+        self.n_valid += int(np.asarray(valid).sum())
+        self.gallery_keys = self.gallery_keys + _row_aligned_keys(
+            keys, ids, valid, int(new_emb.shape[0]))
 
     def retrieve(
         self, words: Array, word_len: Array, sent_len: Array, k: int = 10

@@ -128,9 +128,7 @@ def prepare_topk_gallery(
     # grouped path needs no column pad (a [Q, chunk] pad op cost
     # 12.5 ms/call at N=1M in the op profile)
     if chunk is None:
-        n_chunks = max(TOPK_NCHUNKS, -(-n // TOPK_CHUNK_CAP))
-        # degenerate tiny galleries: never more chunks than _GROUP-wide rows
-        n_chunks = min(n_chunks, max(1, -(-n // _GROUP)))
+        n_chunks = adaptive_n_chunks(n)
     else:
         n_chunks = max(1, -(-n // max(chunk, 1)))
     csize = -(-(-(-n // n_chunks)) // _GROUP) * _GROUP
@@ -154,6 +152,106 @@ def prepare_topk_gallery(
         int8_chunks=int8_chunks,
         int8_scale=int8_scale,
     )
+
+
+def append_to_prepared(
+    pg: PreparedGallery,
+    new_rows: Array,
+    n_existing: int,
+    valid: Array | None = None,
+    convert: bool = True,
+) -> PreparedGallery:
+    """Append gallery rows to an existing :class:`PreparedGallery` without
+    reprocessing it — the production serving story is a gallery that GROWS
+    (new videos ingested continuously), and re-running
+    :func:`prepare_topk_gallery` on every addition re-pads/re-converts (and
+    re-quantizes) the whole multi-GB gallery for a handful of new rows.
+
+    Only the final partially-filled chunk plus the new rows are touched
+    (O(chunk + m) work); fully-filled head chunks are reused as-is, so
+    existing rows keep their global indices and appended rows take indices
+    ``n_existing ... n_existing+m-1`` — exactly the dense-concatenation
+    contract. The chunk SIZE is preserved (it is the scan's static shape);
+    the chunk COUNT grows as needed. After many appends the chunk count
+    drifts from the adaptive optimum — callers that care re-prepare from
+    scratch when ``pg.chunks.shape[0]`` exceeds ~2x the fresh target
+    (:class:`Retriever` does this automatically; measured cost of 2x the
+    chunk count is a few percent, PERFORMANCE.md chunk sweeps).
+
+    Args:
+      pg: the prepared gallery to extend.
+      n_existing: rows the prepared gallery currently represents (its true
+        gallery length, BEFORE tail padding — the caller tracks it; the
+        prepared form itself cannot distinguish tail padding from
+        interleaved invalid rows).
+      new_rows: ``[M, D]`` rows to append.
+      valid: optional bool ``[M]`` validity of the new rows.
+      convert: same policy as :func:`prepare_topk_gallery` (bf16 chunk
+        storage on TPU).
+    """
+    n_chunks, csize, d = pg.chunks.shape
+    if new_rows.shape[-1] != d:
+        raise ValueError(f"new rows have D={new_rows.shape[-1]}, "
+                         f"prepared gallery has D={d}")
+    if not 0 <= n_existing <= n_chunks * csize:
+        raise ValueError(f"n_existing={n_existing} outside the prepared "
+                         f"capacity [0, {n_chunks * csize}]")
+    m = new_rows.shape[0]
+    new_valid = (jnp.ones(m, bool) if valid is None
+                 else valid.astype(bool))
+    if (convert and jax.devices()[0].platform == "tpu"
+            and new_rows.dtype == jnp.float32):
+        new_rows_store = new_rows.astype(jnp.bfloat16)
+    else:
+        new_rows_store = new_rows
+    if new_rows_store.dtype != pg.chunks.dtype:
+        # mixed prepare/append platforms or dtypes: chunk storage is one
+        # array, so unify on the existing storage dtype
+        new_rows_store = new_rows_store.astype(pg.chunks.dtype)
+
+    # rebuild only the tail region: the last partially-filled chunk's real
+    # rows + the new rows, re-padded to a multiple of the (fixed) chunk size
+    head = n_existing // csize          # fully-filled chunks, untouched
+    tail_rows = n_existing - head * csize
+    flat_tail = pg.chunks[head:].reshape(-1, d)[:tail_rows]
+    flat_tail_valid = pg.valid[head:].reshape(-1)[:tail_rows]
+    region = jnp.concatenate([flat_tail, new_rows_store])
+    region_valid = jnp.concatenate([flat_tail_valid, new_valid])
+    region_chunks = max(1, -(-(tail_rows + m) // csize))
+    pad = region_chunks * csize - (tail_rows + m)
+    if pad:
+        region = jnp.pad(region, ((0, pad), (0, 0)))
+        region_valid = jnp.pad(region_valid, (0, pad))
+    chunks = jnp.concatenate(
+        [pg.chunks[:head], region.reshape(region_chunks, csize, d)])
+    gvalid = jnp.concatenate(
+        [pg.valid[:head], region_valid.reshape(region_chunks, csize)])
+
+    int8_chunks = int8_scale = None
+    if pg.int8_chunks is not None:
+        # per-row quantization composes: only the new rows are quantized
+        # (from their highest-precision form, matching prepare's order)
+        tail_q = pg.int8_chunks[head:].reshape(-1, d)[:tail_rows]
+        tail_s = pg.int8_scale[head:].reshape(-1)[:tail_rows]
+        new_q, new_s = _quantize_rows_int8(new_rows)
+        region_q = jnp.concatenate([tail_q, new_q])
+        region_s = jnp.concatenate([tail_s, new_s])
+        if pad:
+            region_q = jnp.pad(region_q, ((0, pad), (0, 0)))
+            region_s = jnp.pad(region_s, (0, pad))
+        int8_chunks = jnp.concatenate(
+            [pg.int8_chunks[:head], region_q.reshape(region_chunks, csize, d)])
+        int8_scale = jnp.concatenate(
+            [pg.int8_scale[:head], region_s.reshape(region_chunks, csize)])
+    return PreparedGallery(chunks=chunks, valid=gvalid,
+                           int8_chunks=int8_chunks, int8_scale=int8_scale)
+
+
+def adaptive_n_chunks(n: int) -> int:
+    """The chunk count :func:`prepare_topk_gallery` would pick for an
+    ``n``-row gallery (exposed for re-chunk policies)."""
+    n_chunks = max(TOPK_NCHUNKS, -(-n // TOPK_CHUNK_CAP))
+    return min(n_chunks, max(1, -(-n // _GROUP)))
 
 
 def should_stream_topk(n_gallery: int, force: bool | None = None) -> bool:

@@ -415,3 +415,13 @@ def test_retriever_mesh_prepared_paths(monkeypatch):
         s, i = r.retrieve(b.words, b.word_len, b.sent_len, k=6)
         np.testing.assert_array_equal(i, ref_i, err_msg=f"q={quantize}")
         np.testing.assert_allclose(s, ref_s, rtol=1e-5, atol=1e-6)
+
+    # continuous ingest under the mesh: add_to_gallery rebuilds the
+    # per-shard prepared form and serves identically to build-at-once
+    grown = serve_mod.Retriever(model, state.params, mesh=mesh)
+    grown.add_to_gallery(batches[:1])
+    grown.add_to_gallery(batches[1:])
+    assert grown._prepared is not None
+    s, i = grown.retrieve(b.words, b.word_len, b.sent_len, k=6)
+    np.testing.assert_array_equal(i, ref_i)
+    np.testing.assert_allclose(s, ref_s, rtol=1e-5, atol=1e-6)

@@ -296,6 +296,130 @@ def test_quantized_invalid_rows_never_surface():
     assert not (set(np.asarray(qi).ravel()) & set(np.nonzero(~valid)[0]))
 
 
+@pytest.mark.parametrize("n0,m", [
+    (100, 10),    # fits in the tail-padding slots of the existing chunk
+    (100, 300),   # spans several new chunks
+    (500, 1),     # single-row ingest
+    (130, 1000),  # new rows dwarf the original gallery
+])
+def test_append_to_prepared_matches_fresh_prepare(n0, m):
+    """Incrementally-appended prepared galleries must answer top-k exactly
+    like a dense top-k over the concatenated gallery — appended rows take
+    indices n0..n0+m-1 and existing indices never move."""
+    from cmhse_tpu.ops.topk import append_to_prepared
+
+    rng = np.random.RandomState(n0 + m)
+    q = jnp.asarray(rng.randn(6, 8).astype(np.float32))
+    g0 = jnp.asarray(rng.randn(n0, 8).astype(np.float32))
+    g1 = jnp.asarray(rng.randn(m, 8).astype(np.float32))
+    valid0 = np.ones(n0, bool); valid0[::7] = False
+    valid1 = np.ones(m, bool); valid1[::5] = False
+
+    pg = prepare_topk_gallery(g0, jnp.asarray(valid0), chunk=128)
+    pg2 = append_to_prepared(pg, g1, n_existing=n0, valid=jnp.asarray(valid1))
+    assert pg2.chunks.shape[1] == pg.chunks.shape[1]  # chunk size preserved
+
+    full_g = jnp.concatenate([g0, g1])
+    full_valid = jnp.asarray(np.concatenate([valid0, valid1]))
+    k = 9
+    ds, di = _dense_topk(q, full_g, k, valid=full_valid)
+    ss, si = streaming_sim_topk(q, pg2, k)
+    np.testing.assert_array_equal(np.asarray(si), np.asarray(di))
+    np.testing.assert_allclose(np.asarray(ss), np.asarray(ds),
+                               rtol=1e-5, atol=1e-6)
+
+    # a second append on top of the first (the continuous-ingest shape)
+    g2 = jnp.asarray(rng.randn(40, 8).astype(np.float32))
+    pg3 = append_to_prepared(pg2, g2, n_existing=n0 + m)
+    full2 = jnp.concatenate([full_g, g2])
+    valid2 = jnp.concatenate([full_valid, jnp.ones(40, bool)])
+    ds2, di2 = _dense_topk(q, full2, k, valid=valid2)
+    ss2, si2 = streaming_sim_topk(q, pg3, k)
+    np.testing.assert_array_equal(np.asarray(si2), np.asarray(di2))
+
+
+def test_append_to_prepared_quantized():
+    """Appending to a quantize=True prepared gallery quantizes only the new
+    rows; with a pool covering the whole gallery the two-stage path is exact,
+    so results must equal the dense top-k over the concatenation."""
+    from cmhse_tpu.ops.topk import append_to_prepared, quantized_sim_topk
+
+    rng = np.random.RandomState(3)
+    q = jnp.asarray(rng.randn(4, 8).astype(np.float32))
+    g0 = jnp.asarray(rng.randn(200, 8).astype(np.float32))
+    g1 = jnp.asarray(rng.randn(250, 8).astype(np.float32))
+    pg = prepare_topk_gallery(g0, quantize=True, chunk=128)
+    pg2 = append_to_prepared(pg, g1, n_existing=200)
+    assert pg2.int8_chunks is not None
+    assert pg2.int8_chunks.shape[:2] == pg2.chunks.shape[:2]
+
+    full = jnp.concatenate([g0, g1])
+    ds, di = _dense_topk(q, full, 5)
+    capacity = pg2.chunks.shape[0] * pg2.chunks.shape[1]
+    qs, qi = quantized_sim_topk(q, pg2, 5, rescore_m=capacity)
+    np.testing.assert_array_equal(np.asarray(qi), np.asarray(di))
+
+
+def test_append_to_prepared_validates_inputs():
+    from cmhse_tpu.ops.topk import append_to_prepared
+
+    g = jnp.ones((10, 8), jnp.float32)
+    pg = prepare_topk_gallery(g)
+    with pytest.raises(ValueError, match="D="):
+        append_to_prepared(pg, jnp.ones((2, 4), jnp.float32), n_existing=10)
+    with pytest.raises(ValueError, match="n_existing"):
+        append_to_prepared(pg, jnp.ones((2, 8), jnp.float32),
+                           n_existing=10**6)
+
+
+def test_retriever_add_to_gallery_matches_rebuild(monkeypatch):
+    """Retriever.add_to_gallery (continuous ingest) must be indistinguishable
+    from building the full gallery at once: same indices, scores, and keys —
+    on both the dense and the (forced) streaming prepared path."""
+    from cmhse_tpu.config import DataConfig, ExperimentConfig, ModelConfig
+    from cmhse_tpu.data import (SyntheticHierarchicalDataset,
+                                batches_from_dataset)
+    from cmhse_tpu.eval import serve as serve_mod
+    from cmhse_tpu.models import CMHSE
+    from cmhse_tpu.train import create_train_state
+
+    cfg = ExperimentConfig(
+        data=DataConfig(batch_size=8, feat_dim=8, vocab_size=64, max_clips=2,
+                        max_frames=4, max_sentences=2, max_words=4),
+        model=ModelConfig(embed_size=16, word_dim=8, feat_dim=8,
+                          rnn_hidden=16),
+    )
+    ds = SyntheticHierarchicalDataset(num_videos=24, feat_dim=8,
+                                      vocab_size=64, max_clips=2,
+                                      max_frames=4, max_words=4)
+    batches = list(batches_from_dataset(ds, cfg.data, shuffle=False))
+    state = create_train_state(cfg, jax.random.PRNGKey(0), batches[0])
+    model = CMHSE(cfg=cfg.model, vocab_size=cfg.data.vocab_size)
+    b = batches[0]
+
+    for force_stream in (False, True):
+        if force_stream:
+            monkeypatch.setattr(serve_mod, "should_stream_topk",
+                                lambda n, force=None: True)
+        all_at_once = serve_mod.Retriever(model, state.params)
+        all_at_once.build_gallery(batches)
+        want_s, want_i = all_at_once.retrieve(b.words, b.word_len,
+                                              b.sent_len, k=7)
+
+        grown = serve_mod.Retriever(model, state.params)
+        grown.add_to_gallery(batches[:1])   # empty: delegates to build
+        grown.add_to_gallery(batches[1:2])  # incremental appends
+        grown.add_to_gallery(batches[2:])
+        if force_stream:
+            assert grown._prepared is not None
+        got_s, got_i = grown.retrieve(b.words, b.word_len, b.sent_len, k=7)
+        np.testing.assert_array_equal(got_i, want_i)
+        np.testing.assert_allclose(got_s, want_s, rtol=1e-6, atol=1e-7)
+        assert grown.gallery_keys == all_at_once.gallery_keys
+        assert grown.n_valid == all_at_once.n_valid
+        monkeypatch.undo()
+
+
 def test_retriever_quantized_mode(monkeypatch):
     """Retriever(quantize=True) on a (forced) streaming gallery: results
     match the exact dense retrieval on the same gallery."""
