@@ -6,8 +6,6 @@ from __future__ import annotations
 
 import argparse
 
-import numpy as np
-
 
 def main(argv=None) -> int:
     p = argparse.ArgumentParser("cmhse-retrieve")
@@ -82,18 +80,12 @@ def main(argv=None) -> int:
             batches_from_dataset(dataset, cfg.data, shuffle=False),
             keys=None, side="video",
         )
+        from cmhse_tpu.eval.serve import text_query_batch
+
         smax, wmax = cfg.data.max_sentences, cfg.data.max_words
 
         def _text_batch(texts):
-            # tokenize queries into a one-sentence padded batch
-            words = np.zeros((len(texts), smax, wmax), np.int32)
-            word_len = np.zeros((len(texts), smax), np.int32)
-            sent_len = np.ones((len(texts),), np.int32)
-            for i, text in enumerate(texts):
-                ids = vocab.encode(text)[:wmax]
-                words[i, 0, : len(ids)] = ids
-                word_len[i, 0] = len(ids)
-            return words, word_len, sent_len
+            return text_query_batch(vocab, texts, smax, wmax)
 
         if args.query:
             scores, idx = retriever.retrieve(*_text_batch(args.query),

@@ -1,0 +1,242 @@
+"""``cmhse-serve`` — long-running retrieval daemon over a unix socket.
+
+The production shape of the serving surface (SURVEY.md section 3.5 — the
+reference has no serving path at all): encode the gallery ONCE at startup
+(pre-chunked / int8-prepared when large), then answer JSON-line requests
+from any local client forever. ``cmhse-retrieve --interactive`` covers the
+human-at-a-terminal case; this covers the machine-client case.
+
+Protocol (one JSON object per line, newline-terminated, per connection):
+
+    -> {"query": "a dog catches a frisbee", "k": 5, "id": 1}
+    <- {"id": 1, "results": [{"key": "...", "score": 0.93}, ...],
+        "latency_ms": 2.1}
+    -> {"video_key": "v_abc123", "k": 3}          # video->paragraph
+    <- {"results": [...], ...}
+    -> {"op": "stats"}
+    <- {"gallery_rows": 4917, "prepared": true, "quantized": false, ...}
+    -> {"op": "shutdown"}
+    <- {"ok": true}                                # then the daemon exits
+
+Errors come back as {"id": ..., "error": "..."}; the connection stays up.
+Requests are served strictly in order (one device, one program — queueing
+at the socket is the batching strategy; pass several queries in one
+request's "query" LIST to batch the GEMM).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import socket
+import time
+
+
+def _handle_request(req: dict, ctx: dict) -> dict:
+    """Pure request->response step (socket-free, so tests can hit it
+    directly); ``ctx`` carries the retrievers + dataset built at startup."""
+    if not isinstance(req, dict):
+        return {"error": "request must be a JSON object"}
+    rid = req.get("id")
+
+    def reply(payload: dict) -> dict:
+        return {"id": rid, **payload} if rid is not None else payload
+
+    if req.get("op") == "shutdown":
+        ctx["shutdown"] = True
+        return reply({"ok": True})
+    if req.get("op") == "stats":
+        r = ctx["retriever"]
+        return reply({
+            "gallery_rows": int(r.gallery.shape[0]),
+            "valid_rows": r.n_valid,
+            "prepared": r._prepared is not None,
+            "quantized": r.quantize,
+            "side": r.side,
+            "split": ctx["split"],
+            "requests_served": ctx["served"],
+        })
+
+    k = int(req.get("k", 5))
+    if k < 1:
+        return reply({"error": f"k must be >= 1, got {k}"})
+    t0 = time.perf_counter()
+    dataset = ctx["dataset"]
+    if "query" in req:
+        texts = req["query"] if isinstance(req["query"], list) \
+            else [req["query"]]
+        if not all(isinstance(t, str) and t.strip() for t in texts):
+            return reply({"error": "query must be a non-empty string "
+                                   "(or list of them)"})
+        from cmhse_tpu.eval.serve import text_query_batch
+
+        cfg = ctx["cfg"]
+        r = ctx["retriever"]
+        scores, idx = r.retrieve(
+            *text_query_batch(ctx["vocab"], texts, cfg.data.max_sentences,
+                              cfg.data.max_words), k=k)
+    elif "video_key" in req:
+        r = ctx.get("retriever_text")
+        if r is None:
+            r = ctx["retriever_text"] = ctx["build_text_side"]()
+        key = req["video_key"]
+        if key not in ctx["key_to_idx"]:
+            return reply({"error": f"video key {key!r} not in the "
+                                   f"{ctx['split']} split"})
+        from cmhse_tpu.data.bucketing import BucketSpec, pad_batch
+
+        cfg = ctx["cfg"]
+        spec = BucketSpec(
+            batch_size=1, max_clips=cfg.data.max_clips,
+            max_frames=cfg.data.max_frames,
+            max_sentences=cfg.data.max_sentences,
+            max_words=cfg.data.max_words, feat_dim=cfg.data.feat_dim,
+        )
+        qb = pad_batch([dataset[ctx["key_to_idx"][key]]], spec)
+        scores, idx = r.retrieve_video(qb.frames, qb.frame_len, qb.clip_len,
+                                       k=k)
+    else:
+        return reply({"error": "expected 'query', 'video_key', or 'op'"})
+
+    ms = (time.perf_counter() - t0) * 1e3
+    r_used = ctx["retriever"] if "query" in req else ctx["retriever_text"]
+    out = [
+        [{"key": _row_key(dataset, r_used, int(j)),
+          "score": round(float(s), 6)}
+         for s, j in zip(row_s, row_i)]
+        for row_s, row_i in zip(scores, idx)
+    ]
+    # a list "query" gets a list of result rows; single query / video_key
+    # gets the one row directly
+    batched = isinstance(req.get("query"), list)
+    ctx["served"] += 1
+    return reply({"results": out if batched else out[0],
+                  "latency_ms": round(ms, 3)})
+
+
+def _row_key(dataset, retriever, row: int):
+    if retriever.gallery_keys is None:
+        return row
+    return dataset.keys[int(retriever.gallery_keys[row])]
+
+
+def serve_forever(ctx: dict, sock_path: str,
+                  ready_callback=None) -> None:
+    """Accept loop: one client at a time, many requests per connection
+    (requests are device-serialized anyway — one chip, one program)."""
+    import os
+
+    if os.path.exists(sock_path):
+        os.unlink(sock_path)  # stale socket from a previous run
+    server = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    try:
+        server.bind(sock_path)
+        server.listen(8)
+        print(f"cmhse-serve listening on {sock_path}")
+        if ready_callback is not None:
+            ready_callback()
+        while not ctx["shutdown"]:
+            conn, _ = server.accept()
+            with conn, conn.makefile("rwb") as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    try:
+                        req = json.loads(line)
+                    except json.JSONDecodeError as e:
+                        resp = {"error": f"bad JSON: {e}"}
+                    else:
+                        try:
+                            resp = _handle_request(req, ctx)
+                        except Exception as e:  # daemon must outlive requests
+                            resp = {"error": f"{type(e).__name__}: {e}"}
+                    f.write((json.dumps(resp) + "\n").encode())
+                    f.flush()
+                    if ctx["shutdown"]:
+                        break
+    finally:
+        server.close()
+        if os.path.exists(sock_path):
+            os.unlink(sock_path)
+
+
+def build_context(checkpoint: str, data_path: str | None, split: str,
+                  vocab_path: str | None = None, sharded: bool = False,
+                  quantized: bool = False,
+                  rescore_m: int | None = None) -> dict:
+    """Load the checkpoint, encode the video-side gallery, and assemble the
+    request-handling context (the text-side gallery for video->paragraph
+    queries is built lazily on first use)."""
+    from cmhse_tpu.data import (PrecompDataset, Vocabulary,
+                                batches_from_dataset)
+    from cmhse_tpu.data.vocab import find_vocab
+    from cmhse_tpu.eval.serve import Retriever
+    from cmhse_tpu.train.checkpoint import restore_for_eval
+
+    model, params, cfg = restore_for_eval(checkpoint)
+    data_path = data_path or cfg.data.data_path
+    vocab = Vocabulary.load(find_vocab(data_path, vocab_path))
+    dataset = PrecompDataset(data_path, split, vocab,
+                             feat_dim=cfg.data.feat_dim,
+                             flat=not cfg.model.hierarchical)
+    mesh = None
+    if sharded:
+        from cmhse_tpu.parallel.mesh import make_mesh
+
+        mesh = make_mesh((-1,), ("data",))
+
+    retriever = Retriever(model, params, mesh=mesh, quantize=quantized,
+                          rescore_m=rescore_m)
+    retriever.build_gallery(
+        batches_from_dataset(dataset, cfg.data, shuffle=False), side="video")
+
+    def build_text_side():
+        r = Retriever(model, params, mesh=mesh, quantize=quantized,
+                      rescore_m=rescore_m)
+        r.build_gallery(
+            batches_from_dataset(dataset, cfg.data, shuffle=False),
+            side="text")
+        return r
+
+    return {
+        "cfg": cfg,
+        "vocab": vocab,
+        "dataset": dataset,
+        "key_to_idx": {key: i for i, key in enumerate(dataset.keys)},
+        "retriever": retriever,
+        "retriever_text": None,
+        "build_text_side": build_text_side,
+        "split": split,
+        "served": 0,
+        "shutdown": False,
+    }
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser("cmhse-serve")
+    p.add_argument("checkpoint", help="checkpoint dir (with config.json)")
+    p.add_argument("--socket", required=True, metavar="PATH",
+                   help="unix socket path to listen on")
+    p.add_argument("--data_path", default=None)
+    p.add_argument("--split", default="val", help="gallery split")
+    p.add_argument("--sharded", action="store_true")
+    p.add_argument("--quantized", action="store_true",
+                   help="two-stage int8 serving (million-row galleries)")
+    p.add_argument("--rescore_m", type=int, default=None)
+    p.add_argument("--vocab_path", default=None)
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu", "axon"])
+    args = p.parse_args(argv)
+
+    from cmhse_tpu.cli.train import _force_platform
+
+    _force_platform(args.platform)
+    ctx = build_context(args.checkpoint, args.data_path, args.split,
+                        vocab_path=args.vocab_path, sharded=args.sharded,
+                        quantized=args.quantized, rescore_m=args.rescore_m)
+    serve_forever(ctx, args.socket)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -20,6 +20,21 @@ from cmhse_tpu.ops.topk import (adaptive_n_chunks, append_to_prepared,
                                 should_stream_topk, streaming_sim_topk)
 
 
+def text_query_batch(vocab, texts: list, max_sentences: int,
+                     max_words: int) -> tuple:
+    """Tokenize natural-language queries into a one-sentence padded batch
+    (the query-side contract of :meth:`Retriever.retrieve`); shared by
+    ``cmhse-retrieve`` and the ``cmhse-serve`` daemon."""
+    words = np.zeros((len(texts), max_sentences, max_words), np.int32)
+    word_len = np.zeros((len(texts), max_sentences), np.int32)
+    sent_len = np.ones((len(texts),), np.int32)
+    for i, text in enumerate(texts):
+        ids = vocab.encode(text)[:max_words]
+        words[i, 0, : len(ids)] = ids
+        word_len[i, 0] = len(ids)
+    return words, word_len, sent_len
+
+
 def _row_aligned_keys(keys, ids, valid, rows: int) -> list:
     """Row-aligned keys for a device gallery segment: padding rows stay IN
     PLACE, so caller-supplied compact keys (one per real example — the

@@ -191,6 +191,7 @@ def fit(
                            state, ckpt, logger, start_epoch, best_rsum,
                            start_groups, spd, preempt)
     finally:
+        ckpt.close()  # waits out orbax's background thread (one per manager)
         if prev_sigterm is not None:
             import signal
 

@@ -1,0 +1,155 @@
+"""cmhse-serve: the machine-client serving daemon (JSON lines over a unix
+socket) must answer text and video queries, batch, report stats, survive
+bad requests, and shut down cleanly — against a reference-layout data dir.
+"""
+
+import json
+import socket
+import threading
+
+import jax
+import numpy as np
+import pytest
+
+from reference_layout import write_reference_dataset
+
+from cmhse_tpu.config import DataConfig, ExperimentConfig, ModelConfig
+from cmhse_tpu.data import PrecompDataset, batches_from_dataset
+from cmhse_tpu.data.vocab import build_vocab
+from cmhse_tpu.train import create_train_state
+from cmhse_tpu.train.checkpoint import CheckpointManager
+from cmhse_tpu.cli import serve_daemon
+
+FEAT = 8
+VAL_KEYS = [f"v_val{i:03d}" for i in range(8)]
+
+
+@pytest.fixture(scope="module")
+def ctx(tmp_path_factory):
+    root = tmp_path_factory.mktemp("servedata")
+    write_reference_dataset(str(root), n_train=6, n_val=8, feat_dim=FEAT)
+    caps = json.load(open(root / "train_captions.json"))
+    vocab = build_vocab(
+        [s for c in caps.values() for s in c["sentences"]], threshold=1)
+    vocab.save(str(root / "vocab.json"))
+
+    cfg = ExperimentConfig(
+        data=DataConfig(data_path=str(root), batch_size=4, feat_dim=FEAT,
+                        vocab_size=len(vocab) + 8, max_clips=3, max_frames=6,
+                        max_sentences=3, max_words=8),
+        model=ModelConfig(embed_size=16, word_dim=8, feat_dim=FEAT,
+                          rnn_hidden=16),
+    )
+    ds = PrecompDataset(str(root), "val", vocab, feat_dim=FEAT)
+    b0 = next(iter(batches_from_dataset(ds, cfg.data, shuffle=False)))
+    state = create_train_state(cfg, jax.random.PRNGKey(0), b0)
+    ckpt_dir = str(tmp_path_factory.mktemp("serveckpt"))
+    mgr = CheckpointManager(ckpt_dir, cfg)
+    mgr.save(state, epoch=0, best_rsum=0.0, is_best=True)
+    mgr.close()
+    return serve_daemon.build_context(ckpt_dir, str(root), "val")
+
+
+def test_handle_request_directly(ctx):
+    """The socket-free request handler: every op, error path, and result
+    shape."""
+    # single text query
+    r = serve_daemon._handle_request({"query": "a man runs", "k": 3,
+                                      "id": 7}, ctx)
+    assert r["id"] == 7 and "error" not in r
+    assert len(r["results"]) == 3 and r["latency_ms"] > 0
+    keys = [hit["key"] for hit in r["results"]]
+    assert set(keys) <= set(VAL_KEYS)
+    scores = [hit["score"] for hit in r["results"]]
+    assert scores == sorted(scores, reverse=True)
+
+    # batched list query -> list of rows
+    r = serve_daemon._handle_request(
+        {"query": ["a man runs", "a dog jumps"], "k": 2}, ctx)
+    assert len(r["results"]) == 2 and len(r["results"][0]) == 2
+
+    # video->paragraph (text-side gallery built lazily on first use)
+    assert ctx["retriever_text"] is None
+    r = serve_daemon._handle_request({"video_key": VAL_KEYS[0], "k": 2}, ctx)
+    assert ctx["retriever_text"] is not None
+    assert len(r["results"]) == 2
+    assert set(h["key"] for h in r["results"]) <= set(VAL_KEYS)
+
+    # stats
+    r = serve_daemon._handle_request({"op": "stats"}, ctx)
+    assert r["valid_rows"] == 8 and r["requests_served"] >= 3
+    assert r["side"] == "video" and r["split"] == "val"
+
+    # errors keep the daemon alive
+    assert "error" in serve_daemon._handle_request({"k": 3}, ctx)
+    assert "error" in serve_daemon._handle_request(
+        {"video_key": "nope"}, ctx)
+    assert "error" in serve_daemon._handle_request({"query": ""}, ctx)
+    assert "error" in serve_daemon._handle_request(
+        {"query": "x", "k": 0}, ctx)
+    assert "error" in serve_daemon._handle_request("not a dict", ctx)
+
+
+def test_daemon_over_unix_socket(ctx, tmp_path):
+    """End-to-end over a real AF_UNIX socket: queries from two sequential
+    client connections, then a clean shutdown."""
+    ctx["shutdown"] = False
+    sock_path = str(tmp_path / "cmhse.sock")
+    ready = threading.Event()
+    t = threading.Thread(
+        target=serve_daemon.serve_forever,
+        args=(ctx, sock_path),
+        kwargs={"ready_callback": ready.set},
+        daemon=True,
+    )
+    t.start()
+    assert ready.wait(30)
+
+    def ask(lines):
+        c = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        c.connect(sock_path)
+        out = []
+        with c, c.makefile("rwb") as f:
+            for line in lines:
+                f.write((json.dumps(line) if not isinstance(line, str)
+                         else line).encode() + b"\n")
+                f.flush()
+                out.append(json.loads(f.readline()))
+        return out
+
+    # connection 1: a query, a malformed line, another query
+    r1, r2, r3 = ask([
+        {"query": "a man runs fast", "k": 2, "id": "a"},
+        "{not json",
+        {"op": "stats"},
+    ])
+    assert r1["id"] == "a" and len(r1["results"]) == 2
+    assert "bad JSON" in r2["error"]
+    assert r3["valid_rows"] == 8
+
+    # connection 2 (the daemon outlives connections): then shutdown
+    (r4, r5) = ask([{"query": "a dog jumps", "k": 1},
+                    {"op": "shutdown"}])
+    assert len(r4["results"]) == 1
+    assert r5 == {"ok": True}
+    t.join(timeout=30)
+    assert not t.is_alive()
+
+
+def test_cli_main_wires_flags(ctx, tmp_path, monkeypatch):
+    """cmhse-serve main(): builds the context from flags and enters the
+    accept loop (patched out — the loop itself is tested above)."""
+    calls = {}
+    monkeypatch.setattr(serve_daemon, "build_context",
+                        lambda *a, **kw: {"built": (a, kw)})
+    monkeypatch.setattr(serve_daemon, "serve_forever",
+                        lambda c, s, ready_callback=None:
+                        calls.update(ctx=c, sock=s))
+    rc = serve_daemon.main(["ckpt_dir", "--socket", str(tmp_path / "s.sock"),
+                            "--data_path", "dp", "--split", "val",
+                            "--quantized", "--platform", "cpu"])
+    assert rc == 0
+    assert calls["sock"].endswith("s.sock")
+    a, kw = calls["ctx"]["built"]
+    assert a == ("ckpt_dir", "dp", "val")
+    assert kw["quantized"] is True and kw["sharded"] is False
