@@ -197,6 +197,8 @@ def append_to_prepared(
         raise ValueError(f"n_existing={n_existing} outside the prepared "
                          f"capacity [0, {n_chunks * csize}]")
     m = new_rows.shape[0]
+    if m == 0:
+        return pg
     new_valid = (jnp.ones(m, bool) if valid is None
                  else valid.astype(bool))
     if (convert and jax.devices()[0].platform == "tpu"

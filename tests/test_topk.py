@@ -365,6 +365,8 @@ def test_append_to_prepared_validates_inputs():
 
     g = jnp.ones((10, 8), jnp.float32)
     pg = prepare_topk_gallery(g)
+    assert append_to_prepared(
+        pg, jnp.zeros((0, 8), jnp.float32), n_existing=10) is pg
     with pytest.raises(ValueError, match="D="):
         append_to_prepared(pg, jnp.ones((2, 4), jnp.float32), n_existing=10)
     with pytest.raises(ValueError, match="n_existing"):
