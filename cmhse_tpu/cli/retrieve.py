@@ -107,7 +107,7 @@ def main(argv=None) -> int:
 
     if args.query_video:
         # video->paragraph: TEXT gallery, video queries looked up by key
-        from cmhse_tpu.data.bucketing import BucketSpec, pad_batch
+        from cmhse_tpu.eval.serve import video_query_batch
 
         retriever_t = Retriever(model, params, mesh=mesh,
                                 quantize=args.quantized,
@@ -116,22 +116,14 @@ def main(argv=None) -> int:
             batches_from_dataset(dataset, cfg.data, shuffle=False),
             keys=None, side="text",
         )
-        key_to_idx = {key: i for i, key in enumerate(dataset.keys)}
-        missing = [kq for kq in args.query_video if kq not in key_to_idx]
-        if missing:
+        try:
+            qframes, qframe_len, qclip_len = video_query_batch(
+                dataset, cfg.data, args.query_video)
+        except KeyError as e:
             raise SystemExit(
-                f"video keys not in the {args.split} split: {missing}"
-            )
-        examples = [dataset[key_to_idx[kq]] for kq in args.query_video]
-        spec = BucketSpec(
-            batch_size=len(examples), max_clips=cfg.data.max_clips,
-            max_frames=cfg.data.max_frames,
-            max_sentences=cfg.data.max_sentences,
-            max_words=cfg.data.max_words, feat_dim=cfg.data.feat_dim,
-        )
-        qb = pad_batch(examples, spec)
+                f"video keys not in the {args.split} split: {e.args[0]}")
         scores, idx = retriever_t.retrieve_video(
-            qb.frames, qb.frame_len, qb.clip_len, k=args.k
+            qframes, qframe_len, qclip_len, k=args.k
         )
         for i, kq in enumerate(args.query_video):
             _print_hits(f"video query: {kq!r} (paragraphs)", scores[i],

@@ -76,25 +76,19 @@ def _handle_request(req: dict, ctx: dict) -> dict:
             *text_query_batch(ctx["vocab"], texts, cfg.data.max_sentences,
                               cfg.data.max_words), k=k)
     elif "video_key" in req:
+        from cmhse_tpu.eval.serve import video_query_batch
+
+        key = req["video_key"]
+        try:
+            qframes, qframe_len, qclip_len = video_query_batch(
+                dataset, ctx["cfg"].data, [key])
+        except KeyError:
+            return reply({"error": f"video key {key!r} not in the "
+                                   f"{ctx['split']} split"})
         r = ctx.get("retriever_text")
         if r is None:
             r = ctx["retriever_text"] = ctx["build_text_side"]()
-        key = req["video_key"]
-        if key not in ctx["key_to_idx"]:
-            return reply({"error": f"video key {key!r} not in the "
-                                   f"{ctx['split']} split"})
-        from cmhse_tpu.data.bucketing import BucketSpec, pad_batch
-
-        cfg = ctx["cfg"]
-        spec = BucketSpec(
-            batch_size=1, max_clips=cfg.data.max_clips,
-            max_frames=cfg.data.max_frames,
-            max_sentences=cfg.data.max_sentences,
-            max_words=cfg.data.max_words, feat_dim=cfg.data.feat_dim,
-        )
-        qb = pad_batch([dataset[ctx["key_to_idx"][key]]], spec)
-        scores, idx = r.retrieve_video(qb.frames, qb.frame_len, qb.clip_len,
-                                       k=k)
+        scores, idx = r.retrieve_video(qframes, qframe_len, qclip_len, k=k)
     else:
         return reply({"error": "expected 'query', 'video_key', or 'op'"})
 
@@ -127,7 +121,20 @@ def serve_forever(ctx: dict, sock_path: str,
     import os
 
     if os.path.exists(sock_path):
-        os.unlink(sock_path)  # stale socket from a previous run
+        # refuse to steal a LIVE daemon's socket (a double-start would
+        # unlink it out from under the running process); only remove a
+        # stale path nothing answers on
+        probe = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        try:
+            probe.connect(sock_path)
+        except OSError:
+            os.unlink(sock_path)
+        else:
+            raise SystemExit(
+                f"a daemon is already serving on {sock_path}; pass a "
+                "different --socket or stop it first")
+        finally:
+            probe.close()
     server = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
     try:
         server.bind(sock_path)
@@ -137,24 +144,30 @@ def serve_forever(ctx: dict, sock_path: str,
             ready_callback()
         while not ctx["shutdown"]:
             conn, _ = server.accept()
-            with conn, conn.makefile("rwb") as f:
-                for line in f:
-                    line = line.strip()
-                    if not line:
-                        continue
-                    try:
-                        req = json.loads(line)
-                    except json.JSONDecodeError as e:
-                        resp = {"error": f"bad JSON: {e}"}
-                    else:
+            try:
+                with conn, conn.makefile("rwb") as f:
+                    for line in f:
+                        line = line.strip()
+                        if not line:
+                            continue
                         try:
-                            resp = _handle_request(req, ctx)
-                        except Exception as e:  # daemon must outlive requests
-                            resp = {"error": f"{type(e).__name__}: {e}"}
-                    f.write((json.dumps(resp) + "\n").encode())
-                    f.flush()
-                    if ctx["shutdown"]:
-                        break
+                            req = json.loads(line)
+                        except json.JSONDecodeError as e:
+                            resp = {"error": f"bad JSON: {e}"}
+                        else:
+                            try:
+                                resp = _handle_request(req, ctx)
+                            except Exception as e:  # must outlive requests
+                                resp = {"error": f"{type(e).__name__}: {e}"}
+                        f.write((json.dumps(resp) + "\n").encode())
+                        f.flush()
+                        if ctx["shutdown"]:
+                            break
+            except OSError as e:
+                # a client vanished mid-exchange (BrokenPipe/ConnectionReset
+                # from write/flush/read) — the daemon must outlive CLIENTS
+                # too; keep accepting
+                print(f"client connection dropped: {e}")
     finally:
         server.close()
         if os.path.exists(sock_path):
@@ -203,7 +216,6 @@ def build_context(checkpoint: str, data_path: str | None, split: str,
         "cfg": cfg,
         "vocab": vocab,
         "dataset": dataset,
-        "key_to_idx": {key: i for i, key in enumerate(dataset.keys)},
         "retriever": retriever,
         "retriever_text": None,
         "build_text_side": build_text_side,

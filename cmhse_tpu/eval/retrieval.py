@@ -145,6 +145,14 @@ def validate_metrics(
             valid = None  # ranks below are already valid-rows-only
     rank_keys = [k for k in metrics if k.endswith("_ranks")]
     ranks = {}
+    if rank_keys and valid is not None and jax.process_count() > 1:
+        # multi-host: the rank vectors are replicated (every process's
+        # devices hold them) but the valid MASK is batch-sharded over
+        # non-addressable devices — np.asarray on it would raise; gather
+        # the global value onto every host first
+        from jax.experimental import multihost_utils
+
+        valid = multihost_utils.process_allgather(valid)
     for k in rank_keys:
         r = np.asarray(metrics.pop(k))
         # compact to valid rows; their relative order is dataset order (the
@@ -223,15 +231,18 @@ def evalrank(
         metrics, ranks = out
         v2p, p2v = ranks["v2p_ranks"], ranks["p2v_ranks"]
         keys = getattr(dataset, "keys", None)
-        with open(dump_ranks, "w") as f:
-            for i in range(len(v2p)):
-                f.write(json.dumps({
-                    "index": i,
-                    "key": keys[i] if keys is not None else i,
-                    "v2p_rank": int(v2p[i]),
-                    "p2v_rank": int(p2v[i]),
-                }) + "\n")
-        print(f"wrote {len(v2p)} per-query ranks to {dump_ranks}")
+        if jax.process_index() == 0:
+            # one writer: on a pod every process reaches this line and the
+            # dump path is shared storage (same policy as config.json)
+            with open(dump_ranks, "w") as f:
+                for i in range(len(v2p)):
+                    f.write(json.dumps({
+                        "index": i,
+                        "key": keys[i] if keys is not None else i,
+                        "v2p_rank": int(v2p[i]),
+                        "p2v_rank": int(p2v[i]),
+                    }) + "\n")
+            print(f"wrote {len(v2p)} per-query ranks to {dump_ranks}")
     else:
         metrics = out
     print(format_table(metrics, ks))

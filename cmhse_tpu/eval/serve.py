@@ -35,6 +35,28 @@ def text_query_batch(vocab, texts: list, max_sentences: int,
     return words, word_len, sent_len
 
 
+def video_query_batch(dataset, data_cfg, keys: list) -> tuple:
+    """Pad dataset examples (looked up by video key) into a query batch for
+    :meth:`Retriever.retrieve_video`; shared by ``cmhse-retrieve
+    --query_video`` and the ``cmhse-serve`` daemon. Raises ``KeyError``
+    whose ``args[0]`` is the list of keys absent from the dataset (callers
+    word the message for their surface)."""
+    from cmhse_tpu.data.bucketing import BucketSpec, pad_batch
+
+    key_to_idx = {key: i for i, key in enumerate(dataset.keys)}
+    missing = [k for k in keys if k not in key_to_idx]
+    if missing:
+        raise KeyError(missing)
+    spec = BucketSpec(
+        batch_size=len(keys), max_clips=data_cfg.max_clips,
+        max_frames=data_cfg.max_frames,
+        max_sentences=data_cfg.max_sentences,
+        max_words=data_cfg.max_words, feat_dim=data_cfg.feat_dim,
+    )
+    qb = pad_batch([dataset[key_to_idx[k]] for k in keys], spec)
+    return qb.frames, qb.frame_len, qb.clip_len
+
+
 def _row_aligned_keys(keys, ids, valid, rows: int) -> list:
     """Row-aligned keys for a device gallery segment: padding rows stay IN
     PLACE, so caller-supplied compact keys (one per real example — the

@@ -87,6 +87,15 @@ def masked_mean_rank(ranks: Array, valid: Array) -> Array:
     return jnp.sum(jnp.where(valid, ranks.astype(jnp.float32), 0.0)) / nv
 
 
+def _metrics_from_rank_vector(ranks: Array,
+                              ks: tuple[int, ...]) -> dict[str, Array]:
+    out: dict[str, Array] = {f"r@{k}": recall_at_k(ranks, k) * 100.0
+                             for k in ks}
+    out["medr"] = median_rank(ranks)
+    out["meanr"] = mean_rank(ranks)
+    return out
+
+
 def retrieval_metrics(
     sims: Array,
     ks: tuple[int, ...] = (1, 5, 10, 50),
@@ -97,11 +106,7 @@ def retrieval_metrics(
     The reference reports R@1/R@5/R@50 + MedR (paper tables); the rebuild's
     driver metric adds R@10 (BASELINE.md) — both sets fall out of ``ks``.
     """
-    ranks = retrieval_ranks(sims, positive_idx)
-    out: dict[str, Array] = {f"r@{k}": recall_at_k(ranks, k) * 100.0 for k in ks}
-    out["medr"] = median_rank(ranks)
-    out["meanr"] = mean_rank(ranks)
-    return out
+    return _metrics_from_rank_vector(retrieval_ranks(sims, positive_idx), ks)
 
 
 def bidirectional_metrics_from_ranks(
@@ -164,16 +169,19 @@ def bidirectional_metrics(
     ``rsum`` is the model-selection scalar the reference maximizes for
     best-checkpoint saving (sum of R@1/5/10 over both directions).
     ``return_ranks`` adds the per-query rank vectors (``v2p_ranks`` /
-    ``p2v_ranks``), same contract as the other backends'.
+    ``p2v_ranks``), same contract as the other backends'; each direction's
+    ranks are computed once and shared with the metric reductions.
     """
-    v2p = retrieval_metrics(sims, ks)
-    p2v = retrieval_metrics(sims.T, ks)
-    out = {f"v2p_{k}": v for k, v in v2p.items()}
-    out.update({f"p2v_{k}": v for k, v in p2v.items()})
+    ranks_v = retrieval_ranks(sims)
+    ranks_p = retrieval_ranks(sims.T)
+    out = {f"v2p_{k}": v
+           for k, v in _metrics_from_rank_vector(ranks_v, ks).items()}
+    out.update({f"p2v_{k}": v
+                for k, v in _metrics_from_rank_vector(ranks_p, ks).items()})
     out["rsum"] = sum(
         out[f"{d}_r@{k}"] for d in ("v2p", "p2v") for k in ks if k <= 10
     )
     if return_ranks:
-        out["v2p_ranks"] = retrieval_ranks(sims)
-        out["p2v_ranks"] = retrieval_ranks(sims.T)
+        out["v2p_ranks"] = ranks_v
+        out["p2v_ranks"] = ranks_p
     return out

@@ -125,9 +125,14 @@ class CheckpointManager:
             restored = self._mgr.restore(
                 step, args=ocp.args.StandardRestore(template)
             )
-        except (ValueError, KeyError):
+        except (ValueError, KeyError) as e:
             # pre-snapshot checkpoint layout (no groups_done key): orbax
-            # rejects a template key the saved tree lacks
+            # rejects a template key the saved tree lacks. Retry ONLY for
+            # that key — an unrelated structure mismatch (changed model
+            # config, corrupted tree) must surface as itself, not as a
+            # confusing second failure
+            if "groups_done" not in str(e):
+                raise
             template.pop("groups_done")
             restored = self._mgr.restore(
                 step, args=ocp.args.StandardRestore(template)

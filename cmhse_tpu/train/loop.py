@@ -51,15 +51,16 @@ def _batched(iterable, n: int):
         return gen()
 
 
-def _grouped_host_batches(batch_iter, spd: int):
-    """Group HOST batches for multi-step dispatch: yields
+def _grouped_host_batches(group_tuples, spd: int):
+    """Turn grouped HOST batches (tuples from ``_batched``) into
     ``(n_steps, n_pairs, host_batch)`` where for ``spd > 1`` the batch is
     np.stack-ed to ``[K, B, ...]`` (the epoch's final group may be short —
     one extra ``[r < K]`` program, compiled once per run). Stacking and the
     valid-pair count both happen host-side, BEFORE placement — a
     multi-host global batch spans non-addressable devices and cannot be
-    fetched back."""
-    for group in _batched(batch_iter, spd):
+    fetched back. Takes the ALREADY-grouped iterator so a mid-epoch resume
+    can skip consumed groups upstream without paying for the stack copies."""
+    for group in group_tuples:
         n_pairs = int(sum(int(np.asarray(b.valid).sum()) for b in group))
         if spd == 1:
             yield 1, n_pairs, group[0]
@@ -218,16 +219,18 @@ def _fit_epochs(cfg, train_dataset, val_dataset, mesh, model, state, ckpt,
             process_index=jax.process_index(),
             process_count=jax.process_count(),
         )
-        groups = _grouped_host_batches(batch_iter, spd)
+        group_tuples = _batched(batch_iter, spd)
         groups_done = 0
         if epoch == start_epoch and start_groups > 0:
             # mid-epoch resume (snapshot_step): the per-epoch shuffle is
             # seeded, so the group stream reproduces — drop the groups the
-            # snapshot already consumed (host-side packing only; nothing is
-            # placed on device or executed)
+            # snapshot already consumed. Skipping happens on the raw group
+            # TUPLES, before _grouped_host_batches, so the [K, B, ...]
+            # stack copies and valid-sums are never paid for skipped work
+            # (the loader's per-batch padding is; it has no skip path)
             from itertools import islice
 
-            skipped = sum(1 for _ in islice(groups, start_groups))
+            skipped = sum(1 for _ in islice(group_tuples, start_groups))
             if skipped < start_groups:
                 print(f"warning: snapshot recorded {start_groups} consumed "
                       f"groups but epoch {epoch} only has {skipped}; the "
@@ -236,6 +239,7 @@ def _fit_epochs(cfg, train_dataset, val_dataset, mesh, model, state, ckpt,
             print(f"mid-epoch resume: skipped {skipped} already-trained "
                   f"dispatch groups of epoch {epoch}")
             logger.log("resume_mid_epoch", epoch=epoch, groups=skipped)
+        groups = _grouped_host_batches(group_tuples, spd)
         for n_steps, group_pairs, batch in _prefetch(groups, mesh, spd):
             if spd > 1:
                 state, metrics = train_steps(state, batch, cfg.loss)

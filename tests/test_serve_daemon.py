@@ -127,7 +127,14 @@ def test_daemon_over_unix_socket(ctx, tmp_path):
     assert "bad JSON" in r2["error"]
     assert r3["valid_rows"] == 8
 
-    # connection 2 (the daemon outlives connections): then shutdown
+    # a client that fires a request and vanishes without reading the reply
+    # must not kill the daemon (BrokenPipe on the server's write side)
+    rude = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    rude.connect(sock_path)
+    rude.sendall(json.dumps({"query": "a man runs", "k": 1}).encode() + b"\n")
+    rude.close()
+
+    # connection 2 (the daemon outlives connections AND clients): shutdown
     (r4, r5) = ask([{"query": "a dog jumps", "k": 1},
                     {"op": "shutdown"}])
     assert len(r4["results"]) == 1
