@@ -58,6 +58,18 @@ def _pad_gallery_valid(gallery, ndev, valid):
     return g_pad, gallery_valid, npad
 
 
+def _on_mesh(mesh, *pairs):
+    """device_put each (array, spec) pair onto the mesh, matching the
+    shard_map's in_specs. Needed because shard_map inputs must be PLACEABLE
+    on its mesh: an array committed to a single device — e.g. anything
+    computed from orbax-restored params, whose restore pins them to device
+    0 and whose jits therefore pin their outputs too — otherwise raises
+    'incompatible devices' (caught by the cmhse-serve sharded test; the
+    same failure hits cmhse-retrieve --sharded on any restored checkpoint).
+    device_put is a no-op for uncommitted or already-matching inputs."""
+    return tuple(jax.device_put(a, NamedSharding(mesh, s)) for a, s in pairs)
+
+
 def _merge_shard_candidates(loc_scores, glob_idx, axis, k):
     """all_gather each shard's k candidates (k*ndev floats over ICI) and
     take the global top-k — the shared tail of every sharded top-k body."""
@@ -153,8 +165,10 @@ def sharded_ranks(
             # mask drops rows.
             return jnp.where(jnp.isnan(pos_score), worst_rank, ranks)
 
-        ranks = _ranks(v_pad, p_pad, pos_idx, gallery_valid,
-                       pos_score_full, worst)
+        ranks = _ranks(*_on_mesh(
+            mesh, (v_pad, P(axis, None)), (p_pad, P(None, None)),
+            (pos_idx, P(axis)), (gallery_valid, P(None)),
+            (pos_score_full, P(axis)), (worst, P())))
 
     elif mode == "gallery":
 
@@ -203,8 +217,10 @@ def sharded_ranks(
             # valid-size sentinel: see the query-mode comment above
             return jnp.where(jnp.isnan(pos_score), worst_rank, ranks)
 
-        ranks = _ranks(v_pad, p_pad, pos_idx, gallery_valid,
-                       pos_score_full, worst)
+        ranks = _ranks(*_on_mesh(
+            mesh, (v_pad, P(None, None)), (p_pad, P(axis, None)),
+            (pos_idx, P(None)), (gallery_valid, P(axis)),
+            (pos_score_full, P(None)), (worst, P())))
     else:
         raise ValueError(f"unknown mode {mode!r}")
 
@@ -314,7 +330,8 @@ def sharded_sim_topk(
         return _sim_topk_body(q, g_shard, gvalid_shard, axis=axis, k=k,
                               streaming=stream)
 
-    return _topk(queries, g_pad, gallery_valid)
+    return _topk(*_on_mesh(mesh, (queries, P(None, None)),
+                           (g_pad, P(axis, None)), (gallery_valid, P(axis))))
 
 
 def prepare_sharded_topk_gallery(
@@ -351,7 +368,8 @@ def prepare_sharded_topk_gallery(
         # leading per-device axis so out_specs=P(axis) concatenates shards
         return jax.tree.map(lambda a: a[None], p)
 
-    return _prep(g_pad, gallery_valid), npad // ndev
+    return _prep(*_on_mesh(mesh, (g_pad, P(axis, None)),
+                           (gallery_valid, P(axis)))), npad // ndev
 
 
 def sharded_sim_topk_prepared(
@@ -405,4 +423,7 @@ def sharded_sim_topk_prepared(
         glob_idx = loc_idx + shard_id * shard_rows
         return _merge_shard_candidates(loc_scores, glob_idx, axis, k)
 
+    # the prepared pytree was produced ON the mesh; only the (small) query
+    # block can arrive committed elsewhere (see _on_mesh)
+    (queries,) = _on_mesh(mesh, (queries, P(None, None)))
     return _topk(queries, prepared)

@@ -215,6 +215,17 @@ def test_cli_dress_rehearsal(data_dir, tmp_path, capsys, monkeypatch):
         retrieve_main([ckpt, "--platform", "cpu", "--split", "val",
                        "--query_video", "v_nope", "-k", "3"])
 
+    # mesh-sharded serving over a RESTORED checkpoint: orbax restore pins
+    # params (and so the encoded query/gallery) to device 0, which used to
+    # blow up shard_map with 'incompatible devices' — regression for the
+    # _on_mesh placement fix in parallel/eval_sharded.py
+    assert retrieve_main([ckpt, "--platform", "cpu", "--split", "val",
+                          "--query", query, "--sharded", "-k", "3"]) == 0
+    sh = capsys.readouterr().out
+    assert sh.count("score=") == 3
+    hits_sh = [ln for ln in sh.splitlines() if ln.strip().startswith("1.")]
+    assert hits_sh == hits  # same top hit as the single-device path
+
     # interactive mode: encode once, answer a stream of stdin queries
     import io
 

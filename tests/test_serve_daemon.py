@@ -143,6 +143,38 @@ def test_daemon_over_unix_socket(ctx, tmp_path):
     assert not t.is_alive()
 
 
+def test_handler_sharded_context(tmp_path_factory):
+    """build_context(sharded=True): the daemon serves through the mesh
+    (sharded_sim_topk) — same handler contract on the 8-device CPU mesh."""
+    root = tmp_path_factory.mktemp("servedata_sh")
+    write_reference_dataset(str(root), n_train=6, n_val=8, feat_dim=FEAT)
+    caps = json.load(open(root / "train_captions.json"))
+    vocab = build_vocab(
+        [s for c in caps.values() for s in c["sentences"]], threshold=1)
+    vocab.save(str(root / "vocab.json"))
+    cfg = ExperimentConfig(
+        data=DataConfig(data_path=str(root), batch_size=4, feat_dim=FEAT,
+                        vocab_size=len(vocab) + 8, max_clips=3, max_frames=6,
+                        max_sentences=3, max_words=8),
+        model=ModelConfig(embed_size=16, word_dim=8, feat_dim=FEAT,
+                          rnn_hidden=16),
+    )
+    ds = PrecompDataset(str(root), "val", vocab, feat_dim=FEAT)
+    b0 = next(iter(batches_from_dataset(ds, cfg.data, shuffle=False)))
+    state = create_train_state(cfg, jax.random.PRNGKey(0), b0)
+    ckpt_dir = str(tmp_path_factory.mktemp("serveckpt_sh"))
+    mgr = CheckpointManager(ckpt_dir, cfg)
+    mgr.save(state, epoch=0, best_rsum=0.0, is_best=True)
+    mgr.close()
+
+    sctx = serve_daemon.build_context(ckpt_dir, str(root), "val",
+                                      sharded=True)
+    assert sctx["retriever"].mesh is not None
+    r = serve_daemon._handle_request({"query": "a man runs", "k": 3}, sctx)
+    assert "error" not in r and len(r["results"]) == 3
+    assert set(h["key"] for h in r["results"]) <= set(VAL_KEYS)
+
+
 def test_cli_main_wires_flags(ctx, tmp_path, monkeypatch):
     """cmhse-serve main(): builds the context from flags and enters the
     accept loop (patched out — the loop itself is tested above)."""
