@@ -226,6 +226,55 @@ class Retriever:
         self.gallery_keys = self.gallery_keys + _row_aligned_keys(
             keys, ids, valid, int(new_emb.shape[0]))
 
+    def remove_from_gallery(self, keys) -> int:
+        """Tombstone gallery items by key (the delete side of continuous
+        ingest): their rows are marked invalid everywhere — the raw
+        gallery, the pre-chunked serving form, and the per-shard mesh form
+        — so they can never surface in a top-k, WITHOUT re-encoding or
+        re-preparing anything. Row positions (and therefore all other
+        items' indices and scores) are unchanged; the embedding storage is
+        reclaimed only by a future full rebuild. Returns the number of
+        rows removed; unknown keys are ignored."""
+        if self.gallery is None:
+            raise RuntimeError("call build_gallery() first")
+        targets = set(keys)
+        valid_np = np.asarray(self.gallery_valid)
+        drop = np.zeros(valid_np.shape[0], bool)
+        for i, key in enumerate(self.gallery_keys):
+            if key in targets and valid_np[i]:
+                drop[i] = True
+        removed = int(drop.sum())
+        if removed == 0:
+            return 0
+        keep = jnp.asarray(~drop)
+        self.gallery_valid = self.gallery_valid & keep
+        self.n_valid -= removed
+        if self._prepared is not None:
+            n = drop.shape[0]
+            if self.mesh is None:
+                # single-device prepared layout: slot s < n IS gallery row s
+                # (contiguous rows + tail padding; appends preserve this)
+                n_chunks, csize = self._prepared.valid.shape
+                keep_slots = jnp.pad(keep, (0, n_chunks * csize - n),
+                                     constant_values=True)
+                self._prepared = self._prepared._replace(
+                    valid=self._prepared.valid
+                    & keep_slots.reshape(n_chunks, csize))
+            else:
+                # per-shard layout: global row r lives in shard
+                # r // shard_rows at local slot r % shard_rows, local slots
+                # beyond shard_rows are that shard's prepare padding
+                ndev, n_chunks, csize = self._prepared.valid.shape
+                rows = self._prepared_shard_rows
+                keep_sh = jnp.pad(keep, (0, ndev * rows - n),
+                                  constant_values=True).reshape(ndev, rows)
+                keep_sh = jnp.pad(
+                    keep_sh, ((0, 0), (0, n_chunks * csize - rows)),
+                    constant_values=True).reshape(ndev, n_chunks, csize)
+                self._prepared = self._prepared._replace(
+                    valid=self._prepared.valid & keep_sh)
+        return removed
+
     def retrieve(
         self, words: Array, word_len: Array, sent_len: Array, k: int = 10
     ) -> tuple[np.ndarray, np.ndarray]:

@@ -425,3 +425,14 @@ def test_retriever_mesh_prepared_paths(monkeypatch):
     s, i = grown.retrieve(b.words, b.word_len, b.sent_len, k=6)
     np.testing.assert_array_equal(i, ref_i)
     np.testing.assert_allclose(s, ref_s, rtol=1e-5, atol=1e-6)
+
+    # tombstoning under the mesh: the per-shard prepared valid mask is
+    # updated in place and removed keys never surface again
+    top_keys = {grown.gallery_keys[int(j)] for j in i[:, 0]}
+    chunks_before = grown._prepared.chunks
+    assert grown.remove_from_gallery(top_keys) == len(top_keys)
+    assert grown._prepared.chunks is chunks_before  # masked, not rebuilt
+    s2, i2 = grown.retrieve(b.words, b.word_len, b.sent_len, k=6)
+    gone = {int(j) for j in i[:, 0]
+            if grown.gallery_keys[int(j)] in top_keys}
+    assert not (set(int(x) for x in i2.ravel()) & gone)

@@ -422,6 +422,70 @@ def test_retriever_add_to_gallery_matches_rebuild(monkeypatch):
         monkeypatch.undo()
 
 
+def test_retriever_remove_from_gallery(monkeypatch):
+    """Tombstoning: removed keys never surface again, every other item
+    keeps its index and score, and the prepared (streaming/int8) forms are
+    masked in place without a rebuild."""
+    from cmhse_tpu.config import DataConfig, ExperimentConfig, ModelConfig
+    from cmhse_tpu.data import (SyntheticHierarchicalDataset,
+                                batches_from_dataset)
+    from cmhse_tpu.eval import serve as serve_mod
+    from cmhse_tpu.models import CMHSE
+    from cmhse_tpu.train import create_train_state
+
+    cfg = ExperimentConfig(
+        data=DataConfig(batch_size=8, feat_dim=8, vocab_size=64, max_clips=2,
+                        max_frames=4, max_sentences=2, max_words=4),
+        model=ModelConfig(embed_size=16, word_dim=8, feat_dim=8,
+                          rnn_hidden=16),
+    )
+    ds = SyntheticHierarchicalDataset(num_videos=16, feat_dim=8,
+                                      vocab_size=64, max_clips=2,
+                                      max_frames=4, max_words=4)
+    batches = list(batches_from_dataset(ds, cfg.data, shuffle=False))
+    state = create_train_state(cfg, jax.random.PRNGKey(0), batches[0])
+    model = CMHSE(cfg=cfg.model, vocab_size=cfg.data.vocab_size)
+    b = batches[0]
+
+    for force_stream, quantize in ((False, False), (True, False),
+                                   (True, True)):
+        if force_stream:
+            monkeypatch.setattr(serve_mod, "should_stream_topk",
+                                lambda n, force=None: True)
+        r = serve_mod.Retriever(model, state.params, quantize=quantize)
+        r.build_gallery(batches)
+        before_s, before_i = r.retrieve(b.words, b.word_len, b.sent_len, k=5)
+
+        top_keys = {r.gallery_keys[int(j)] for j in before_i[:, 0]}
+        prepared_before = r._prepared
+        n_valid_before = r.n_valid
+        removed = r.remove_from_gallery(list(top_keys) + ["no-such-key"])
+        assert removed == len(top_keys)
+        assert r.n_valid == n_valid_before - removed
+        if prepared_before is not None:
+            # masked in place, not rebuilt
+            assert r._prepared.chunks is prepared_before.chunks
+
+        after_s, after_i = r.retrieve(b.words, b.word_len, b.sent_len, k=5)
+        gone = {int(j) for j in before_i[:, 0]
+                if r.gallery_keys[int(j)] in top_keys}
+        assert not (set(int(x) for x in after_i.ravel()) & gone)
+        # survivors keep index and score: after == before with removed rows
+        # dropped out of each result list
+        for q in range(before_i.shape[0]):
+            want = [(int(j), float(s))
+                    for j, s in zip(before_i[q], before_s[q])
+                    if int(j) not in gone][:5]
+            got = list(zip((int(j) for j in after_i[q][:len(want)]),
+                           (float(s) for s in after_s[q][:len(want)])))
+            assert [g[0] for g in got] == [w[0] for w in want]
+            np.testing.assert_allclose([g[1] for g in got],
+                                       [w[1] for w in want], rtol=1e-6)
+
+        assert r.remove_from_gallery(top_keys) == 0  # idempotent
+        monkeypatch.undo()
+
+
 def test_retriever_quantized_mode(monkeypatch):
     """Retriever(quantize=True) on a (forced) streaming gallery: results
     match the exact dense retrieval on the same gallery."""
