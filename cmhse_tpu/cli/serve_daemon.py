@@ -13,6 +13,8 @@ Protocol (one JSON object per line, newline-terminated, per connection):
         "latency_ms": 2.1}
     -> {"video_key": "v_abc123", "k": 3}          # video->paragraph
     <- {"results": [...], ...}
+    -> {"op": "remove", "keys": ["v_abc123"]}     # tombstone items live
+    <- {"removed": 1, "valid_rows": 4916}
     -> {"op": "stats"}
     <- {"gallery_rows": 4917, "prepared": true, "quantized": false, ...}
     -> {"op": "shutdown"}
@@ -45,6 +47,20 @@ def _handle_request(req: dict, ctx: dict) -> dict:
     if req.get("op") == "shutdown":
         ctx["shutdown"] = True
         return reply({"ok": True})
+    if req.get("op") == "remove":
+        keys = req.get("keys")
+        if not isinstance(keys, list) or not keys:
+            return reply({"error": "remove needs a non-empty 'keys' list"})
+        # the retriever's gallery_keys are dataset ROW IDS (what _row_key
+        # maps back to names); translate the client's video keys first
+        idx = {k: i for i, k in enumerate(ctx["dataset"].keys)}
+        ids = [idx[k] for k in keys if k in idx]
+        # a removed video disappears from BOTH directions' galleries
+        removed = ctx["retriever"].remove_from_gallery(ids)
+        if ctx.get("retriever_text") is not None:
+            ctx["retriever_text"].remove_from_gallery(ids)
+        return reply({"removed": removed,
+                      "valid_rows": ctx["retriever"].n_valid})
     if req.get("op") == "stats":
         r = ctx["retriever"]
         return reply({

@@ -80,6 +80,20 @@ def test_handle_request_directly(ctx):
     assert r["valid_rows"] == 8 and r["requests_served"] >= 3
     assert r["side"] == "video" and r["split"] == "val"
 
+    # live removal: the tombstoned video vanishes from BOTH directions
+    top = serve_daemon._handle_request({"query": "a man runs", "k": 1},
+                                       ctx)["results"][0]["key"]
+    r = serve_daemon._handle_request({"op": "remove", "keys": [top]}, ctx)
+    assert r["removed"] == 1 and r["valid_rows"] == 7
+    after = serve_daemon._handle_request({"query": "a man runs", "k": 7},
+                                         ctx)
+    assert top not in {h["key"] for h in after["results"]}
+    v2p = serve_daemon._handle_request({"video_key": VAL_KEYS[1], "k": 7},
+                                       ctx)
+    assert top not in {h["key"] for h in v2p["results"]}
+    assert "error" in serve_daemon._handle_request(
+        {"op": "remove", "keys": []}, ctx)
+
     # errors keep the daemon alive
     assert "error" in serve_daemon._handle_request({"k": 3}, ctx)
     assert "error" in serve_daemon._handle_request(
@@ -125,7 +139,8 @@ def test_daemon_over_unix_socket(ctx, tmp_path):
     ])
     assert r1["id"] == "a" and len(r1["results"]) == 2
     assert "bad JSON" in r2["error"]
-    assert r3["valid_rows"] == 8
+    # 7: the handler test above tombstoned one video in this shared ctx
+    assert r3["valid_rows"] == 7
 
     # a client that fires a request and vanishes without reading the reply
     # must not kill the daemon (BrokenPipe on the server's write side)
