@@ -451,52 +451,35 @@ def bench_topk_100k():
     prepared = jax.jit(prepare_topk_gallery)(gallery)
     jax.block_until_ready(prepared)
 
-    def factory_prepared(n_iters):
-        @jax.jit
-        def run(seed, qs, prep):
-            def body(carry, i):
-                qq = qs + (seed + i.astype(jnp.float32)) * 1e-3
-                s, idx = streaming_sim_topk(qq, prep, k)
-                return carry + jnp.sum(s) + jnp.sum(idx).astype(
-                    jnp.float32), None
-            total, _ = jax.lax.scan(body, jnp.float32(0),
-                                    jnp.arange(n_iters))
-            return total
-        return lambda seed: run(seed, queries, prepared)
+    def dense_topk(qq, gal):
+        sims = jnp.dot(qq, gal.T, preferred_element_type=jnp.float32)
+        return jax.lax.top_k(sims, k)
 
-    def factory_stream(n_iters):
-        @jax.jit
-        def run(seed, qs, gal):
-            def body(carry, i):
-                qq = qs + (seed + i.astype(jnp.float32)) * 1e-3
-                s, idx = streaming_sim_topk(qq, gal, k)
-                return carry + jnp.sum(s) + jnp.sum(idx).astype(
-                    jnp.float32), None
-            total, _ = jax.lax.scan(body, jnp.float32(0),
-                                    jnp.arange(n_iters))
-            return total
-        return lambda seed: run(seed, queries, gallery)
+    def make_factory(operand, topk_fn):
+        """Shared seed-perturb/scan/carry harness; variants differ only in
+        the gallery operand and the top-k entry point."""
+        def factory(n_iters):
+            @jax.jit
+            def run(seed, qs, gal):
+                def body(carry, i):
+                    qq = qs + (seed + i.astype(jnp.float32)) * 1e-3
+                    s, idx = topk_fn(qq, gal)
+                    return carry + jnp.sum(s) + jnp.sum(idx).astype(
+                        jnp.float32), None
+                total, _ = jax.lax.scan(body, jnp.float32(0),
+                                        jnp.arange(n_iters))
+                return total
+            return lambda seed: run(seed, queries, operand)
+        return factory
 
-    def factory_dense(n_iters):
-        @jax.jit
-        def run(seed, qs, gal):
-            def body(carry, i):
-                qq = qs + (seed + i.astype(jnp.float32)) * 1e-3
-                sims = jnp.dot(qq, gal.T, preferred_element_type=jnp.float32)
-                s, idx = jax.lax.top_k(sims, k)
-                return carry + jnp.sum(s) + jnp.sum(idx).astype(
-                    jnp.float32), None
-            total, _ = jax.lax.scan(body, jnp.float32(0),
-                                    jnp.arange(n_iters))
-            return total
-        return lambda seed: run(seed, queries, gallery)
-
-    return {
-        "stream": q / _timed_scan(factory_stream, n_iters_pair=(10, 50)),
-        "stream_prepared": q / _timed_scan(factory_prepared,
-                                           n_iters_pair=(10, 50)),
-        "dense": q / _timed_scan(factory_dense, n_iters_pair=(10, 50)),
+    stream_topk = lambda qq, gal: streaming_sim_topk(qq, gal, k)
+    variants = {
+        "stream": make_factory(gallery, stream_topk),
+        "stream_prepared": make_factory(prepared, stream_topk),
+        "dense": make_factory(gallery, dense_topk),
     }
+    return {name: q / _timed_scan(f, n_iters_pair=(10, 50))
+            for name, f in variants.items()}
 
 
 def _enable_compile_cache():

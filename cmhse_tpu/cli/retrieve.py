@@ -72,13 +72,27 @@ def main(argv=None) -> int:
                 if retriever.gallery_keys is not None else int(j)
             print(f"  {rank}. {key}  score={float(s):.4f}")
 
+    # both directions requested: encode the split ONCE (the encode pass
+    # already produces both modalities' embeddings) and build the two
+    # galleries from the same tuple
+    encoded = None
+    if (args.query or args.interactive) and args.query_video:
+        from cmhse_tpu.eval.encode import encode_gallery_device
+
+        encoded = encode_gallery_device(
+            model, params,
+            batches_from_dataset(dataset, cfg.data, shuffle=False),
+            return_ids=True,
+        )
+
     if args.query or args.interactive:
         retriever = Retriever(model, params, mesh=mesh,
                               quantize=args.quantized,
                               rescore_m=args.rescore_m)
         retriever.build_gallery(
-            batches_from_dataset(dataset, cfg.data, shuffle=False),
-            keys=None, side="video",
+            batches_from_dataset(dataset, cfg.data, shuffle=False)
+            if encoded is None else None,
+            keys=None, side="video", encoded=encoded,
         )
         from cmhse_tpu.eval.serve import text_query_batch
 
@@ -113,8 +127,9 @@ def main(argv=None) -> int:
                                 quantize=args.quantized,
                                 rescore_m=args.rescore_m)
         retriever_t.build_gallery(
-            batches_from_dataset(dataset, cfg.data, shuffle=False),
-            keys=None, side="text",
+            batches_from_dataset(dataset, cfg.data, shuffle=False)
+            if encoded is None else None,
+            keys=None, side="text", encoded=encoded,
         )
         try:
             qframes, qframe_len, qclip_len = video_query_batch(

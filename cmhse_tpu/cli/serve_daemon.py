@@ -55,7 +55,11 @@ def _handle_request(req: dict, ctx: dict) -> dict:
         # maps back to names); translate the client's video keys first
         idx = {k: i for i, k in enumerate(ctx["dataset"].keys)}
         ids = [idx[k] for k in keys if k in idx]
-        # a removed video disappears from BOTH directions' galleries
+        # a removed video disappears from BOTH directions' galleries; the
+        # ledger replays removals onto the lazily-built text side (which is
+        # constructed from the STARTUP encode and would otherwise resurrect
+        # rows removed before its first use)
+        ctx["removed_ids"].extend(ids)
         removed = ctx["retriever"].remove_from_gallery(ids)
         if ctx.get("retriever_text") is not None:
             ctx["retriever_text"].remove_from_gallery(ids)
@@ -104,6 +108,8 @@ def _handle_request(req: dict, ctx: dict) -> dict:
         r = ctx.get("retriever_text")
         if r is None:
             r = ctx["retriever_text"] = ctx["build_text_side"]()
+            if ctx["removed_ids"]:
+                r.remove_from_gallery(ctx["removed_ids"])
         scores, idx = r.retrieve_video(qframes, qframe_len, qclip_len, k=k)
     else:
         return reply({"error": "expected 'query', 'video_key', or 'op'"})
@@ -215,17 +221,23 @@ def build_context(checkpoint: str, data_path: str | None, split: str,
 
         mesh = make_mesh((-1,), ("data",))
 
+    from cmhse_tpu.eval.encode import encode_gallery_device
+
+    # ONE encode pass yields both modalities; the text-side Retriever
+    # (video->paragraph queries) is built lazily from the same tuple
+    encoded = encode_gallery_device(
+        model, params,
+        batches_from_dataset(dataset, cfg.data, shuffle=False),
+        return_ids=True,
+    )
     retriever = Retriever(model, params, mesh=mesh, quantize=quantized,
                           rescore_m=rescore_m)
-    retriever.build_gallery(
-        batches_from_dataset(dataset, cfg.data, shuffle=False), side="video")
+    retriever.build_gallery(side="video", encoded=encoded)
 
     def build_text_side():
         r = Retriever(model, params, mesh=mesh, quantize=quantized,
                       rescore_m=rescore_m)
-        r.build_gallery(
-            batches_from_dataset(dataset, cfg.data, shuffle=False),
-            side="text")
+        r.build_gallery(side="text", encoded=encoded)
         return r
 
     return {
@@ -234,6 +246,7 @@ def build_context(checkpoint: str, data_path: str | None, split: str,
         "dataset": dataset,
         "retriever": retriever,
         "retriever_text": None,
+        "removed_ids": [],
         "build_text_side": build_text_side,
         "split": split,
         "served": 0,

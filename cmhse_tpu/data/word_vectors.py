@@ -48,39 +48,48 @@ def _load_word2vec_binary(path: str) -> dict[str, np.ndarray]:
     ``"<count> <dim>\\n"``, then per record the word bytes terminated by a
     single space, followed by ``dim`` raw little-endian float32s. The C tool
     writes a ``\\n`` after each vector; some writers omit it, so leading
-    newlines are skipped when scanning the next word."""
+    newlines are skipped when scanning the next word.
+
+    Parsed over ``mmap`` (GoogleNews is 3M records / 3.4 GB: a
+    byte-at-a-time ``f.read(1)`` scanner costs tens of millions of Python
+    file reads and minutes of startup on this 1-core host; ``mm.find`` +
+    ``np.frombuffer`` views do the same work at C speed, and the page cache
+    — not Python — decides what stays resident)."""
+    import mmap
+
     vecs: dict[str, np.ndarray] = {}
     with open(path, "rb") as f:
-        header = f.readline().split()
-        if len(header) != 2:
-            raise ValueError(
-                f"{path}: malformed word2vec binary header {header!r} "
-                "(expected b'<count> <dim>')"
-            )
-        count, dim = int(header[0]), int(header[1])
-        vec_bytes = 4 * dim
-        for _ in range(count):
-            word = bytearray()
-            while True:
-                ch = f.read(1)
-                if not ch:
+        mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+        try:
+            nl = mm.find(b"\n")
+            header = mm[: nl if nl >= 0 else 0].split()
+            if nl < 0 or len(header) != 2:
+                raise ValueError(
+                    f"{path}: malformed word2vec binary header {header!r} "
+                    "(expected b'<count> <dim>')"
+                )
+            count, dim = int(header[0]), int(header[1])
+            vec_bytes = 4 * dim
+            pos, end = nl + 1, len(mm)
+            for _ in range(count):
+                # skip the record separator(s) the C tool writes after each
+                # vector; some writers omit them
+                while pos < end and mm[pos] == 0x0A:
+                    pos += 1
+                sp = mm.find(b" ", pos)
+                if sp < 0 or sp + 1 + vec_bytes > end:
                     raise ValueError(
                         f"{path}: truncated after {len(vecs)} of {count} "
                         "records"
                     )
-                if ch == b" ":
-                    break
-                if ch != b"\n":  # record separator from the previous vector
-                    word.extend(ch)
-            buf = f.read(vec_bytes)
-            if len(buf) != vec_bytes:
-                raise ValueError(
-                    f"{path}: truncated vector for word "
-                    f"{word.decode('utf-8', 'replace')!r}"
-                )
-            vecs[word.decode("utf-8", "replace")] = np.frombuffer(
-                buf, dtype="<f4"
-            ).astype(np.float32)
+                word = mm[pos:sp].decode("utf-8", "replace")
+                # copy out of the map (the dict outlives the mmap)
+                vecs[word] = np.frombuffer(
+                    mm, dtype="<f4", count=dim, offset=sp + 1
+                ).astype(np.float32, copy=True)
+                pos = sp + 1 + vec_bytes
+        finally:
+            mm.close()
     return vecs
 
 

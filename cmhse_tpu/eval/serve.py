@@ -127,8 +127,8 @@ class Retriever:
         self._encode_text = _jitted_text_encode(model.cfg, model.vocab_size)
         self._encode_video = _jitted_video_encode(model.cfg, model.vocab_size)
 
-    def build_gallery(self, batches, keys: list | None = None,
-                      side: str = "video") -> None:
+    def build_gallery(self, batches=None, keys: list | None = None,
+                      side: str = "video", encoded=None) -> None:
         """Encode batches into the on-device gallery (no per-batch host
         transfers; see ``encode_gallery_device``).
 
@@ -136,14 +136,25 @@ class Retriever:
         retrieval via :meth:`retrieve`, the default) or "text"
         (video->paragraph retrieval via :meth:`retrieve_video`). The
         reference evaluates BOTH directions (SURVEY.md C12), so serving
-        supports both."""
+        supports both.
+
+        ``encoded``: a pre-computed ``encode_gallery_device(...,
+        return_ids=True)`` tuple. One encode pass produces BOTH modalities'
+        embeddings, so callers serving both directions (``cmhse-retrieve``
+        with text and video queries, the ``cmhse-serve`` daemon) encode
+        once and build the two Retrievers from the same tuple instead of
+        running the full dataset through the model twice."""
         from cmhse_tpu.eval.encode import encode_gallery_device
 
         if side not in ("video", "text"):
             raise ValueError(f"side must be 'video' or 'text', got {side!r}")
-        v, p, valid, ids = encode_gallery_device(
-            self.model, self.params, batches, return_ids=True
-        )
+        if encoded is None:
+            if batches is None:
+                raise ValueError("build_gallery needs batches or encoded=")
+            encoded = encode_gallery_device(
+                self.model, self.params, batches, return_ids=True
+            )
+        v, p, valid, ids = encoded
         self.side = side
         self.gallery = v if side == "video" else p
         self.gallery_valid = jnp.asarray(valid)

@@ -117,7 +117,11 @@ def prepare_topk_gallery(
     """Pad + equalize-chunk (+ bf16-convert on TPU, ``convert=True``) a
     gallery once. ``chunk=None`` (default) picks the measured-optimal
     adaptive chunking (see :data:`TOPK_NCHUNKS`); an explicit ``chunk``
-    caps rows per chunk instead. ``convert=False`` is the per-call path
+    sets the chunk COUNT via ``ceil(n / chunk)`` — the realized rows per
+    chunk are the equalized ``ceil(n / n_chunks)`` rounded UP to the
+    128-wide pre-select group, so they can exceed ``chunk`` by up to 127
+    (callers budgeting the peak [Q, chunk] block from this knob should
+    budget the rounded value). ``convert=False`` is the per-call path
     inside :func:`streaming_sim_topk` (XLA handles the dot-operand
     conversion there); both paths share THIS function so the subtle
     chunk-equalization arithmetic exists exactly once."""

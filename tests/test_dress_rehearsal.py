@@ -210,6 +210,16 @@ def test_cli_dress_rehearsal(data_dir, tmp_path, capsys, monkeypatch):
     assert "video query: 'v_val000'" in v2p
     assert v2p.count("score=") == 3
 
+    # both directions in ONE invocation: the split is encoded once and both
+    # galleries are built from the same tuple (review finding: this used to
+    # run the dataset through the model twice)
+    assert retrieve_main([ckpt, "--platform", "cpu", "--split", "val",
+                          "--query", query, "--query_video", "v_val000",
+                          "-k", "2"]) == 0
+    both = capsys.readouterr().out
+    assert f"query: {query!r}" in both and "video query: 'v_val000'" in both
+    assert both.count("score=") == 4
+
     # unknown key fails loudly, not with a KeyError traceback
     with pytest.raises(SystemExit, match="not in the val split"):
         retrieve_main([ckpt, "--platform", "cpu", "--split", "val",

@@ -189,6 +189,16 @@ def test_handler_sharded_context(tmp_path_factory):
     assert "error" not in r and len(r["results"]) == 3
     assert set(h["key"] for h in r["results"]) <= set(VAL_KEYS)
 
+    # a removal BEFORE the text side's lazy build must not be resurrected
+    # when a later video query constructs it from the startup encode
+    gone = r["results"][0]["key"]
+    assert serve_daemon._handle_request(
+        {"op": "remove", "keys": [gone]}, sctx)["removed"] == 1
+    assert sctx["retriever_text"] is None
+    v2p = serve_daemon._handle_request(
+        {"video_key": VAL_KEYS[1], "k": 7}, sctx)
+    assert gone not in {h["key"] for h in v2p["results"]}
+
 
 def test_cli_main_wires_flags(ctx, tmp_path, monkeypatch):
     """cmhse-serve main(): builds the context from flags and enters the
