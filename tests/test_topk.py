@@ -422,6 +422,53 @@ def test_retriever_add_to_gallery_matches_rebuild(monkeypatch):
         monkeypatch.undo()
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_prepared_crud_fuzz(seed):
+    """Random interleavings of append / tombstone against the prepared
+    gallery must stay exactly dense-equivalent at every step (the
+    composition property the per-op tests can't cover)."""
+    from cmhse_tpu.ops.topk import append_to_prepared
+
+    rng = np.random.RandomState(seed)
+    d, k = 8, 6
+    q = jnp.asarray(rng.randn(4, d).astype(np.float32))
+
+    n0 = int(rng.randint(30, 200))
+    rows = rng.randn(n0, d).astype(np.float32)
+    alive = np.ones(n0, bool)
+    pg = prepare_topk_gallery(jnp.asarray(rows), chunk=128)
+
+    for _ in range(8):
+        if rng.rand() < 0.5:
+            m = int(rng.randint(1, 150))
+            new = rng.randn(m, d).astype(np.float32)
+            pg = append_to_prepared(pg, jnp.asarray(new),
+                                    n_existing=rows.shape[0])
+            rows = np.concatenate([rows, new])
+            alive = np.concatenate([alive, np.ones(m, bool)])
+        else:
+            # tombstone a random live subset, prepared-layout style:
+            # slot s < n is row s, so masking pg.valid at those slots is
+            # exactly what Retriever.remove_from_gallery does
+            live = np.nonzero(alive)[0]
+            drop = rng.choice(live, size=min(len(live) - 1,
+                                             int(rng.randint(1, 20))),
+                              replace=False)
+            alive[drop] = False
+            n_chunks, csize = pg.valid.shape
+            keep = np.ones(n_chunks * csize, bool)
+            keep[drop] = False
+            pg = pg._replace(valid=pg.valid & jnp.asarray(
+                keep.reshape(n_chunks, csize)))
+
+        ds, di = _dense_topk(q, jnp.asarray(rows), k,
+                             valid=jnp.asarray(alive))
+        ss, si = streaming_sim_topk(q, pg, k)
+        np.testing.assert_array_equal(np.asarray(si), np.asarray(di))
+        np.testing.assert_allclose(np.asarray(ss), np.asarray(ds),
+                                   rtol=1e-5, atol=1e-6)
+
+
 def test_retriever_remove_from_gallery(monkeypatch):
     """Tombstoning: removed keys never surface again, every other item
     keeps its index and score, and the prepared (streaming/int8) forms are
