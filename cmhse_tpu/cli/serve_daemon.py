@@ -32,6 +32,7 @@ import argparse
 import json
 import socket
 import time
+from collections import deque
 
 
 def _handle_request(req: dict, ctx: dict) -> dict:
@@ -67,6 +68,10 @@ def _handle_request(req: dict, ctx: dict) -> dict:
                       "valid_rows": ctx["retriever"].n_valid})
     if req.get("op") == "stats":
         r = ctx["retriever"]
+        lat = sorted(ctx["latencies"])
+        pct = (lambda p: round(lat[min(len(lat) - 1,
+                                       int(p * len(lat)))], 3)) \
+            if lat else (lambda p: None)
         return reply({
             "gallery_rows": int(r.gallery.shape[0]),
             "valid_rows": r.n_valid,
@@ -75,6 +80,10 @@ def _handle_request(req: dict, ctx: dict) -> dict:
             "side": r.side,
             "split": ctx["split"],
             "requests_served": ctx["served"],
+            # over the last len(lat) (<= 1024) query requests
+            "latency_ms_p50": pct(0.50),
+            "latency_ms_p90": pct(0.90),
+            "latency_ms_p99": pct(0.99),
         })
 
     k = int(req.get("k", 5))
@@ -126,6 +135,7 @@ def _handle_request(req: dict, ctx: dict) -> dict:
     # gets the one row directly
     batched = isinstance(req.get("query"), list)
     ctx["served"] += 1
+    ctx["latencies"].append(ms)
     return reply({"results": out if batched else out[0],
                   "latency_ms": round(ms, 3)})
 
@@ -250,6 +260,7 @@ def build_context(checkpoint: str, data_path: str | None, split: str,
         "build_text_side": build_text_side,
         "split": split,
         "served": 0,
+        "latencies": deque(maxlen=1024),
         "shutdown": False,
     }
 

@@ -75,10 +75,11 @@ def test_handle_request_directly(ctx):
     assert len(r["results"]) == 2
     assert set(h["key"] for h in r["results"]) <= set(VAL_KEYS)
 
-    # stats
+    # stats (with latency quantiles over the served queries)
     r = serve_daemon._handle_request({"op": "stats"}, ctx)
     assert r["valid_rows"] == 8 and r["requests_served"] >= 3
     assert r["side"] == "video" and r["split"] == "val"
+    assert r["latency_ms_p50"] > 0 and r["latency_ms_p99"] >= r["latency_ms_p50"]
 
     # live removal: the tombstoned video vanishes from BOTH directions
     top = serve_daemon._handle_request({"query": "a man runs", "k": 1},
