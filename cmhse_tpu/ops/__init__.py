@@ -4,11 +4,12 @@ from cmhse_tpu.ops.loss import (
     positive_mask_from_ids,
 )
 from cmhse_tpu.ops.ranking import retrieval_ranks, recall_at_k, retrieval_metrics
-from cmhse_tpu.ops.topk import (PreparedGallery, prepare_topk_gallery,
-                                quantized_sim_topk, should_stream_topk,
-                                streaming_sim_topk)
+from cmhse_tpu.ops.topk import (PreparedGallery, append_to_prepared,
+                                prepare_topk_gallery, quantized_sim_topk,
+                                should_stream_topk, streaming_sim_topk)
 
 __all__ = [
+    "append_to_prepared",
     "l2norm",
     "cosine_sim",
     "contrastive_loss",
