@@ -228,6 +228,34 @@ def test_validate_metrics_return_ranks_compacted():
         np.testing.assert_array_equal(ranks_s[key], ranks[key])
 
 
+def test_sharded_entries_accept_committed_inputs(mesh):
+    """Every shard_map entry point must accept arrays COMMITTED to a single
+    device (what orbax-restored params produce downstream of any jit) —
+    regression for the _on_mesh placement fix; without it these raise
+    'incompatible devices'."""
+    from cmhse_tpu.parallel.eval_sharded import (
+        prepare_sharded_topk_gallery, sharded_sim_topk_prepared)
+
+    v, p = _embs(40, 16, seed=9)
+    dev0 = jax.devices()[0]
+    vc, pc = jax.device_put(v, dev0), jax.device_put(p, dev0)
+    assert vc.committed and pc.committed
+
+    for mode in ("query", "gallery"):
+        np.testing.assert_array_equal(
+            np.asarray(sharded_ranks(vc, pc, mesh, mode=mode)),
+            np.asarray(retrieval_ranks(jnp.dot(v, p.T))))
+
+    s, i = sharded_sim_topk(vc, pc, 5, mesh)
+    want = np.argsort(-np.asarray(jnp.dot(v, p.T)), axis=1,
+                      kind="stable")[:, :5]
+    np.testing.assert_array_equal(np.asarray(i), want)
+
+    prep, rows = prepare_sharded_topk_gallery(pc, mesh)
+    s2, i2 = sharded_sim_topk_prepared(vc, prep, 5, mesh, shard_rows=rows)
+    np.testing.assert_array_equal(np.asarray(i2), want)
+
+
 def test_sharded_topk_matches_dense(mesh):
     rng = np.random.RandomState(2)
     q = jnp.asarray(rng.randn(10, 16).astype(np.float32))
