@@ -433,18 +433,18 @@ def bench_mfu_device(n_steps: int = 3):
     return mfu_dev, dev_s / n_steps * 1e3
 
 
-def bench_topk_100k():
+def bench_topk_100k(n=100_000, q=1024, k=10):
     """Serving top-k at a 100k gallery (VERDICT r2 next-step 2's bench leg):
     the chunked-scan streaming path (peak block [Q, chunk]) vs the dense
     [Q, N] masked top_k, plus the prepared-gallery serving path
     (encode-once/serve-forever: pad/chunk/bf16-convert hoisted out of the
-    query path). Returns dict of QPS per variant."""
+    query path). Returns dict of QPS per variant. The size parameters exist
+    so the harness itself is CPU-smoke-testable at toy shapes
+    (tests/test_bench_harness.py); the driver always runs the defaults."""
     import jax
     import jax.numpy as jnp
 
     from cmhse_tpu.ops.topk import prepare_topk_gallery, streaming_sim_topk
-
-    n, q, k = 100_000, 1024, 10
     rng = np.random.RandomState(2)
     gallery = jax.device_put(rng.randn(n, EMBED).astype(np.float32))
     queries = jax.device_put(rng.randn(q, EMBED).astype(np.float32))

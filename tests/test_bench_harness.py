@@ -1,0 +1,32 @@
+"""bench.py harness smoke (CPU, toy shapes): the driver runs bench.py
+unattended at round end, so structural breakage in the timing harness must
+surface here, not there. Full-size numbers are TPU-only (PERFORMANCE.md).
+"""
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench  # noqa: E402  (repo-root module, after the path insert)
+
+
+def test_topk_bench_variants_produce_finite_qps():
+    out = bench.bench_topk_100k(n=512, q=8, k=3)
+    assert set(out) == {"stream", "stream_prepared", "dense"}
+    for name, qps in out.items():
+        assert np.isfinite(qps) and qps > 0, (name, qps)
+
+
+def test_acquire_device_returns_on_cpu():
+    # under the test conftest the platform is CPU, so first contact is
+    # immediate; the watchdog must pass the device through untouched
+    dev = bench._acquire_device(timeout_s=60)
+    assert dev.platform == "cpu"
+
+
+def test_analytic_flops_positive():
+    f = bench.analytic_encode_flops_per_pair()
+    assert f > 1e9  # multi-GFLOP model; guards accidental unit slips
