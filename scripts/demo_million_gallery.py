@@ -125,6 +125,33 @@ def main():
         (np.asarray(qi)[:, :, None] == np.asarray(ei)[:, None, :]).any(2)))
     out["int8_recall_vs_exact"] = round(agree, 5)
     print(f"int8_recall_vs_exact: {agree:.5f}", flush=True)
+
+    # continuous-ingest latency at scale: appending a 10k-row batch into
+    # the 1M-row prepared gallery (tail chunk + new rows only) vs the full
+    # re-prepare it replaces — the append_to_prepared value proposition
+    import time
+
+    from cmhse_tpu.ops.topk import append_to_prepared
+
+    new_rows = jax.jit(
+        lambda key: jax.random.normal(key, (10_000, D), jnp.float32)
+    )(jax.random.PRNGKey(7))
+    new_rows.block_until_ready()
+    append = jax.jit(
+        lambda pg, rows: append_to_prepared(pg, rows, n_existing=N))
+    reprep = jax.jit(lambda g: prepare_topk_gallery(g))
+    jax.block_until_ready(append(prepared, new_rows))  # compile
+    jax.block_until_ready(reprep(gallery))
+    t0 = time.perf_counter()
+    jax.block_until_ready(append(prepared, new_rows + 1.0))  # fresh args:
+    t_append = time.perf_counter() - t0                      # relay memoizes
+    t0 = time.perf_counter()
+    jax.block_until_ready(reprep(gallery + 1.0))
+    t_reprep = time.perf_counter() - t0
+    out["ingest_append_ms_10k"] = round(t_append * 1e3, 1)
+    out["ingest_reprepare_ms_1m"] = round(t_reprep * 1e3, 1)
+    print(f"ingest 10k rows: append {t_append*1e3:.1f} ms vs full "
+          f"re-prepare {t_reprep*1e3:.1f} ms", flush=True)
     print(json.dumps(out))
 
 
