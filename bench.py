@@ -170,7 +170,6 @@ def _timed_scan(fn_factory, n_iters_pair=(SCAN_SHORT, SCAN_LONG)):
 def bench_encode_pairs():
     import jax
     import jax.numpy as jnp
-    from functools import partial
 
     model, params, batch = _build_model_and_batch()
 

@@ -13,7 +13,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from cmhse_tpu.eval.encode import encode_data
 from cmhse_tpu.ops.pallas_sim import pallas_rank_counts, should_stream
 from cmhse_tpu.ops.ranking import bidirectional_metrics
 from cmhse_tpu.ops.similarity import cosine_sim
