@@ -123,9 +123,13 @@ def test_cli_dress_rehearsal(data_dir, tmp_path, capsys, monkeypatch):
     assert all(1 <= r["v2p_rank"] <= len(val_keys) and
                1 <= r["p2v_rank"] <= len(val_keys) for r in rank_rows)
 
+    ranks_sh = str(tmp_path / "ranks_sharded.jsonl")
     assert eval_main([ckpt, "--platform", "cpu", "--split", "val",
-                      "--sharded", "--mode", "gallery"]) == 0
+                      "--sharded", "--mode", "gallery",
+                      "--dump_ranks", ranks_sh]) == 0
     sharded = capsys.readouterr().out
+    # the per-query rank export is backend-independent: sharded == plain
+    assert _jsonl(ranks_sh) == rank_rows
 
     def _rsum(text):
         return float([ln for ln in text.splitlines()
