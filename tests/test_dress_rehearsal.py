@@ -250,3 +250,16 @@ def test_cli_dress_rehearsal(data_dir, tmp_path, capsys, monkeypatch):
     inter = capsys.readouterr().out
     assert inter.count("query:") == 2  # blank line skipped
     assert inter.count("score=") == 4
+
+    # ---- 7. cmhse-serve over the TRAINED run (daemon handler on the same
+    # reference-layout dir; socket/binary legs live in test_serve_daemon) --
+    from cmhse_tpu.cli import serve_daemon
+
+    sctx = serve_daemon.build_context(ckpt, data_dir, "val")
+    resp = serve_daemon._handle_request({"query": query, "k": 3}, sctx)
+    assert "error" not in resp and len(resp["results"]) == 3
+    # the daemon and the CLI agree on the top hit for the same query
+    top_cli = hits[0].strip().split()[1]
+    assert resp["results"][0]["key"] == top_cli
+    assert serve_daemon._handle_request({"op": "stats"}, sctx)[
+        "valid_rows"] == 8
