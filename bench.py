@@ -527,12 +527,56 @@ def _acquire_device(timeout_s: float = 900.0):
     return out[0]
 
 
+def _tunnel_down_result(err: TimeoutError) -> dict:
+    """Driver-contract fallback: the driver runs bench.py unattended at round
+    end and records exactly one JSON line. When the TPU tunnel is down
+    (observed down for multi-hour stretches on this image) we must still
+    emit that line — a null value with the failure spelled out, plus the
+    previous round's measured value clearly labeled as NOT this run's —
+    instead of crashing with no output at all."""
+    import glob
+    import os
+
+    last = None
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")),
+                       reverse=True):
+        try:
+            with open(path) as f:
+                prev = json.load(f)
+            # the driver wraps our line: {"cmd": ..., "parsed": {<result>}}
+            prev = prev.get("parsed", prev) or {}
+            if prev.get("value") is not None:
+                last = {"round_file": os.path.basename(path),
+                        "value": prev["value"], "unit": prev.get("unit")}
+                break
+        except Exception:
+            continue
+    return {
+        "metric": "video-paragraph pairs/sec encoded (hierarchical CMHSE, "
+                  f"B={BATCH}, {MAX_CLIPS}x{MAX_FRAMES} frames, bf16)",
+        "value": None,
+        "unit": "pairs/sec",
+        "vs_baseline": None,
+        "extras": {
+            "error": str(err),
+            "platform": "unreachable",
+            "last_measured_NOT_this_run": last,
+        },
+    }
+
+
 def main():
     import sys
     import traceback
 
     _enable_compile_cache()
-    dev = _acquire_device()
+    try:
+        dev = _acquire_device()
+    except TimeoutError as err:
+        print(f"TPU tunnel down: {err}", file=sys.stderr)
+        print(json.dumps(_tunnel_down_result(err)))
+        return
     platform = dev.platform
     pairs_per_sec = bench_encode_pairs()
     sim_qps = bench_sim_qps()

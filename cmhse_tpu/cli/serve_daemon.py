@@ -1,9 +1,10 @@
-"""``cmhse-serve`` — long-running retrieval daemon over a unix socket.
+"""``cmhse-serve`` — long-running retrieval daemon (unix socket or TCP).
 
 The production shape of the serving surface (SURVEY.md section 3.5 — the
 reference has no serving path at all): encode the gallery ONCE at startup
 (pre-chunked / int8-prepared when large), then answer JSON-line requests
-from any local client forever. ``cmhse-retrieve --interactive`` covers the
+forever — from local clients over ``--socket PATH`` (AF_UNIX) or remote
+ones over ``--tcp HOST:PORT``. ``cmhse-retrieve --interactive`` covers the
 human-at-a-terminal case; this covers the machine-client case.
 
 Protocol (one JSON object per line, newline-terminated, per connection):
@@ -13,6 +14,9 @@ Protocol (one JSON object per line, newline-terminated, per connection):
         "latency_ms": 2.1}
     -> {"video_key": "v_abc123", "k": 3}          # video->paragraph
     <- {"results": [...], ...}
+    -> {"op": "add", "split": "new_batch"}        # live gallery ingest:
+    <- {"added": 120, "valid_rows": 5037, ...}    #   encode+append a
+                                                  #   reference-layout split
     -> {"op": "remove", "keys": ["v_abc123"]}     # tombstone items live
     <- {"removed": 1, "valid_rows": 4916}
     -> {"op": "stats"}
@@ -48,13 +52,16 @@ def _handle_request(req: dict, ctx: dict) -> dict:
     if req.get("op") == "shutdown":
         ctx["shutdown"] = True
         return reply({"ok": True})
+    if req.get("op") == "add":
+        return reply(_handle_add(req, ctx))
     if req.get("op") == "remove":
         keys = req.get("keys")
         if not isinstance(keys, list) or not keys:
             return reply({"error": "remove needs a non-empty 'keys' list"})
-        # the retriever's gallery_keys are dataset ROW IDS (what _row_key
-        # maps back to names); translate the client's video keys first
-        idx = {k: i for i, k in enumerate(ctx["dataset"].keys)}
+        # the retriever's gallery_keys are ROW IDS into the daemon's
+        # unified key table (startup split + live-added items — what
+        # _row_key maps back to names); translate the client's video keys
+        idx = {k: i for i, k in enumerate(ctx["keys"])}
         ids = [idx[k] for k in keys if k in idx]
         # a removed video disappears from BOTH directions' galleries; the
         # ledger replays removals onto the lazily-built text side (which is
@@ -90,7 +97,6 @@ def _handle_request(req: dict, ctx: dict) -> dict:
     if k < 1:
         return reply({"error": f"k must be >= 1, got {k}"})
     t0 = time.perf_counter()
-    dataset = ctx["dataset"]
     if "query" in req:
         texts = req["query"] if isinstance(req["query"], list) \
             else [req["query"]]
@@ -108,15 +114,23 @@ def _handle_request(req: dict, ctx: dict) -> dict:
         from cmhse_tpu.eval.serve import video_query_batch
 
         key = req["video_key"]
-        try:
-            qframes, qframe_len, qclip_len = video_query_batch(
-                dataset, ctx["cfg"].data, [key])
-        except KeyError:
+        # resolve the key across EVERY loaded split — the startup gallery
+        # plus any splits ingested live via {"op": "add"} (a just-added
+        # video must be usable as a query, not only as a gallery item)
+        src = next((d for d in ctx["datasets"] if key in d.keys), None)
+        if src is None:
             return reply({"error": f"video key {key!r} not in the "
-                                   f"{ctx['split']} split"})
+                                   f"{ctx['split']} split or any "
+                                   "live-added split"})
+        qframes, qframe_len, qclip_len = video_query_batch(
+            src, ctx["cfg"].data, [key])
         r = ctx.get("retriever_text")
         if r is None:
             r = ctx["retriever_text"] = ctx["build_text_side"]()
+            # replay live adds BEFORE removals: a removal may target a row
+            # that was added after startup
+            for encoded, row_ids in ctx["added"]:
+                r.add_to_gallery(keys=row_ids, encoded=encoded)
             if ctx["removed_ids"]:
                 r.remove_from_gallery(ctx["removed_ids"])
         scores, idx = r.retrieve_video(qframes, qframe_len, qclip_len, k=k)
@@ -126,7 +140,7 @@ def _handle_request(req: dict, ctx: dict) -> dict:
     ms = (time.perf_counter() - t0) * 1e3
     r_used = ctx["retriever"] if "query" in req else ctx["retriever_text"]
     out = [
-        [{"key": _row_key(dataset, r_used, int(j)),
+        [{"key": _row_key(ctx["keys"], r_used, int(j)),
           "score": round(float(s), 6)}
          for s, j in zip(row_s, row_i)]
         for row_s, row_i in zip(scores, idx)
@@ -140,16 +154,59 @@ def _handle_request(req: dict, ctx: dict) -> dict:
                   "latency_ms": round(ms, 3)})
 
 
-def _row_key(dataset, retriever, row: int):
+def _handle_add(req: dict, ctx: dict) -> dict:
+    """Live gallery ingest: encode a reference-layout split ONCE and append
+    it to the serving gallery (both directions) — new videos land on disk
+    in the same layout the startup gallery came from, then a client points
+    the daemon at them: {"op": "add", "split": "test", "data_path": ...?}.
+    Appends extend the prepared serving form incrementally
+    (``Retriever.add_to_gallery``), not by re-encoding the whole gallery."""
+    from cmhse_tpu.data import PrecompDataset, batches_from_dataset
+    from cmhse_tpu.eval.encode import encode_gallery_device
+
+    split = req.get("split")
+    if not isinstance(split, str) or not split:
+        return {"error": "add needs a 'split' (and optional 'data_path')"}
+    cfg = ctx["cfg"]
+    path = req.get("data_path") or ctx["data_path"]
+    try:
+        new_ds = PrecompDataset(path, split, ctx["vocab"],
+                                feat_dim=cfg.data.feat_dim,
+                                flat=not cfg.model.hierarchical)
+    except (OSError, KeyError, ValueError) as e:
+        return {"error": f"cannot open split {split!r} under {path}: {e}"}
+    dup = sorted(set(new_ds.keys) & set(ctx["keys"]))
+    if dup:
+        return {"error": f"{len(dup)} key(s) already in the gallery "
+                         f"(e.g. {dup[0]!r}); remove them first or rename"}
+    r = ctx["retriever"]
+    encoded = encode_gallery_device(
+        r.model, r.params,
+        batches_from_dataset(new_ds, cfg.data, shuffle=False),
+        return_ids=True)
+    base = len(ctx["keys"])
+    row_ids = list(range(base, base + len(new_ds)))
+    r.add_to_gallery(keys=row_ids, encoded=encoded)
+    if ctx["retriever_text"] is not None:
+        ctx["retriever_text"].add_to_gallery(keys=row_ids, encoded=encoded)
+    else:
+        # the text side builds lazily from the STARTUP encode; ledger the
+        # encoded tuple so the build replays live adds (mirrors removed_ids)
+        ctx["added"].append((encoded, row_ids))
+    ctx["keys"].extend(new_ds.keys)
+    ctx["datasets"].append(new_ds)  # added videos stay queryable by key
+    return {"added": len(new_ds), "split": split,
+            "gallery_rows": int(r.gallery.shape[0]),
+            "valid_rows": r.n_valid}
+
+
+def _row_key(keys: list, retriever, row: int):
     if retriever.gallery_keys is None:
         return row
-    return dataset.keys[int(retriever.gallery_keys[row])]
+    return keys[int(retriever.gallery_keys[row])]
 
 
-def serve_forever(ctx: dict, sock_path: str,
-                  ready_callback=None) -> None:
-    """Accept loop: one client at a time, many requests per connection
-    (requests are device-serialized anyway — one chip, one program)."""
+def _bind_unix(sock_path: str) -> socket.socket:
     import os
 
     if os.path.exists(sock_path):
@@ -168,10 +225,41 @@ def serve_forever(ctx: dict, sock_path: str,
         finally:
             probe.close()
     server = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    server.bind(sock_path)
+    return server
+
+
+def _bind_tcp(host: str, port: int) -> socket.socket:
+    server = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    # a restarted daemon must not wait out TIME_WAIT on its own old port
+    server.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    server.bind((host, port))
+    return server
+
+
+def serve_forever(ctx: dict, sock_path: str | None = None,
+                  ready_callback=None,
+                  tcp: tuple[str, int] | None = None) -> None:
+    """Accept loop: one client at a time, many requests per connection
+    (requests are device-serialized anyway — one chip, one program).
+    Listens on a unix socket (``sock_path``) or TCP (``tcp=(host, port)``,
+    port 0 picks an ephemeral one); same JSON-lines protocol either way.
+    The bound address lands in ``ctx["listening_on"]`` before
+    ``ready_callback`` fires."""
+    import os
+
+    if (sock_path is None) == (tcp is None):
+        raise ValueError("pass exactly one of sock_path / tcp")
+    server = _bind_unix(sock_path) if sock_path is not None \
+        else _bind_tcp(*tcp)
     try:
-        server.bind(sock_path)
         server.listen(8)
-        print(f"cmhse-serve listening on {sock_path}")
+        if sock_path is not None:
+            ctx["listening_on"] = sock_path
+        else:
+            host, port = server.getsockname()[:2]
+            ctx["listening_on"] = f"{host}:{port}"
+        print(f"cmhse-serve listening on {ctx['listening_on']}")
         if ready_callback is not None:
             ready_callback()
         while not ctx["shutdown"]:
@@ -202,7 +290,7 @@ def serve_forever(ctx: dict, sock_path: str,
                 print(f"client connection dropped: {e}")
     finally:
         server.close()
-        if os.path.exists(sock_path):
+        if sock_path is not None and os.path.exists(sock_path):
             os.unlink(sock_path)
 
 
@@ -254,6 +342,14 @@ def build_context(checkpoint: str, data_path: str | None, split: str,
         "cfg": cfg,
         "vocab": vocab,
         "dataset": dataset,
+        # every split backing the gallery, in ingest order: the startup
+        # split plus each live-added one (video_key queries resolve here)
+        "datasets": [dataset],
+        "data_path": data_path,
+        # unified key table: startup split rows first, live-added items
+        # appended behind them (gallery_keys index into THIS, not dataset)
+        "keys": list(dataset.keys),
+        "added": [],
         "retriever": retriever,
         "retriever_text": None,
         "removed_ids": [],
@@ -268,8 +364,11 @@ def build_context(checkpoint: str, data_path: str | None, split: str,
 def main(argv=None) -> int:
     p = argparse.ArgumentParser("cmhse-serve")
     p.add_argument("checkpoint", help="checkpoint dir (with config.json)")
-    p.add_argument("--socket", required=True, metavar="PATH",
+    p.add_argument("--socket", default=None, metavar="PATH",
                    help="unix socket path to listen on")
+    p.add_argument("--tcp", default=None, metavar="HOST:PORT",
+                   help="TCP address to listen on instead of a unix socket "
+                        "(e.g. 0.0.0.0:7700; port 0 picks an ephemeral one)")
     p.add_argument("--data_path", default=None)
     p.add_argument("--split", default="val", help="gallery split")
     p.add_argument("--sharded", action="store_true")
@@ -279,6 +378,14 @@ def main(argv=None) -> int:
     p.add_argument("--vocab_path", default=None)
     p.add_argument("--platform", default=None, choices=["cpu", "tpu", "axon"])
     args = p.parse_args(argv)
+    if (args.socket is None) == (args.tcp is None):
+        p.error("pass exactly one of --socket / --tcp")
+    tcp = None
+    if args.tcp is not None:
+        host, _, port = args.tcp.rpartition(":")
+        if not host or not port.isdigit():
+            p.error(f"--tcp wants HOST:PORT, got {args.tcp!r}")
+        tcp = (host, int(port))
 
     from cmhse_tpu.cli.train import _force_platform
 
@@ -286,7 +393,7 @@ def main(argv=None) -> int:
     ctx = build_context(args.checkpoint, args.data_path, args.split,
                         vocab_path=args.vocab_path, sharded=args.sharded,
                         quantized=args.quantized, rescore_m=args.rescore_m)
-    serve_forever(ctx, args.socket)
+    serve_forever(ctx, args.socket, tcp=tcp)
     return 0
 
 

@@ -180,7 +180,8 @@ class Retriever:
                         quantize=self.quantize))
         self.gallery_keys = _row_aligned_keys(keys, ids, valid, int(v.shape[0]))
 
-    def add_to_gallery(self, batches, keys: list | None = None) -> None:
+    def add_to_gallery(self, batches=None, keys: list | None = None,
+                       encoded=None) -> None:
         """Append newly-encoded items to an existing gallery — the gallery
         that GROWS in production (new videos ingested while serving). The
         result is exactly a gallery built from all batches at once (indices,
@@ -188,14 +189,24 @@ class Retriever:
         extended INCREMENTALLY (:func:`append_to_prepared`: only the tail
         chunk plus the new rows are processed, not the whole multi-GB
         gallery) until the chunk count drifts past ~2x the fresh-prepare
-        optimum, at which point it is rebuilt once."""
-        if self.gallery is None:
-            return self.build_gallery(batches, keys=keys, side=self.side)
-        from cmhse_tpu.eval.encode import encode_gallery_device
+        optimum, at which point it is rebuilt once.
 
-        v, p, valid, ids = encode_gallery_device(
-            self.model, self.params, batches, return_ids=True
-        )
+        ``encoded``: a pre-computed ``encode_gallery_device(...,
+        return_ids=True)`` tuple, same contract as :meth:`build_gallery` —
+        one encode pass feeds appends to BOTH directions' retrievers
+        (the ``cmhse-serve`` live-ingest op)."""
+        if self.gallery is None:
+            return self.build_gallery(batches, keys=keys, side=self.side,
+                                      encoded=encoded)
+        if encoded is None:
+            from cmhse_tpu.eval.encode import encode_gallery_device
+
+            if batches is None:
+                raise ValueError("add_to_gallery needs batches or encoded=")
+            encoded = encode_gallery_device(
+                self.model, self.params, batches, return_ids=True
+            )
+        v, p, valid, ids = encoded
         new_emb = v if self.side == "video" else p
         new_valid = jnp.asarray(valid)
         n_old = int(self.gallery.shape[0])

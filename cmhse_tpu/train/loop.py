@@ -106,6 +106,16 @@ def fit(
         make_mesh(cfg.train.mesh_shape, cfg.train.mesh_axes)
         if use_mesh else None
     )
+    if mesh is not None:
+        dp = mesh.shape.get("data", 1)
+        if cfg.data.batch_size % dp:
+            # fail HERE with the fix spelled out — otherwise this surfaces
+            # as an opaque pjit divisibility error from inside place_batch
+            raise ValueError(
+                f"batch_size ({cfg.data.batch_size}) must be divisible by "
+                f"the data-mesh size ({dp} devices); pass a multiple of "
+                f"{dp}, or shrink TrainConfig.mesh_shape"
+            )
     if mesh is None and jax.process_count() > 1:
         raise ValueError(
             "fit(use_mesh=False) is single-process only: multi-host batch "

@@ -36,14 +36,17 @@ def write_reference_dataset(
     n_val: int = 8,
     feat_dim: int = 8,
     seed: int = 0,
+    splits: list[tuple[str, int]] | None = None,
 ) -> dict:
-    """Write train+val splits in the reference layout; returns metadata."""
+    """Write train+val splits in the reference layout (or the given
+    ``splits`` — e.g. a later-arriving ingest batch for the daemon's live
+    "add" op); returns metadata."""
     import h5py
 
     os.makedirs(root, exist_ok=True)
     rng = np.random.RandomState(seed)
     info: dict = {"feat_dim": feat_dim, "keys": {}}
-    for split, n in (("train", n_train), ("val", n_val)):
+    for split, n in (splits or (("train", n_train), ("val", n_val))):
         captions = {}
         h5_path = os.path.join(root, f"{split}_features.h5")
         with h5py.File(h5_path, "w") as f:

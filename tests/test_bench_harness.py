@@ -30,3 +30,22 @@ def test_acquire_device_returns_on_cpu():
 def test_analytic_flops_positive():
     f = bench.analytic_encode_flops_per_pair()
     assert f > 1e9  # multi-GFLOP model; guards accidental unit slips
+
+
+def test_tunnel_down_result_is_one_honest_json_line():
+    # the driver records bench.py's single JSON line even when the TPU
+    # tunnel is down for the whole round-end window; the fallback must be
+    # (a) parseable, (b) null-valued (never a stale number as "value"),
+    # (c) explicit about where any quoted number came from
+    import json
+
+    res = bench._tunnel_down_result(TimeoutError("tunnel down"))
+    line = json.dumps(res)  # must serialize
+    back = json.loads(line)
+    assert back["value"] is None and back["vs_baseline"] is None
+    assert "tunnel down" in back["extras"]["error"]
+    prev = back["extras"]["last_measured_NOT_this_run"]
+    # this repo carries BENCH_r01/r02 with measured values, so the fallback
+    # should surface the newest one — labeled, not substituted
+    assert prev is not None and prev["round_file"].startswith("BENCH_r")
+    assert prev["value"] > 0

@@ -40,6 +40,18 @@ def _ds(n, seed=0):
                                         max_frames=6, max_words=6, seed=seed)
 
 
+def test_fit_rejects_indivisible_batch_early(tmp_path):
+    # batch_size 6 cannot shard over the 8-device data mesh; fit() must say
+    # so up front (with the fix spelled out), not as an opaque pjit error
+    # from the first place_batch deep inside the epoch loop
+    import dataclasses
+
+    cfg = _cfg(tmp_path)
+    cfg = cfg.replace(data=dataclasses.replace(cfg.data, batch_size=6))
+    with pytest.raises(ValueError, match="divisible by the data-mesh size"):
+        fit(cfg, _ds(12))
+
+
 def test_fit_validates_checkpoints_and_resumes(tmp_path):
     cfg = _cfg(tmp_path, epochs=2)
     state, best = fit(cfg, _ds(16), _ds(8, seed=1))

@@ -201,6 +201,43 @@ def test_handler_sharded_context(tmp_path_factory):
     assert gone not in {h["key"] for h in v2p["results"]}
 
 
+def test_daemon_over_tcp(ctx):
+    """Same protocol over TCP (remote machine clients): ephemeral-port
+    bind, one query, stats, shutdown."""
+    ctx["shutdown"] = False
+    ready = threading.Event()
+    t = threading.Thread(
+        target=serve_daemon.serve_forever,
+        args=(ctx,),
+        kwargs={"tcp": ("127.0.0.1", 0), "ready_callback": ready.set},
+        daemon=True,
+    )
+    t.start()
+    assert ready.wait(30)
+    host, port = ctx["listening_on"].rsplit(":", 1)
+    c = socket.create_connection((host, int(port)), timeout=30)
+    out = []
+    with c, c.makefile("rwb") as f:
+        for req in ({"query": "a man runs fast", "k": 2, "id": "t"},
+                    {"op": "stats"}, {"op": "shutdown"}):
+            f.write(json.dumps(req).encode() + b"\n")
+            f.flush()
+            out.append(json.loads(f.readline()))
+    r1, r2, r3 = out
+    assert r1["id"] == "t" and len(r1["results"]) == 2
+    assert r2["valid_rows"] >= 1 and r3 == {"ok": True}
+    t.join(timeout=30)
+    assert not t.is_alive()
+
+
+def test_serve_forever_rejects_ambiguous_bind(ctx):
+    with pytest.raises(ValueError):
+        serve_daemon.serve_forever(ctx, "/tmp/x.sock",
+                                   tcp=("127.0.0.1", 0))
+    with pytest.raises(ValueError):
+        serve_daemon.serve_forever(ctx)
+
+
 def test_cli_main_wires_flags(ctx, tmp_path, monkeypatch):
     """cmhse-serve main(): builds the context from flags and enters the
     accept loop (patched out — the loop itself is tested above)."""
@@ -208,13 +245,108 @@ def test_cli_main_wires_flags(ctx, tmp_path, monkeypatch):
     monkeypatch.setattr(serve_daemon, "build_context",
                         lambda *a, **kw: {"built": (a, kw)})
     monkeypatch.setattr(serve_daemon, "serve_forever",
-                        lambda c, s, ready_callback=None:
-                        calls.update(ctx=c, sock=s))
+                        lambda c, s=None, ready_callback=None, tcp=None:
+                        calls.update(ctx=c, sock=s, tcp=tcp))
     rc = serve_daemon.main(["ckpt_dir", "--socket", str(tmp_path / "s.sock"),
                             "--data_path", "dp", "--split", "val",
                             "--quantized", "--platform", "cpu"])
     assert rc == 0
-    assert calls["sock"].endswith("s.sock")
+    assert calls["sock"].endswith("s.sock") and calls["tcp"] is None
     a, kw = calls["ctx"]["built"]
     assert a == ("ckpt_dir", "dp", "val")
     assert kw["quantized"] is True and kw["sharded"] is False
+
+    # --tcp routes the parsed (host, port) pair; --socket stays None
+    rc = serve_daemon.main(["ckpt_dir", "--tcp", "0.0.0.0:7700",
+                            "--data_path", "dp", "--platform", "cpu"])
+    assert rc == 0
+    assert calls["sock"] is None and calls["tcp"] == ("0.0.0.0", 7700)
+
+    # exactly one of --socket/--tcp, and HOST:PORT must parse
+    for argv in (["ckpt_dir"],
+                 ["ckpt_dir", "--socket", "s", "--tcp", "h:1"],
+                 ["ckpt_dir", "--tcp", "noport"]):
+        with pytest.raises(SystemExit):
+            serve_daemon.main(argv)
+
+
+def test_live_add_op(tmp_path_factory):
+    """Live gallery ingest over the wire ({"op": "add"}): a
+    reference-layout split lands on disk after startup and the daemon
+    encodes+appends it — items become retrievable in BOTH directions
+    (including through the lazily-built text side), duplicates are
+    refused, and removal of an added item works like any other."""
+    root = tmp_path_factory.mktemp("servedata_add")
+    write_reference_dataset(str(root), n_train=5, n_val=8, feat_dim=FEAT)
+    caps = json.load(open(root / "train_captions.json"))
+    vocab = build_vocab(
+        [s for c in caps.values() for s in c["sentences"]], threshold=1)
+    vocab.save(str(root / "vocab.json"))
+    cfg = ExperimentConfig(
+        data=DataConfig(data_path=str(root), batch_size=4, feat_dim=FEAT,
+                        vocab_size=len(vocab) + 8, max_clips=3, max_frames=6,
+                        max_sentences=3, max_words=8),
+        model=ModelConfig(embed_size=16, word_dim=8, feat_dim=FEAT,
+                          rnn_hidden=16),
+    )
+    ds = PrecompDataset(str(root), "val", vocab, feat_dim=FEAT)
+    b0 = next(iter(batches_from_dataset(ds, cfg.data, shuffle=False)))
+    state = create_train_state(cfg, jax.random.PRNGKey(0), b0)
+    ckpt_dir = str(tmp_path_factory.mktemp("serveckpt_add"))
+    mgr = CheckpointManager(ckpt_dir, cfg)
+    mgr.save(state, epoch=0, best_rsum=0.0, is_best=True)
+    mgr.close()
+    actx = serve_daemon.build_context(ckpt_dir, str(root), "val")
+
+    def handle(req):
+        return serve_daemon._handle_request(req, actx)
+
+    # ingest the sibling "train" split (distinct keys) BEFORE the text
+    # side's lazy build exists
+    r = handle({"op": "add", "split": "train"})
+    assert "error" not in r and r["added"] == 5
+    assert r["valid_rows"] == 13
+    # added items surface in text->video retrieval
+    hit_keys = {h["key"]
+                for h in handle({"query": "a man runs", "k": 13})["results"]}
+    assert {f"v_train{i:03d}" for i in range(5)} <= hit_keys
+
+    # duplicates and bogus splits are refused, gallery untouched
+    assert "already in the gallery" in handle(
+        {"op": "add", "split": "train"})["error"]
+    assert "error" in handle({"op": "add", "split": "nosuch"})
+    assert "error" in handle({"op": "add"})
+    assert handle({"op": "stats"})["valid_rows"] == 13
+
+    # the lazy text side replays the add: a val video finds train
+    # paragraphs among its candidates
+    v2p = handle({"video_key": "v_val000", "k": 13})
+    assert any(k.startswith("v_train")
+               for k in {h["key"] for h in v2p["results"]})
+
+    # a live-added video is itself usable as a v2p QUERY (its features
+    # resolve through the added split's dataset, not just the startup one)
+    v2p_added = handle({"video_key": "v_train001", "k": 3})
+    assert "error" not in v2p_added and len(v2p_added["results"]) == 3
+
+    # removing an added item tombstones it in BOTH directions
+    assert handle({"op": "remove", "keys": ["v_train002"]})["removed"] == 1
+    assert "v_train002" not in {
+        h["key"] for h in handle({"query": "a man runs", "k": 12})["results"]}
+    assert "v_train002" not in {
+        h["key"] for h in handle({"video_key": "v_val000", "k": 12})["results"]}
+
+    # a second ingest AFTER the text side exists updates both directly
+    root2 = tmp_path_factory.mktemp("servedata_add2")
+    write_reference_dataset(str(root2), feat_dim=FEAT, seed=3,
+                            splits=[("batch2", 3)])
+    r2 = handle({"op": "add", "split": "batch2", "data_path": str(root2)})
+    assert "error" not in r2 and r2["added"] == 3 and r2["valid_rows"] == 15
+    assert "v_batch2000" in {
+        h["key"] for h in handle({"query": "a man runs", "k": 15})["results"]}
+    assert "v_batch2000" in {
+        h["key"]
+        for h in handle({"video_key": "v_val000", "k": 15})["results"]}
+    # ...and the second batch's videos are queryable by key too, from a
+    # split that lives under a DIFFERENT data_path than the startup one
+    assert "error" not in handle({"video_key": "v_batch2001", "k": 2})
