@@ -237,21 +237,56 @@ def _bind_tcp(host: str, port: int) -> socket.socket:
     return server
 
 
+def _client_loop(conn: socket.socket, ctx: dict) -> None:
+    """One connected client: many requests per connection. Request HANDLING
+    from all clients is serialized through ``ctx["lock"]`` (one chip, one
+    program — and the add/remove ledgers and stats are plain Python state),
+    but reads wait OUTSIDE the lock, so an idle or slow-writing client
+    never blocks a busy one."""
+    try:
+        with conn, conn.makefile("rwb") as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    req = json.loads(line)
+                except json.JSONDecodeError as e:
+                    resp = {"error": f"bad JSON: {e}"}
+                else:
+                    try:
+                        with ctx["lock"]:
+                            resp = _handle_request(req, ctx)
+                    except Exception as e:  # must outlive requests
+                        resp = {"error": f"{type(e).__name__}: {e}"}
+                f.write((json.dumps(resp) + "\n").encode())
+                f.flush()
+                if ctx["shutdown"]:
+                    break
+    except OSError as e:
+        # a client vanished mid-exchange (BrokenPipe/ConnectionReset from
+        # write/flush/read) — the daemon must outlive CLIENTS too
+        print(f"client connection dropped: {e}")
+
+
 def serve_forever(ctx: dict, sock_path: str | None = None,
                   ready_callback=None,
                   tcp: tuple[str, int] | None = None) -> None:
-    """Accept loop: one client at a time, many requests per connection
-    (requests are device-serialized anyway — one chip, one program).
-    Listens on a unix socket (``sock_path``) or TCP (``tcp=(host, port)``,
-    port 0 picks an ephemeral one); same JSON-lines protocol either way.
-    The bound address lands in ``ctx["listening_on"]`` before
-    ``ready_callback`` fires."""
+    """Accept loop: one thread per connected client, requests serialized
+    through ``ctx["lock"]`` (see :func:`_client_loop`), so an idle client
+    never blocks a busy one. Listens on a unix socket (``sock_path``) or
+    TCP (``tcp=(host, port)``, port 0 picks an ephemeral one); same
+    JSON-lines protocol either way. The bound address lands in
+    ``ctx["listening_on"]`` before ``ready_callback`` fires."""
     import os
+    import threading
 
     if (sock_path is None) == (tcp is None):
         raise ValueError("pass exactly one of sock_path / tcp")
+    ctx.setdefault("lock", threading.Lock())
     server = _bind_unix(sock_path) if sock_path is not None \
         else _bind_tcp(*tcp)
+    clients: list[tuple[socket.socket, threading.Thread]] = []
     try:
         server.listen(8)
         if sock_path is not None:
@@ -262,34 +297,31 @@ def serve_forever(ctx: dict, sock_path: str | None = None,
         print(f"cmhse-serve listening on {ctx['listening_on']}")
         if ready_callback is not None:
             ready_callback()
+        # accept with a timeout so a shutdown request handled on a client
+        # thread stops the daemon within half a second
+        server.settimeout(0.5)
         while not ctx["shutdown"]:
-            conn, _ = server.accept()
             try:
-                with conn, conn.makefile("rwb") as f:
-                    for line in f:
-                        line = line.strip()
-                        if not line:
-                            continue
-                        try:
-                            req = json.loads(line)
-                        except json.JSONDecodeError as e:
-                            resp = {"error": f"bad JSON: {e}"}
-                        else:
-                            try:
-                                resp = _handle_request(req, ctx)
-                            except Exception as e:  # must outlive requests
-                                resp = {"error": f"{type(e).__name__}: {e}"}
-                        f.write((json.dumps(resp) + "\n").encode())
-                        f.flush()
-                        if ctx["shutdown"]:
-                            break
-            except OSError as e:
-                # a client vanished mid-exchange (BrokenPipe/ConnectionReset
-                # from write/flush/read) — the daemon must outlive CLIENTS
-                # too; keep accepting
-                print(f"client connection dropped: {e}")
+                conn, _ = server.accept()
+            except TimeoutError:
+                continue
+            t = threading.Thread(target=_client_loop, args=(conn, ctx),
+                                 daemon=True)
+            t.start()
+            clients = [(c, th) for c, th in clients if th.is_alive()]
+            clients.append((conn, t))
     finally:
         server.close()
+        # stop the READ side of every surviving connection (unblocks their
+        # threads' readline with EOF) but let in-flight replies finish, then
+        # give the threads a moment to drain
+        for c, _ in clients:
+            try:
+                c.shutdown(socket.SHUT_RD)
+            except OSError:
+                pass  # already closed by its own thread
+        for _, t in clients:
+            t.join(timeout=2)
         if sock_path is not None and os.path.exists(sock_path):
             os.unlink(sock_path)
 

@@ -230,6 +230,39 @@ def test_daemon_over_tcp(ctx):
     assert not t.is_alive()
 
 
+def test_idle_client_does_not_block_others(ctx):
+    """Thread-per-connection: a client that connects and sends NOTHING must
+    not starve other clients, and shutdown must complete while the idle
+    connection is still open (its read side is dropped at exit)."""
+    ctx["shutdown"] = False
+    ready = threading.Event()
+    t = threading.Thread(
+        target=serve_daemon.serve_forever,
+        args=(ctx,),
+        kwargs={"tcp": ("127.0.0.1", 0), "ready_callback": ready.set},
+        daemon=True,
+    )
+    t.start()
+    assert ready.wait(30)
+    host, port = ctx["listening_on"].rsplit(":", 1)
+    idle = socket.create_connection((host, int(port)), timeout=30)
+    busy = socket.create_connection((host, int(port)), timeout=30)
+    with busy, busy.makefile("rwb") as f:
+        for req in ({"query": "a man runs fast", "k": 2},
+                    {"op": "shutdown"}):
+            f.write(json.dumps(req).encode() + b"\n")
+            f.flush()
+            out = json.loads(f.readline())
+        assert out == {"ok": True}
+    t.join(timeout=30)
+    assert not t.is_alive()
+    # the daemon dropped the idle connection's read side on exit: the
+    # client sees EOF rather than hanging forever
+    idle.settimeout(10)
+    assert idle.recv(1) == b""
+    idle.close()
+
+
 def test_serve_forever_rejects_ambiguous_bind(ctx):
     with pytest.raises(ValueError):
         serve_daemon.serve_forever(ctx, "/tmp/x.sock",
