@@ -200,6 +200,22 @@ def test_handler_sharded_context(tmp_path_factory):
         {"video_key": VAL_KEYS[1], "k": 7}, sctx)
     assert gone not in {h["key"] for h in v2p["results"]}
 
+    # live ingest through the SHARDED handler: appends rebuild the
+    # per-shard serving form (mesh galleries re-balance rows); added items
+    # surface in both directions and are queryable by key
+    root2 = tmp_path_factory.mktemp("servedata_sh2")
+    write_reference_dataset(str(root2), feat_dim=FEAT, seed=11,
+                            splits=[("live", 3)])
+    r = serve_daemon._handle_request(
+        {"op": "add", "split": "live", "data_path": str(root2)}, sctx)
+    assert "error" not in r and r["added"] == 3
+    hits = serve_daemon._handle_request({"query": "a man runs", "k": 10},
+                                        sctx)["results"]
+    assert any(h["key"].startswith("v_live") for h in hits)
+    v2p2 = serve_daemon._handle_request({"video_key": "v_live000", "k": 3},
+                                        sctx)
+    assert "error" not in v2p2 and len(v2p2["results"]) == 3
+
 
 def test_daemon_over_tcp(ctx):
     """Same protocol over TCP (remote machine clients): ephemeral-port
