@@ -527,13 +527,14 @@ def _acquire_device(timeout_s: float = 900.0):
     return out[0]
 
 
-def _tunnel_down_result(err: TimeoutError) -> dict:
+def _tunnel_down_result(err: Exception) -> dict:
     """Driver-contract fallback: the driver runs bench.py unattended at round
-    end and records exactly one JSON line. When the TPU tunnel is down
-    (observed down for multi-hour stretches on this image) we must still
-    emit that line — a null value with the failure spelled out, plus the
-    previous round's measured value clearly labeled as NOT this run's —
-    instead of crashing with no output at all."""
+    end and records exactly one JSON line. When the TPU is unreachable —
+    a silent tunnel (TimeoutError from the bounded probe) or a fast
+    connection error (whatever jax raised) — we must still emit that line:
+    a null value with the failure spelled out, plus the previous round's
+    measured value clearly labeled as NOT this run's, instead of crashing
+    with no output at all."""
     import glob
     import os
 
@@ -573,8 +574,12 @@ def main():
     _enable_compile_cache()
     try:
         dev = _acquire_device()
-    except TimeoutError as err:
-        print(f"TPU tunnel down: {err}", file=sys.stderr)
+    except Exception as err:
+        # hang (TimeoutError) or fast failure (connection refused, PJRT
+        # init error) — either way the one-JSON-line contract holds
+        print(f"TPU unreachable: {type(err).__name__}: {err}",
+              file=sys.stderr)
+        traceback.print_exc()
         print(json.dumps(_tunnel_down_result(err)))
         return
     platform = dev.platform

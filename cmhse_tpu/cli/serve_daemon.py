@@ -25,9 +25,12 @@ Protocol (one JSON object per line, newline-terminated, per connection):
     <- {"ok": true}                                # then the daemon exits
 
 Errors come back as {"id": ..., "error": "..."}; the connection stays up.
-Requests are served strictly in order (one device, one program — queueing
-at the socket is the batching strategy; pass several queries in one
-request's "query" LIST to batch the GEMM).
+Each connection's requests are answered strictly in its own order; ACROSS
+connections, handling is serialized through one lock (one device, one
+program) but interleaving is scheduler-picked — don't split
+order-dependent requests (add, then queries expecting it) over two
+connections. Pass several queries in one request's "query" LIST to batch
+the GEMM.
 """
 
 from __future__ import annotations
@@ -68,6 +71,9 @@ def _handle_request(req: dict, ctx: dict) -> dict:
         # constructed from the STARTUP encode and would otherwise resurrect
         # rows removed before its first use)
         ctx["removed_ids"].extend(ids)
+        # removed NAMES become re-addable: the add op's duplicate check
+        # skips them (a later ingest may carry a corrected 'v_abc')
+        ctx["removed_keys"].update(k for k in keys if k in idx)
         removed = ctx["retriever"].remove_from_gallery(ids)
         if ctx.get("retriever_text") is not None:
             ctx["retriever_text"].remove_from_gallery(ids)
@@ -131,6 +137,10 @@ def _handle_request(req: dict, ctx: dict) -> dict:
             # that was added after startup
             for encoded, row_ids in ctx["added"]:
                 r.add_to_gallery(keys=row_ids, encoded=encoded)
+            # the ledger is consumed: future adds go straight to this
+            # retriever, and holding the encoded tuples (full embedding
+            # copies) would pin them for the daemon's lifetime
+            ctx["added"].clear()
             if ctx["removed_ids"]:
                 r.remove_from_gallery(ctx["removed_ids"])
         scores, idx = r.retrieve_video(qframes, qframe_len, qclip_len, k=k)
@@ -175,7 +185,10 @@ def _handle_add(req: dict, ctx: dict) -> dict:
                                 flat=not cfg.model.hierarchical)
     except (OSError, KeyError, ValueError) as e:
         return {"error": f"cannot open split {split!r} under {path}: {e}"}
-    dup = sorted(set(new_ds.keys) & set(ctx["keys"]))
+    # removed names don't count as duplicates: a later ingest may carry a
+    # corrected version of a video that was tombstoned (its old row stays
+    # dead; the name maps to the newest row from here on)
+    dup = sorted((set(new_ds.keys) & set(ctx["keys"])) - ctx["removed_keys"])
     if dup:
         return {"error": f"{len(dup)} key(s) already in the gallery "
                          f"(e.g. {dup[0]!r}); remove them first or rename"}
@@ -186,6 +199,13 @@ def _handle_add(req: dict, ctx: dict) -> dict:
         return_ids=True)
     base = len(ctx["keys"])
     row_ids = list(range(base, base + len(new_ds)))
+    # extend the key table BEFORE touching the galleries: if one
+    # direction's append fails midway the daemon stays consistent (that
+    # direction just misses the new rows — recoverable with remove+re-add)
+    # instead of serving gallery_keys past the end of the table
+    ctx["keys"].extend(new_ds.keys)
+    ctx["datasets"].append(new_ds)  # added videos stay queryable by key
+    ctx["removed_keys"] -= set(new_ds.keys)
     r.add_to_gallery(keys=row_ids, encoded=encoded)
     if ctx["retriever_text"] is not None:
         ctx["retriever_text"].add_to_gallery(keys=row_ids, encoded=encoded)
@@ -193,8 +213,6 @@ def _handle_add(req: dict, ctx: dict) -> dict:
         # the text side builds lazily from the STARTUP encode; ledger the
         # encoded tuple so the build replays live adds (mirrors removed_ids)
         ctx["added"].append((encoded, row_ids))
-    ctx["keys"].extend(new_ds.keys)
-    ctx["datasets"].append(new_ds)  # added videos stay queryable by key
     return {"added": len(new_ds), "split": split,
             "gallery_rows": int(r.gallery.shape[0]),
             "valid_rows": r.n_valid}
@@ -271,21 +289,27 @@ def _client_loop(conn: socket.socket, ctx: dict) -> None:
 
 def serve_forever(ctx: dict, sock_path: str | None = None,
                   ready_callback=None,
-                  tcp: tuple[str, int] | None = None) -> None:
+                  tcp: tuple[str, int] | None = None,
+                  server: socket.socket | None = None) -> None:
     """Accept loop: one thread per connected client, requests serialized
     through ``ctx["lock"]`` (see :func:`_client_loop`), so an idle client
     never blocks a busy one. Listens on a unix socket (``sock_path``) or
     TCP (``tcp=(host, port)``, port 0 picks an ephemeral one); same
     JSON-lines protocol either way. The bound address lands in
-    ``ctx["listening_on"]`` before ``ready_callback`` fires."""
+    ``ctx["listening_on"]`` before ``ready_callback`` fires.
+
+    ``server``: an already-bound socket matching sock_path/tcp — ``main``
+    binds BEFORE the (minutes-long at scale) startup gallery encode so a
+    taken port/path fails in milliseconds, then hands the socket here."""
     import os
     import threading
 
     if (sock_path is None) == (tcp is None):
         raise ValueError("pass exactly one of sock_path / tcp")
     ctx.setdefault("lock", threading.Lock())
-    server = _bind_unix(sock_path) if sock_path is not None \
-        else _bind_tcp(*tcp)
+    if server is None:
+        server = _bind_unix(sock_path) if sock_path is not None \
+            else _bind_tcp(*tcp)
     clients: list[tuple[socket.socket, threading.Thread]] = []
     try:
         server.listen(8)
@@ -385,6 +409,7 @@ def build_context(checkpoint: str, data_path: str | None, split: str,
         "retriever": retriever,
         "retriever_text": None,
         "removed_ids": [],
+        "removed_keys": set(),
         "build_text_side": build_text_side,
         "split": split,
         "served": 0,
@@ -415,17 +440,37 @@ def main(argv=None) -> int:
     tcp = None
     if args.tcp is not None:
         host, _, port = args.tcp.rpartition(":")
-        if not host or not port.isdigit():
-            p.error(f"--tcp wants HOST:PORT, got {args.tcp!r}")
+        if not host or not port.isdigit() or ":" in host or "[" in host:
+            p.error(f"--tcp wants an IPv4 HOST:PORT (or a resolvable "
+                    f"hostname), got {args.tcp!r}")
         tcp = (host, int(port))
+
+    # bind BEFORE the startup gallery encode: a taken port/socket-path (the
+    # classic restart-while-old-daemon-lives mistake) must fail in
+    # milliseconds, not after minutes of encoding
+    try:
+        server = _bind_unix(args.socket) if args.socket is not None \
+            else _bind_tcp(*tcp)
+    except OSError as e:
+        p.error(f"cannot listen on "
+                f"{args.socket or args.tcp}: {e}")
 
     from cmhse_tpu.cli.train import _force_platform
 
     _force_platform(args.platform)
-    ctx = build_context(args.checkpoint, args.data_path, args.split,
-                        vocab_path=args.vocab_path, sharded=args.sharded,
-                        quantized=args.quantized, rescore_m=args.rescore_m)
-    serve_forever(ctx, args.socket, tcp=tcp)
+    try:
+        ctx = build_context(args.checkpoint, args.data_path, args.split,
+                            vocab_path=args.vocab_path, sharded=args.sharded,
+                            quantized=args.quantized,
+                            rescore_m=args.rescore_m)
+    except BaseException:
+        import os
+
+        server.close()
+        if args.socket is not None and os.path.exists(args.socket):
+            os.unlink(args.socket)
+        raise
+    serve_forever(ctx, args.socket, tcp=tcp, server=server)
     return 0
 
 

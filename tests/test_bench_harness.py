@@ -32,6 +32,25 @@ def test_analytic_flops_positive():
     assert f > 1e9  # multi-GFLOP model; guards accidental unit slips
 
 
+def test_main_emits_one_json_line_on_fast_device_failure(monkeypatch,
+                                                         capsys):
+    # a down tunnel can also fail FAST (connection refused / PJRT init
+    # error) instead of hanging; main() must still print exactly one
+    # null-valued JSON line, not a bare traceback
+    import json
+
+    def boom(*a, **k):
+        raise RuntimeError("connection refused by relay")
+
+    monkeypatch.setattr(bench, "_acquire_device", boom)
+    bench.main()
+    lines = capsys.readouterr().out.strip().splitlines()
+    assert len(lines) == 1
+    back = json.loads(lines[0])
+    assert back["value"] is None
+    assert "connection refused" in back["extras"]["error"]
+
+
 def test_tunnel_down_result_is_one_honest_json_line():
     # the driver records bench.py's single JSON line even when the TPU
     # tunnel is down for the whole round-end window; the fallback must be

@@ -288,33 +288,53 @@ def test_serve_forever_rejects_ambiguous_bind(ctx):
 
 
 def test_cli_main_wires_flags(ctx, tmp_path, monkeypatch):
-    """cmhse-serve main(): builds the context from flags and enters the
-    accept loop (patched out — the loop itself is tested above)."""
+    """cmhse-serve main(): binds the listener BEFORE the (expensive)
+    context build, then enters the accept loop (patched out — the loop
+    itself is tested above)."""
     calls = {}
+
+    def fake_serve(c, s=None, ready_callback=None, tcp=None, server=None):
+        calls.update(ctx=c, sock=s, tcp=tcp, server=server)
+        server.close()
+
     monkeypatch.setattr(serve_daemon, "build_context",
                         lambda *a, **kw: {"built": (a, kw)})
-    monkeypatch.setattr(serve_daemon, "serve_forever",
-                        lambda c, s=None, ready_callback=None, tcp=None:
-                        calls.update(ctx=c, sock=s, tcp=tcp))
+    monkeypatch.setattr(serve_daemon, "serve_forever", fake_serve)
     rc = serve_daemon.main(["ckpt_dir", "--socket", str(tmp_path / "s.sock"),
                             "--data_path", "dp", "--split", "val",
                             "--quantized", "--platform", "cpu"])
     assert rc == 0
     assert calls["sock"].endswith("s.sock") and calls["tcp"] is None
+    assert calls["server"] is not None  # pre-bound, handed through
     a, kw = calls["ctx"]["built"]
     assert a == ("ckpt_dir", "dp", "val")
     assert kw["quantized"] is True and kw["sharded"] is False
 
     # --tcp routes the parsed (host, port) pair; --socket stays None
-    rc = serve_daemon.main(["ckpt_dir", "--tcp", "0.0.0.0:7700",
+    rc = serve_daemon.main(["ckpt_dir", "--tcp", "127.0.0.1:0",
                             "--data_path", "dp", "--platform", "cpu"])
     assert rc == 0
-    assert calls["sock"] is None and calls["tcp"] == ("0.0.0.0", 7700)
+    assert calls["sock"] is None and calls["tcp"] == ("127.0.0.1", 0)
 
-    # exactly one of --socket/--tcp, and HOST:PORT must parse
+    # a taken unix path fails in main (clean argparse error), BEFORE
+    # build_context gets to spend minutes encoding
+    monkeypatch.setattr(serve_daemon, "build_context",
+                        lambda *a, **kw: pytest.fail("must not build"))
+    sock_path = str(tmp_path / "live.sock")
+    held = serve_daemon._bind_unix(sock_path)
+    held.listen(1)  # a LIVE daemon on the path (not a stale file)
+    try:
+        with pytest.raises(SystemExit):
+            serve_daemon.main(["ckpt_dir", "--socket", sock_path,
+                               "--platform", "cpu"])
+    finally:
+        held.close()
+
+    # exactly one of --socket/--tcp, HOST:PORT must parse, IPv4 only
     for argv in (["ckpt_dir"],
                  ["ckpt_dir", "--socket", "s", "--tcp", "h:1"],
-                 ["ckpt_dir", "--tcp", "noport"]):
+                 ["ckpt_dir", "--tcp", "noport"],
+                 ["ckpt_dir", "--tcp", "[::1]:7700"]):
         with pytest.raises(SystemExit):
             serve_daemon.main(argv)
 
@@ -399,3 +419,25 @@ def test_live_add_op(tmp_path_factory):
     # ...and the second batch's videos are queryable by key too, from a
     # split that lives under a DIFFERENT data_path than the startup one
     assert "error" not in handle({"video_key": "v_batch2001", "k": 2})
+
+    # the replay ledger was consumed (and freed) by the lazy text-side
+    # build — later adds went straight to both retrievers
+    assert actx["added"] == []
+
+    # removed keys are RE-ADDABLE (a corrected split re-ingested): remove
+    # all of batch2, re-add it, and the names resolve to the new rows
+    assert handle({"op": "remove",
+                   "keys": [f"v_batch2{i:03d}"
+                            for i in range(3)]})["removed"] == 3
+    r3 = handle({"op": "add", "split": "batch2", "data_path": str(root2)})
+    assert "error" not in r3 and r3["added"] == 3
+    assert r3["valid_rows"] == 15
+    assert "v_batch2000" in {
+        h["key"] for h in handle({"query": "a man runs", "k": 15})["results"]}
+    # the revived name is a duplicate again...
+    assert "already in the gallery" in handle(
+        {"op": "add", "split": "batch2", "data_path": str(root2)})["error"]
+    # ...and removing it tombstones the NEW row (the live one)
+    assert handle({"op": "remove", "keys": ["v_batch2000"]})["removed"] == 1
+    assert "v_batch2000" not in {
+        h["key"] for h in handle({"query": "a man runs", "k": 14})["results"]}
