@@ -217,6 +217,47 @@ def test_handler_sharded_context(tmp_path_factory):
     assert "error" not in v2p2 and len(v2p2["results"]) == 3
 
 
+def test_handler_flat_model(tmp_path_factory):
+    """A FLAT (non-hierarchical, config-1 lineage) checkpoint serves too:
+    build_context reads hierarchical=False from config.json, loads the
+    dataset in flat mode (whole video = one clip, whole paragraph = one
+    sentence), and every op works against it."""
+    root = tmp_path_factory.mktemp("servedata_flat")
+    write_reference_dataset(str(root), n_train=5, n_val=8, feat_dim=FEAT)
+    caps = json.load(open(root / "train_captions.json"))
+    vocab = build_vocab(
+        [s for c in caps.values() for s in c["sentences"]], threshold=1)
+    vocab.save(str(root / "vocab.json"))
+    cfg = ExperimentConfig(
+        data=DataConfig(data_path=str(root), batch_size=4, feat_dim=FEAT,
+                        vocab_size=len(vocab) + 8, max_clips=1,
+                        max_frames=18, max_sentences=1, max_words=24),
+        model=ModelConfig(embed_size=16, word_dim=8, feat_dim=FEAT,
+                          rnn_hidden=16, hierarchical=False),
+    )
+    ds = PrecompDataset(str(root), "val", vocab, feat_dim=FEAT, flat=True)
+    b0 = next(iter(batches_from_dataset(ds, cfg.data, shuffle=False)))
+    state = create_train_state(cfg, jax.random.PRNGKey(0), b0)
+    ckpt_dir = str(tmp_path_factory.mktemp("serveckpt_flat"))
+    mgr = CheckpointManager(ckpt_dir, cfg)
+    mgr.save(state, epoch=0, best_rsum=0.0, is_best=True)
+    mgr.close()
+    fctx = serve_daemon.build_context(ckpt_dir, str(root), "val")
+
+    r = serve_daemon._handle_request({"query": "a man runs", "k": 3}, fctx)
+    assert "error" not in r and len(r["results"]) == 3
+    assert set(h["key"] for h in r["results"]) <= set(VAL_KEYS)
+    v2p = serve_daemon._handle_request({"video_key": VAL_KEYS[0], "k": 2},
+                                       fctx)
+    assert "error" not in v2p and len(v2p["results"]) == 2
+    # live ingest opens the added split in flat mode as well
+    a = serve_daemon._handle_request({"op": "add", "split": "train"}, fctx)
+    assert "error" not in a and a["added"] == 5
+    hits = serve_daemon._handle_request({"query": "a man runs", "k": 13},
+                                        fctx)["results"]
+    assert any(h["key"].startswith("v_train") for h in hits)
+
+
 def test_daemon_over_tcp(ctx):
     """Same protocol over TCP (remote machine clients): ephemeral-port
     bind, one query, stats, shutdown."""
