@@ -255,6 +255,12 @@ def _bind_tcp(host: str, port: int) -> socket.socket:
     return server
 
 
+# largest accepted request line: thousands of batched list-query sentences
+# fit comfortably; a runaway (or malicious, on a TCP listener) line cannot
+# balloon the daemon's memory
+MAX_LINE_BYTES = 1 << 20
+
+
 def _client_loop(conn: socket.socket, ctx: dict) -> None:
     """One connected client: many requests per connection. Request HANDLING
     from all clients is serialized through ``ctx["lock"]`` (one chip, one
@@ -263,7 +269,32 @@ def _client_loop(conn: socket.socket, ctx: dict) -> None:
     never blocks a busy one."""
     try:
         with conn, conn.makefile("rwb") as f:
-            for line in f:
+            while True:
+                line = f.readline(MAX_LINE_BYTES + 1)
+                if not line:
+                    break
+                if len(line) > MAX_LINE_BYTES:
+                    # an oversized request: reply, then hang up (a partial
+                    # line can't be resynchronized mid-stream). NB
+                    # readline(size) overshoots its cap only by up to one
+                    # buffer chunk (~8 KiB), so memory stays bounded.
+                    f.write((json.dumps(
+                        {"error": f"request line exceeds {MAX_LINE_BYTES} "
+                                  "bytes; split it (e.g. several smaller "
+                                  "'query' lists)"}) + "\n").encode())
+                    f.flush()
+                    # if the line came back PARTIAL, drain its tail
+                    # (bounded chunks, capped total) before closing:
+                    # unread receive-buffer bytes at close trigger a TCP
+                    # RST that can destroy the reply in flight
+                    drained = 0
+                    while (not line.endswith(b"\n")
+                           and drained < (64 << 20)):
+                        line = f.readline(MAX_LINE_BYTES)
+                        if not line:
+                            break
+                        drained += len(line)
+                    break
                 line = line.strip()
                 if not line:
                     continue
@@ -433,6 +464,11 @@ def main(argv=None) -> int:
                    help="two-stage int8 serving (million-row galleries)")
     p.add_argument("--rescore_m", type=int, default=None)
     p.add_argument("--vocab_path", default=None)
+    p.add_argument("--warm", action="store_true",
+                   help="build the video->paragraph side and compile both "
+                        "query paths before accepting clients, so the "
+                        "first real request doesn't pay the lazy build + "
+                        "jit cost")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu", "axon"])
     args = p.parse_args(argv)
     if (args.socket is None) == (args.tcp is None):
@@ -463,6 +499,17 @@ def main(argv=None) -> int:
                             vocab_path=args.vocab_path, sharded=args.sharded,
                             quantized=args.quantized,
                             rescore_m=args.rescore_m)
+        if args.warm:
+            # one throwaway request per direction: triggers the lazy
+            # text-side gallery build and jit-compiles both query paths;
+            # stats are reset so clients see only their own traffic
+            _handle_request({"query": "warm up the encoder", "k": 1}, ctx)
+            if ctx["dataset"].keys:
+                _handle_request(
+                    {"video_key": ctx["dataset"].keys[0], "k": 1}, ctx)
+            ctx["served"] = 0
+            ctx["latencies"].clear()
+            print("cmhse-serve warm: both directions built and compiled")
     except BaseException:
         import os
 

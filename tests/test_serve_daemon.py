@@ -320,6 +320,76 @@ def test_idle_client_does_not_block_others(ctx):
     idle.close()
 
 
+def test_oversized_request_line_is_refused(ctx):
+    """A >MAX_LINE_BYTES request line (runaway or malicious client on a
+    TCP listener) gets an error reply and a hangup — bounded memory — and
+    the daemon keeps serving new connections."""
+    ctx["shutdown"] = False
+    ready = threading.Event()
+    t = threading.Thread(
+        target=serve_daemon.serve_forever,
+        args=(ctx,),
+        kwargs={"tcp": ("127.0.0.1", 0), "ready_callback": ready.set},
+        daemon=True,
+    )
+    t.start()
+    assert ready.wait(30)
+    host, port = ctx["listening_on"].rsplit(":", 1)
+    c = socket.create_connection((host, int(port)), timeout=30)
+    with c, c.makefile("rwb") as f:
+        # 4x the cap: the server reads a PARTIAL first chunk, replies,
+        # drains the tail, and hangs up — without the drain the reply
+        # would be destroyed by a TCP reset (unread bytes at close)
+        f.write(b'{"query": "'
+                + b"x" * (4 * serve_daemon.MAX_LINE_BYTES) + b'"}\n')
+        f.flush()
+        r = json.loads(f.readline())
+        assert "exceeds" in r["error"]
+        assert f.readline() == b""  # connection dropped after the reply
+    # a barely-oversized line that arrives COMPLETE (readline's cap
+    # overshoots by up to a buffer chunk) must not leave the drain loop
+    # blocking on data that will never come
+    cb = socket.create_connection((host, int(port)), timeout=30)
+    with cb, cb.makefile("rwb") as fb:
+        fb.write(b'{"query": "'
+                 + b"x" * serve_daemon.MAX_LINE_BYTES + b'"}\n')
+        fb.flush()
+        r = json.loads(fb.readline())
+        assert "exceeds" in r["error"]
+        assert fb.readline() == b""
+    c2 = socket.create_connection((host, int(port)), timeout=30)
+    with c2, c2.makefile("rwb") as f2:
+        f2.write(b'{"op": "shutdown"}\n')
+        f2.flush()
+        assert json.loads(f2.readline()) == {"ok": True}
+    t.join(timeout=30)
+    assert not t.is_alive()
+
+
+def test_cli_warm_flag(tmp_path, monkeypatch):
+    """--warm issues one throwaway request per direction before the accept
+    loop (lazy text-side build + jit both paths) and resets the stats."""
+    import types
+    from collections import deque
+
+    warm_reqs = []
+    fake_ctx = {"dataset": types.SimpleNamespace(keys=["vid0"]),
+                "served": 7, "latencies": deque([3.3])}
+    monkeypatch.setattr(serve_daemon, "build_context",
+                        lambda *a, **kw: fake_ctx)
+    monkeypatch.setattr(serve_daemon, "_handle_request",
+                        lambda req, c: (warm_reqs.append(req), {})[1])
+    monkeypatch.setattr(
+        serve_daemon, "serve_forever",
+        lambda c, s=None, ready_callback=None, tcp=None, server=None:
+        server.close())
+    rc = serve_daemon.main(["ckpt", "--socket", str(tmp_path / "w.sock"),
+                            "--warm", "--platform", "cpu"])
+    assert rc == 0
+    assert "query" in warm_reqs[0] and warm_reqs[1]["video_key"] == "vid0"
+    assert fake_ctx["served"] == 0 and len(fake_ctx["latencies"]) == 0
+
+
 def test_serve_forever_rejects_ambiguous_bind(ctx):
     with pytest.raises(ValueError):
         serve_daemon.serve_forever(ctx, "/tmp/x.sock",
