@@ -1,0 +1,116 @@
+"""``ServeClient`` — Python client for the ``cmhse-serve`` daemon.
+
+Machine clients otherwise hand-roll the JSON-lines protocol
+(``cli/serve_daemon.py`` module docstring); this wraps it in typed
+methods with error handling. Pure stdlib, and deliberately at the package
+top level (``cmhse_tpu/__init__`` imports only the stdlib-only config
+module): importing it pulls in no jax, so a lightweight client process
+never pays backend initialization.
+
+    from cmhse_tpu.client import ServeClient
+
+    with ServeClient(tcp=("10.0.0.5", 7700)) as c:   # or socket_path=...
+        hits = c.query("a dog catches a frisbee", k=5)
+        c.add("fresh_batch", data_path="/data/anet")  # live ingest
+        c.remove(["v_abc123"])
+        print(c.stats()["latency_ms_p99"])
+
+One request at a time per client (the protocol is strictly
+request->reply per connection); share one daemon across many clients for
+concurrency — the daemon is thread-per-connection.
+"""
+
+from __future__ import annotations
+
+import json
+import socket
+
+
+class ServeError(RuntimeError):
+    """The daemon answered ``{"error": ...}`` for a request."""
+
+
+class ServeClient:
+    """Blocking JSON-lines client; context-manager closes the connection.
+
+    Exactly one of ``socket_path`` (AF_UNIX) / ``tcp=(host, port)``.
+    ``timeout`` bounds every request's round-trip (None = wait forever —
+    note a cold daemon's first video query may encode the whole text-side
+    gallery unless it was started with ``--warm``)."""
+
+    def __init__(self, socket_path: str | None = None,
+                 tcp: tuple[str, int] | None = None,
+                 timeout: float | None = None):
+        if (socket_path is None) == (tcp is None):
+            raise ValueError("pass exactly one of socket_path / tcp")
+        if socket_path is not None:
+            self._sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+            self._sock.settimeout(timeout)
+            self._sock.connect(socket_path)
+        else:
+            self._sock = socket.create_connection(tcp, timeout=timeout)
+        self._file = self._sock.makefile("rwb")
+
+    # -- low-level ---------------------------------------------------------
+
+    def request(self, req: dict) -> dict:
+        """Send one raw request object, return the raw reply; raises
+        :class:`ServeError` on an error reply and ``ConnectionError`` if
+        the daemon hung up."""
+        self._file.write(json.dumps(req).encode() + b"\n")
+        self._file.flush()
+        line = self._file.readline()
+        if not line:
+            raise ConnectionError("daemon closed the connection")
+        resp = json.loads(line)
+        if isinstance(resp, dict) and "error" in resp:
+            raise ServeError(resp["error"])
+        return resp
+
+    # -- queries -----------------------------------------------------------
+
+    def query(self, text: str | list, k: int = 5) -> list:
+        """Text->video retrieval. A single string returns one hit list
+        ``[{"key", "score"}, ...]``; a LIST of strings batches the GEMM
+        and returns one hit list per query string."""
+        return self.request({"query": text, "k": k})["results"]
+
+    def query_video(self, video_key: str, k: int = 5) -> list:
+        """Video->paragraph retrieval by gallery/ingested video key."""
+        return self.request({"video_key": video_key, "k": k})["results"]
+
+    # -- gallery lifecycle ---------------------------------------------------
+
+    def add(self, split: str, data_path: str | None = None) -> dict:
+        """Live-ingest a reference-layout split (encode + append to both
+        directions); returns the daemon's summary (added/valid_rows/...)."""
+        req: dict = {"op": "add", "split": split}
+        if data_path is not None:
+            req["data_path"] = data_path
+        return self.request(req)
+
+    def remove(self, keys: list) -> int:
+        """Tombstone videos by key in both directions; returns the number
+        of rows actually removed (unknown keys are ignored)."""
+        return self.request({"op": "remove", "keys": list(keys)})["removed"]
+
+    # -- admin ---------------------------------------------------------------
+
+    def stats(self) -> dict:
+        return self.request({"op": "stats"})
+
+    def shutdown(self) -> None:
+        """Stop the daemon (it acknowledges, then exits)."""
+        self.request({"op": "shutdown"})
+
+    def close(self) -> None:
+        try:
+            self._file.close()
+        finally:
+            self._sock.close()
+
+    def __enter__(self) -> "ServeClient":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()

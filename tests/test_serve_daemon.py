@@ -390,6 +390,83 @@ def test_cli_warm_flag(tmp_path, monkeypatch):
     assert fake_ctx["served"] == 0 and len(fake_ctx["latencies"]) == 0
 
 
+def test_serve_client(ctx, tmp_path):
+    """ServeClient speaks the full protocol over TCP and unix sockets:
+    queries (single + batched), video queries, remove, stats, error
+    surfacing (ServeError), shutdown, and hung-up detection."""
+    from cmhse_tpu.client import ServeClient, ServeError
+
+    ctx["shutdown"] = False
+    ready = threading.Event()
+    t = threading.Thread(
+        target=serve_daemon.serve_forever, args=(ctx,),
+        kwargs={"tcp": ("127.0.0.1", 0), "ready_callback": ready.set},
+        daemon=True)
+    t.start()
+    assert ready.wait(30)
+    host, port = ctx["listening_on"].rsplit(":", 1)
+    with ServeClient(tcp=(host, int(port)), timeout=120) as c:
+        hits = c.query("a man runs", k=3)
+        assert len(hits) == 3 and hits[0]["score"] >= hits[-1]["score"]
+        rows = c.query(["a man runs", "a dog jumps"], k=2)
+        assert len(rows) == 2 and len(rows[0]) == 2
+        assert len(c.query_video(VAL_KEYS[0], k=2)) == 2
+        with pytest.raises(ServeError, match="not in the"):
+            c.query_video("nope")
+        assert c.stats()["valid_rows"] >= 1
+        assert c.remove(["definitely-not-a-key"]) == 0
+        c.shutdown()
+        with pytest.raises((ConnectionError, OSError)):
+            c.query("after shutdown")
+    t.join(timeout=30)
+    assert not t.is_alive()
+
+    # unix-socket flavor of the same client
+    ctx["shutdown"] = False
+    sock = str(tmp_path / "client.sock")
+    ready2 = threading.Event()
+    t2 = threading.Thread(
+        target=serve_daemon.serve_forever, args=(ctx, sock),
+        kwargs={"ready_callback": ready2.set}, daemon=True)
+    t2.start()
+    assert ready2.wait(30)
+    with ServeClient(socket_path=sock, timeout=120) as c:
+        assert len(c.query("a man runs", k=1)) == 1
+        c.shutdown()
+    t2.join(timeout=30)
+    assert not t2.is_alive()
+
+    with pytest.raises(ValueError):
+        ServeClient()
+
+
+def test_serve_client_import_needs_no_jax():
+    """The client must be usable on machines where jax isn't installed
+    (this image pre-imports jax via sitecustomize, so simulate: purge it
+    from sys.modules and BLOCK re-imports, then import the client)."""
+    import subprocess
+    import sys
+
+    code = """
+import sys
+class _BlockJax:
+    def find_spec(self, name, path=None, target=None):
+        if name == "jax" or name.startswith(("jax.", "jaxlib")):
+            raise ImportError(f"client import pulled in {name}")
+        return None
+sys.meta_path.insert(0, _BlockJax())
+for m in [m for m in list(sys.modules)
+          if m == "jax" or m.startswith(("jax.", "jaxlib"))]:
+    del sys.modules[m]
+from cmhse_tpu.client import ServeClient, ServeError  # noqa: F401
+print("jax-free import ok")
+"""
+    r = subprocess.run([sys.executable, "-c", code],
+                       capture_output=True, text=True, timeout=120)
+    assert r.returncode == 0, r.stderr
+    assert "jax-free import ok" in r.stdout
+
+
 def test_serve_forever_rejects_ambiguous_bind(ctx):
     with pytest.raises(ValueError):
         serve_daemon.serve_forever(ctx, "/tmp/x.sock",
