@@ -7,9 +7,67 @@ from __future__ import annotations
 import argparse
 
 
+def _connect_main(args, p) -> int:
+    """``--connect`` mode: query a RUNNING ``cmhse-serve`` daemon through
+    :class:`cmhse_tpu.client.ServeClient` instead of loading a checkpoint —
+    no jax, no model restore, no gallery encode; the daemon (ideally
+    started ``--warm``) already holds everything on device."""
+    import sys
+
+    from cmhse_tpu.client import ServeClient, ServeError
+
+    daemon_side = [name for name, v in (("--data_path", args.data_path),
+                                        ("--split" , args.split != "val"),
+                                        ("--sharded", args.sharded),
+                                        ("--quantized", args.quantized),
+                                        ("--rescore_m", args.rescore_m),
+                                        ("--vocab_path", args.vocab_path),
+                                        ("--platform", args.platform)) if v]
+    if daemon_side:
+        p.error(f"{', '.join(daemon_side)} configure the GALLERY and are "
+                "daemon-side; set them on cmhse-serve, not with --connect")
+    addr = args.connect
+    host, _, port = addr.rpartition(":")
+    kw = ({"tcp": (host, int(port))} if host and port.isdigit()
+          else {"socket_path": addr})
+
+    def _print_hits(label, hits):
+        print(label)
+        for rank, h in enumerate(hits, start=1):
+            print(f"  {rank}. {h['key']}  score={h['score']:.4f}")
+
+    with ServeClient(**kw) as c:
+        try:
+            if args.query:
+                for text, hits in zip(args.query,
+                                      c.query(args.query, k=args.k)):
+                    _print_hits(f"query: {text!r}", hits)
+            for key in args.query_video or ():
+                _print_hits(f"video query: {key!r} (paragraphs)",
+                            c.query_video(key, k=args.k))
+        except ServeError as e:
+            raise SystemExit(f"daemon refused: {e}")
+        if args.interactive:
+            for line in sys.stdin:
+                text = line.strip()
+                if not text:
+                    continue
+                try:
+                    _print_hits(f"query: {text!r}", c.query(text, k=args.k))
+                except ServeError as e:
+                    print(f"error: {e}")
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser("cmhse-retrieve")
-    p.add_argument("checkpoint", help="checkpoint dir (with config.json)")
+    p.add_argument("checkpoint", nargs="?", default=None,
+                   help="checkpoint dir (with config.json); omit with "
+                        "--connect")
+    p.add_argument("--connect", default=None, metavar="ADDR",
+                   help="query a running cmhse-serve daemon instead of "
+                        "loading a checkpoint: a unix socket path, or "
+                        "HOST:PORT for a --tcp daemon")
     p.add_argument("--data_path", default=None)
     p.add_argument("--split", default="val", help="gallery split")
     p.add_argument("--query", action="append", default=None,
@@ -38,6 +96,14 @@ def main(argv=None) -> int:
     p.add_argument("--platform", default=None, choices=["cpu", "tpu", "axon"])
     args = p.parse_args(argv)
 
+    if not args.query and not args.query_video and not args.interactive:
+        p.error("pass --query (text->video), --query_video "
+                "(video->paragraph), or --interactive")
+    if args.connect:
+        return _connect_main(args, p)
+    if args.checkpoint is None:
+        p.error("pass a checkpoint dir (or --connect ADDR)")
+
     from cmhse_tpu.cli.train import _force_platform
 
     _force_platform(args.platform)
@@ -54,10 +120,6 @@ def main(argv=None) -> int:
     dataset = PrecompDataset(data_path, args.split, vocab,
                              feat_dim=cfg.data.feat_dim,
                              flat=not cfg.model.hierarchical)
-
-    if not args.query and not args.query_video and not args.interactive:
-        p.error("pass --query (text->video), --query_video "
-                "(video->paragraph), or --interactive")
 
     mesh = None
     if args.sharded:

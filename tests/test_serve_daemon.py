@@ -440,6 +440,48 @@ def test_serve_client(ctx, tmp_path):
         ServeClient()
 
 
+def test_retrieve_connect_mode(ctx, capsys):
+    """cmhse-retrieve --connect: the CLI queries a RUNNING daemon through
+    ServeClient — no checkpoint load, no gallery encode — and refuses
+    daemon-side gallery flags."""
+    from cmhse_tpu.cli import retrieve as retrieve_cli
+
+    ctx["shutdown"] = False
+    ready = threading.Event()
+    t = threading.Thread(
+        target=serve_daemon.serve_forever, args=(ctx,),
+        kwargs={"tcp": ("127.0.0.1", 0), "ready_callback": ready.set},
+        daemon=True)
+    t.start()
+    assert ready.wait(30)
+    addr = ctx["listening_on"]
+    rc = retrieve_cli.main(["--connect", addr, "--query", "a man runs",
+                            "--query_video", VAL_KEYS[0], "-k", "2"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "query: 'a man runs'" in out
+    assert f"video query: {VAL_KEYS[0]!r}" in out
+    assert out.count("score=") == 4  # two hits per direction
+
+    # gallery-shape flags belong to the daemon, not the connecting client
+    with pytest.raises(SystemExit):
+        retrieve_cli.main(["--connect", addr, "--query", "x", "--sharded"])
+    # an unknown video key comes back as a clean error, not a traceback
+    with pytest.raises(SystemExit, match="daemon refused"):
+        retrieve_cli.main(["--connect", addr, "--query_video", "nope"])
+    # without --connect the checkpoint argument is still required
+    with pytest.raises(SystemExit):
+        retrieve_cli.main(["--query", "x"])
+
+    from cmhse_tpu.client import ServeClient
+
+    host, port = addr.rsplit(":", 1)
+    with ServeClient(tcp=(host, int(port))) as c:
+        c.shutdown()
+    t.join(timeout=30)
+    assert not t.is_alive()
+
+
 def test_serve_client_import_needs_no_jax():
     """The client must be usable on machines where jax isn't installed
     (this image pre-imports jax via sitecustomize, so simulate: purge it
