@@ -255,6 +255,30 @@ def _bind_tcp(host: str, port: int) -> socket.socket:
     return server
 
 
+def _access_log(ctx: dict, req, resp: dict) -> None:
+    """One JSONL record per wire request when the daemon was started with
+    ``--log_jsonl`` (observability parity with the train loop's log.jsonl;
+    the reference logged nothing request-shaped — it had no serving path).
+    File writes hold CPython's internal file lock, so client threads can
+    log concurrently."""
+    log = ctx.get("logger")
+    if log is None:
+        return
+    if not isinstance(req, dict):
+        op = "bad_json"
+    elif "query" in req:
+        op = "query"
+    elif "video_key" in req:
+        op = "video_key"
+    else:
+        op = str(req.get("op", "unknown"))
+    fields = {"op": op, "ok": "error" not in resp}
+    for k in ("latency_ms", "added", "removed", "valid_rows", "error"):
+        if k in resp:
+            fields[k] = resp[k]
+    log.log("serve_request", **fields)
+
+
 # largest accepted request line: thousands of batched list-query sentences
 # fit comfortably; a runaway (or malicious, on a TCP listener) line cannot
 # balloon the daemon's memory
@@ -301,13 +325,14 @@ def _client_loop(conn: socket.socket, ctx: dict) -> None:
                 try:
                     req = json.loads(line)
                 except json.JSONDecodeError as e:
-                    resp = {"error": f"bad JSON: {e}"}
+                    req, resp = None, {"error": f"bad JSON: {e}"}
                 else:
                     try:
                         with ctx["lock"]:
                             resp = _handle_request(req, ctx)
                     except Exception as e:  # must outlive requests
                         resp = {"error": f"{type(e).__name__}: {e}"}
+                _access_log(ctx, req, resp)
                 f.write((json.dumps(resp) + "\n").encode())
                 f.flush()
                 if ctx["shutdown"]:
@@ -464,6 +489,10 @@ def main(argv=None) -> int:
                    help="two-stage int8 serving (million-row galleries)")
     p.add_argument("--rescore_m", type=int, default=None)
     p.add_argument("--vocab_path", default=None)
+    p.add_argument("--log_jsonl", default=None, metavar="PATH",
+                   help="append one JSONL record per request (op, ok, "
+                        "latency_ms, ...) — the serving counterpart of the "
+                        "train loop's log.jsonl")
     p.add_argument("--warm", action="store_true",
                    help="build the video->paragraph side and compile both "
                         "query paths before accepting clients, so the "
@@ -510,6 +539,10 @@ def main(argv=None) -> int:
             ctx["served"] = 0
             ctx["latencies"].clear()
             print("cmhse-serve warm: both directions built and compiled")
+        if args.log_jsonl:
+            from cmhse_tpu.utils.logging import JsonlLogger
+
+            ctx["logger"] = JsonlLogger(args.log_jsonl, tensorboard=False)
     except BaseException:
         import os
 
@@ -517,7 +550,11 @@ def main(argv=None) -> int:
         if args.socket is not None and os.path.exists(args.socket):
             os.unlink(args.socket)
         raise
-    serve_forever(ctx, args.socket, tcp=tcp, server=server)
+    try:
+        serve_forever(ctx, args.socket, tcp=tcp, server=server)
+    finally:
+        if ctx.get("logger") is not None:
+            ctx["logger"].close()
     return 0
 
 

@@ -440,6 +440,46 @@ def test_serve_client(ctx, tmp_path):
         ServeClient()
 
 
+def test_daemon_access_log(ctx, tmp_path):
+    """--log_jsonl's logger: one record per wire request, op-tagged, with
+    ok/latency/error fields — written from the client threads."""
+    from cmhse_tpu.utils.logging import JsonlLogger
+
+    ctx["shutdown"] = False
+    log_path = str(tmp_path / "serve_log.jsonl")
+    ctx["logger"] = JsonlLogger(log_path, tensorboard=False)
+    try:
+        ready = threading.Event()
+        t = threading.Thread(
+            target=serve_daemon.serve_forever, args=(ctx,),
+            kwargs={"tcp": ("127.0.0.1", 0), "ready_callback": ready.set},
+            daemon=True)
+        t.start()
+        assert ready.wait(30)
+        host, port = ctx["listening_on"].rsplit(":", 1)
+        c = socket.create_connection((host, int(port)), timeout=30)
+        with c, c.makefile("rwb") as f:
+            for raw in (json.dumps({"query": "a man runs", "k": 2}),
+                        "this is not json",
+                        json.dumps({"video_key": "nope"}),
+                        json.dumps({"op": "shutdown"})):
+                f.write(raw.encode() + b"\n")
+                f.flush()
+                f.readline()
+        t.join(timeout=30)
+        assert not t.is_alive()
+    finally:
+        ctx.pop("logger").close()  # module-scoped ctx: don't leak the logger
+    recs = [json.loads(line) for line in open(log_path)]
+    assert [r["op"] for r in recs] == ["query", "bad_json", "video_key",
+                                       "shutdown"]
+    assert all(r["event"] == "serve_request" for r in recs)
+    assert recs[0]["ok"] and recs[0]["latency_ms"] > 0
+    assert not recs[1]["ok"] and "bad JSON" in recs[1]["error"]
+    assert not recs[2]["ok"] and "not in the" in recs[2]["error"]
+    assert recs[3]["ok"]
+
+
 def test_retrieve_connect_mode(ctx, capsys):
     """cmhse-retrieve --connect: the CLI queries a RUNNING daemon through
     ServeClient — no checkpoint load, no gallery encode — and refuses
