@@ -117,13 +117,15 @@ def _handle_request(req: dict, ctx: dict) -> dict:
             *text_query_batch(ctx["vocab"], texts, cfg.data.max_sentences,
                               cfg.data.max_words), k=k)
     elif "video_key" in req:
-        from cmhse_tpu.eval.serve import video_query_batch
+        from cmhse_tpu.eval.serve import key_index, video_query_batch
 
         key = req["video_key"]
         # resolve the key across EVERY loaded split — the startup gallery
         # plus any splits ingested live via {"op": "add"} (a just-added
-        # video must be usable as a query, not only as a gallery item)
-        src = next((d for d in ctx["datasets"] if key in d.keys), None)
+        # video must be usable as a query, not only as a gallery item);
+        # key_index is cached per dataset, so this is O(splits) per request
+        src = next((d for d in ctx["datasets"] if key in key_index(d)),
+                   None)
         if src is None:
             return reply({"error": f"video key {key!r} not in the "
                                    f"{ctx['split']} split or any "

@@ -9,6 +9,8 @@ then answer text->video (or video->text) queries with
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -35,6 +37,20 @@ def text_query_batch(vocab, texts: list, max_sentences: int,
     return words, word_len, sent_len
 
 
+def key_index(dataset) -> dict:
+    """Key->row map for a dataset, cached on the instance: serving looks
+    up ONE key per video-query request and must not rebuild an
+    O(gallery)-sized dict each time (invalidated if the key list grows)."""
+    m = getattr(dataset, "_key_to_idx", None)
+    if m is None or len(m) != len(dataset.keys):
+        m = {key: i for i, key in enumerate(dataset.keys)}
+        try:
+            dataset._key_to_idx = m
+        except AttributeError:
+            pass  # slotted/frozen datasets just rebuild per call
+    return m
+
+
 def video_query_batch(dataset, data_cfg, keys: list) -> tuple:
     """Pad dataset examples (looked up by video key) into a query batch for
     :meth:`Retriever.retrieve_video`; shared by ``cmhse-retrieve
@@ -43,7 +59,7 @@ def video_query_batch(dataset, data_cfg, keys: list) -> tuple:
     word the message for their surface)."""
     from cmhse_tpu.data.bucketing import BucketSpec, pad_batch
 
-    key_to_idx = {key: i for i, key in enumerate(dataset.keys)}
+    key_to_idx = key_index(dataset)
     missing = [k for k in keys if k not in key_to_idx]
     if missing:
         raise KeyError(missing)
@@ -55,6 +71,16 @@ def video_query_batch(dataset, data_cfg, keys: list) -> tuple:
     )
     qb = pad_batch([dataset[key_to_idx[k]] for k in keys], spec)
     return qb.frames, qb.frame_len, qb.clip_len
+
+
+@partial(jax.jit, static_argnames="k")
+def _dense_topk(q, gallery, valid, k: int):
+    """Small-gallery serving path: ONE fused jitted program (GEMM +
+    padding mask + top_k), module-level so every Retriever instance (and
+    rebuilt gallery) shares the compile cache."""
+    sims = jnp.dot(q, gallery.T, preferred_element_type=jnp.float32)
+    sims = jnp.where(valid[None, :], sims, -jnp.inf)
+    return jax.lax.top_k(sims, k)
 
 
 def _row_aligned_keys(keys, ids, valid, rows: int) -> list:
@@ -335,6 +361,11 @@ class Retriever:
         return self._search(q, k)
 
     def _search(self, q: Array, k: int) -> tuple[np.ndarray, np.ndarray]:
+        # a per-request k above the construction-time rescore_m must widen
+        # the int8 candidate pool, not crash the request (retrieve()'s
+        # graceful-k contract)
+        rescore_m = (None if self.rescore_m is None
+                     else max(self.rescore_m, k))
         if self.mesh is not None:
             from cmhse_tpu.parallel.eval_sharded import (
                 sharded_sim_topk, sharded_sim_topk_prepared)
@@ -345,7 +376,7 @@ class Retriever:
                 scores, idx = sharded_sim_topk_prepared(
                     q, self._prepared, k, self.mesh,
                     shard_rows=self._prepared_shard_rows,
-                    quantized=self.quantize, rescore_m=self.rescore_m,
+                    quantized=self.quantize, rescore_m=rescore_m,
                 )
             else:
                 scores, idx = sharded_sim_topk(
@@ -358,7 +389,7 @@ class Retriever:
             if (self.quantize and self._prepared is not None
                     and self._prepared.int8_chunks is not None):
                 scores, idx = quantized_sim_topk(
-                    q, self._prepared, k, rescore_m=self.rescore_m)
+                    q, self._prepared, k, rescore_m=rescore_m)
             else:
                 scores, idx = streaming_sim_topk(
                     q, self._prepared if self._prepared is not None
@@ -366,8 +397,5 @@ class Retriever:
                     k, valid=self.gallery_valid
                 )
         else:
-            sims = jnp.dot(q, self.gallery.T,
-                           preferred_element_type=jnp.float32)
-            sims = jnp.where(self.gallery_valid[None, :], sims, -jnp.inf)
-            scores, idx = jax.lax.top_k(sims, k)
+            scores, idx = _dense_topk(q, self.gallery, self.gallery_valid, k)
         return np.asarray(scores), np.asarray(idx)

@@ -273,6 +273,29 @@ def should_stream_topk(n_gallery: int, force: bool | None = None) -> bool:
     return n_gallery >= STREAMING_GALLERY_MIN
 
 
+def _grouped_preselect(sims: Array, kk: int) -> tuple[Array, Array]:
+    """Tie-order-EXACT grouped pre-select epilogue, shared by the exact
+    (:func:`streaming_sim_topk`) and int8 (:func:`quantized_sim_topk`) scan
+    bodies so the subtlety lives in exactly one place: reduce each group of
+    ``sims [Q, ngroups, _GROUP]`` (already -inf-masked) to its max, take
+    the top-``kk`` groups (stable), re-sort the selected group ids
+    ASCENDING — so the gathered candidate row is in ascending column order
+    and the stable final ``top_k`` reproduces dense tie-breaking exactly —
+    then run the real top-k on the ``kk * _GROUP`` candidates.
+
+    Returns ``(scores [Q, kk], local column indices [Q, kk])`` relative to
+    the chunk this sims block came from."""
+    q = sims.shape[0]
+    gmax = jnp.max(sims, axis=2)  # [Q, ngroups]
+    _, gsel = jax.lax.top_k(gmax, kk)
+    gsel = jnp.sort(gsel, axis=1)  # ascending: dense tie order
+    cand = jnp.take_along_axis(sims, gsel[:, :, None], axis=1)
+    cols = gsel[:, :, None] * _GROUP + jnp.arange(_GROUP)[None, None, :]
+    loc_s, sel = jax.lax.top_k(cand.reshape(q, kk * _GROUP), kk)
+    loc_i = jnp.take_along_axis(cols.reshape(q, kk * _GROUP), sel, axis=1)
+    return loc_s, loc_i
+
+
 @functools.partial(jax.jit, static_argnames=("k", "chunk"))
 def streaming_sim_topk(
     queries: Array,
@@ -354,15 +377,7 @@ def streaming_sim_topk(
                 preferred_element_type=jnp.float32,
             )  # [Q, ngroups, _GROUP] — the ONLY similarity block ever made
             sims = jnp.where(v_c[None], sims, -jnp.inf)
-            gmax = jnp.max(sims, axis=2)  # [Q, ngroups]
-            _, gsel = jax.lax.top_k(gmax, kk)
-            gsel = jnp.sort(gsel, axis=1)  # ascending: dense tie order
-            cand = jnp.take_along_axis(sims, gsel[:, :, None], axis=1)
-            cols = (gsel[:, :, None] * _GROUP
-                    + jnp.arange(_GROUP)[None, None, :])
-            loc_s, sel = jax.lax.top_k(cand.reshape(q, kk * _GROUP), kk)
-            loc_i = jnp.take_along_axis(cols.reshape(q, kk * _GROUP), sel,
-                                        axis=1)
+            loc_s, loc_i = _grouped_preselect(sims, kk)
             return None, (loc_s, loc_i + ci * chunk)
     else:
         # narrow chunk (ngroups < 2*kk: pre-select would not shrink the
@@ -476,15 +491,7 @@ def quantized_sim_topk(
                               preferred_element_type=jnp.int32
                               ).astype(jnp.float32) * s_c[None]
             sims = jnp.where(v_c[None], sims, -jnp.inf)
-            gmax = jnp.max(sims, axis=2)
-            _, gsel = jax.lax.top_k(gmax, kk)
-            gsel = jnp.sort(gsel, axis=1)
-            cand = jnp.take_along_axis(sims, gsel[:, :, None], axis=1)
-            cols = (gsel[:, :, None] * _GROUP
-                    + jnp.arange(_GROUP)[None, None, :])
-            _, sel = jax.lax.top_k(cand.reshape(q, kk * _GROUP), kk)
-            loc_i = jnp.take_along_axis(cols.reshape(q, kk * _GROUP), sel,
-                                        axis=1)
+            _, loc_i = _grouped_preselect(sims, kk)
             return None, loc_i + ci * csize
     else:
         g_feed, s_feed, v_feed = g8, s8, v_chunks

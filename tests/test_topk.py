@@ -573,6 +573,16 @@ def test_retriever_quantized_mode(monkeypatch):
     ref_i = np.argsort(-sims, axis=1, kind="stable")[:, :7]
     np.testing.assert_array_equal(qi, ref_i)
 
+    # a per-request k larger than the construction-time rescore_m must
+    # widen the candidate pool (retrieve()'s graceful-k contract), not
+    # crash the request with "rescore_m must be >= k" (review catch)
+    r_small = serve_mod.Retriever(model, state.params, quantize=True,
+                                  rescore_m=2)
+    r_small.build_gallery(batches)
+    qs2, qi2 = r_small.retrieve(b.words, b.word_len, b.sent_len, k=7)
+    assert qi2.shape == (int(b.words.shape[0]), 7)
+    assert (np.diff(qs2, axis=1) <= 1e-6).all()  # scores still descending
+
 
 def test_round_to_bf16_bits_matches_rne():
     """The bit-level rounding helper must reproduce IEEE round-to-nearest-
