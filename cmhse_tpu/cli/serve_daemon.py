@@ -408,15 +408,101 @@ def serve_forever(ctx: dict, sock_path: str | None = None,
             os.unlink(sock_path)
 
 
+def _cache_fingerprint(checkpoint: str, dataset, cfg) -> str:
+    """Freshness key for --gallery_cache: any change to the checkpoint
+    (config.json is rewritten on every best-save), the split's caption or
+    feature files, or the model config invalidates the cache."""
+    import os
+
+    def _mtime(p):
+        try:
+            return os.path.getmtime(p)
+        except OSError:
+            return None
+
+    return json.dumps({
+        "checkpoint": os.path.abspath(checkpoint),
+        "ckpt_mtime": _mtime(os.path.join(checkpoint, "config.json"))
+                      or _mtime(checkpoint),
+        "data_path": os.path.abspath(dataset.data_path),
+        "split": dataset.split,
+        "n": len(dataset),
+        "captions_mtime": _mtime(os.path.join(
+            dataset.data_path, f"{dataset.split}_captions.json")),
+        "features_mtime": _mtime(dataset._h5_path),
+        "flat": dataset.flat,
+        "model_cfg": repr(cfg.model),
+    }, sort_keys=True)
+
+
+def _load_or_encode_gallery(model, params, dataset, cfg,
+                            cache_path: str | None, checkpoint: str):
+    """The startup gallery encode dominates daemon start time at scale;
+    ``--gallery_cache`` extends encode-once/serve-forever across RESTARTS
+    by persisting the encoded tuple, keyed by a freshness fingerprint. A
+    stale or mismatched cache is re-encoded and overwritten, never
+    trusted. bf16 embeddings are stored as (exact) f32 — npz can't carry
+    bf16 — and cast back losslessly on load."""
+    import os
+
+    import numpy as np
+
+    from cmhse_tpu.data import batches_from_dataset
+    from cmhse_tpu.eval.encode import encode_gallery_device
+
+    fp = _cache_fingerprint(checkpoint, dataset, cfg) if cache_path else None
+    if cache_path and os.path.exists(cache_path):
+        try:
+            with np.load(cache_path, allow_pickle=False) as z:
+                if str(z["fingerprint"]) == fp:
+                    import jax.numpy as jnp
+
+                    out = []
+                    for name in ("v", "p"):
+                        a = z[name]
+                        if str(z[f"{name}_dtype"]) == "bfloat16":
+                            a = jnp.asarray(a, dtype=jnp.bfloat16)
+                        out.append(a)
+                    print(f"cmhse-serve: gallery loaded from cache "
+                          f"{cache_path} (encode skipped)")
+                    return (*out, z["valid"], z["ids"])
+            print("cmhse-serve: gallery cache is stale; re-encoding")
+        except Exception as e:  # corrupt cache must not block startup
+            print(f"cmhse-serve: unreadable gallery cache ({e}); "
+                  "re-encoding")
+    encoded = encode_gallery_device(
+        model, params,
+        batches_from_dataset(dataset, cfg.data, shuffle=False),
+        return_ids=True,
+    )
+    if cache_path:
+        v, p, valid, ids = encoded
+        arrs = {}
+        for name, a in (("v", v), ("p", p)):
+            a = np.asarray(a)
+            arrs[f"{name}_dtype"] = str(a.dtype)
+            if a.dtype not in (np.float32, np.float64):
+                a = a.astype(np.float32)  # exact for bf16
+            arrs[name] = a
+        tmp = cache_path + ".tmp"
+        with open(tmp, "wb") as fh:  # file object: savez can't append .npz
+            np.savez(fh, fingerprint=fp, valid=np.asarray(valid),
+                     ids=np.asarray(ids), **arrs)
+        os.replace(tmp, cache_path)  # atomic: a crash never half-writes
+        print(f"cmhse-serve: gallery cached to {cache_path}")
+    return encoded
+
+
 def build_context(checkpoint: str, data_path: str | None, split: str,
                   vocab_path: str | None = None, sharded: bool = False,
                   quantized: bool = False,
-                  rescore_m: int | None = None) -> dict:
-    """Load the checkpoint, encode the video-side gallery, and assemble the
-    request-handling context (the text-side gallery for video->paragraph
-    queries is built lazily on first use)."""
-    from cmhse_tpu.data import (PrecompDataset, Vocabulary,
-                                batches_from_dataset)
+                  rescore_m: int | None = None,
+                  gallery_cache: str | None = None) -> dict:
+    """Load the checkpoint, encode the video-side gallery (or restore it
+    from ``gallery_cache``), and assemble the request-handling context
+    (the text-side gallery for video->paragraph queries is built lazily
+    on first use)."""
+    from cmhse_tpu.data import PrecompDataset, Vocabulary
     from cmhse_tpu.data.vocab import find_vocab
     from cmhse_tpu.eval.serve import Retriever
     from cmhse_tpu.train.checkpoint import restore_for_eval
@@ -433,15 +519,10 @@ def build_context(checkpoint: str, data_path: str | None, split: str,
 
         mesh = make_mesh((-1,), ("data",))
 
-    from cmhse_tpu.eval.encode import encode_gallery_device
-
     # ONE encode pass yields both modalities; the text-side Retriever
     # (video->paragraph queries) is built lazily from the same tuple
-    encoded = encode_gallery_device(
-        model, params,
-        batches_from_dataset(dataset, cfg.data, shuffle=False),
-        return_ids=True,
-    )
+    encoded = _load_or_encode_gallery(model, params, dataset, cfg,
+                                      gallery_cache, checkpoint)
     retriever = Retriever(model, params, mesh=mesh, quantize=quantized,
                           rescore_m=rescore_m)
     retriever.build_gallery(side="video", encoded=encoded)
@@ -491,6 +572,11 @@ def main(argv=None) -> int:
                    help="two-stage int8 serving (million-row galleries)")
     p.add_argument("--rescore_m", type=int, default=None)
     p.add_argument("--vocab_path", default=None)
+    p.add_argument("--gallery_cache", default=None, metavar="PATH",
+                   help="persist the startup gallery encode to this .npz "
+                        "and reuse it on restart while the checkpoint and "
+                        "split files are unchanged (encode-once across "
+                        "restarts)")
     p.add_argument("--log_jsonl", default=None, metavar="PATH",
                    help="append one JSONL record per request (op, ok, "
                         "latency_ms, ...) — the serving counterpart of the "
@@ -529,7 +615,8 @@ def main(argv=None) -> int:
         ctx = build_context(args.checkpoint, args.data_path, args.split,
                             vocab_path=args.vocab_path, sharded=args.sharded,
                             quantized=args.quantized,
-                            rescore_m=args.rescore_m)
+                            rescore_m=args.rescore_m,
+                            gallery_cache=args.gallery_cache)
         if args.warm:
             # one throwaway request per direction: triggers the lazy
             # text-side gallery build and jit-compiles both query paths;

@@ -24,15 +24,16 @@ FEAT = 8
 VAL_KEYS = [f"v_val{i:03d}" for i in range(8)]
 
 
-@pytest.fixture(scope="module")
-def ctx(tmp_path_factory):
-    root = tmp_path_factory.mktemp("servedata")
-    write_reference_dataset(str(root), n_train=6, n_val=8, feat_dim=FEAT)
+def _fixture_run(tmp_path_factory, tag: str, n_train: int = 6):
+    """Reference-layout data dir + saved checkpoint for daemon tests;
+    returns (root, ckpt_dir)."""
+    root = tmp_path_factory.mktemp(f"servedata_{tag}")
+    write_reference_dataset(str(root), n_train=n_train, n_val=8,
+                            feat_dim=FEAT)
     caps = json.load(open(root / "train_captions.json"))
     vocab = build_vocab(
         [s for c in caps.values() for s in c["sentences"]], threshold=1)
     vocab.save(str(root / "vocab.json"))
-
     cfg = ExperimentConfig(
         data=DataConfig(data_path=str(root), batch_size=4, feat_dim=FEAT,
                         vocab_size=len(vocab) + 8, max_clips=3, max_frames=6,
@@ -43,10 +44,16 @@ def ctx(tmp_path_factory):
     ds = PrecompDataset(str(root), "val", vocab, feat_dim=FEAT)
     b0 = next(iter(batches_from_dataset(ds, cfg.data, shuffle=False)))
     state = create_train_state(cfg, jax.random.PRNGKey(0), b0)
-    ckpt_dir = str(tmp_path_factory.mktemp("serveckpt"))
+    ckpt_dir = str(tmp_path_factory.mktemp(f"serveckpt_{tag}"))
     mgr = CheckpointManager(ckpt_dir, cfg)
     mgr.save(state, epoch=0, best_rsum=0.0, is_best=True)
     mgr.close()
+    return root, ckpt_dir
+
+
+@pytest.fixture(scope="module")
+def ctx(tmp_path_factory):
+    root, ckpt_dir = _fixture_run(tmp_path_factory, "main")
     return serve_daemon.build_context(ckpt_dir, str(root), "val")
 
 
@@ -438,6 +445,54 @@ def test_serve_client(ctx, tmp_path):
 
     with pytest.raises(ValueError):
         ServeClient()
+
+
+def test_gallery_cache(tmp_path_factory, tmp_path, monkeypatch):
+    """--gallery_cache: the second startup reuses the persisted encode
+    (proved by making re-encoding fail loudly), results are identical
+    through both directions, and touching a split input invalidates it."""
+    import os
+    import time
+
+    import cmhse_tpu.eval.encode as enc_mod
+
+    root, ckpt_dir = _fixture_run(tmp_path_factory, "cache")
+    cache = str(tmp_path / "gallery.npz")
+    q = {"query": "a man runs", "k": 3}
+
+    ctx1 = serve_daemon.build_context(ckpt_dir, str(root), "val",
+                                      gallery_cache=cache)
+    r1 = serve_daemon._handle_request(q, ctx1)
+    v1 = serve_daemon._handle_request({"video_key": "v_val000", "k": 3},
+                                      ctx1)
+    assert os.path.exists(cache)
+
+    with monkeypatch.context() as m:
+        m.setattr(enc_mod, "encode_gallery_device",
+                  lambda *a, **k: pytest.fail("re-encoded a fresh cache"))
+        ctx2 = serve_daemon.build_context(ckpt_dir, str(root), "val",
+                                          gallery_cache=cache)
+        r2 = serve_daemon._handle_request(q, ctx2)
+        # the lazily-built text side comes from the cached tuple too
+        v2 = serve_daemon._handle_request(
+            {"video_key": "v_val000", "k": 3}, ctx2)
+    assert r1["results"] == r2["results"]
+    assert v1["results"] == v2["results"]
+
+    # touching a split input invalidates the fingerprint -> re-encode
+    caps = os.path.join(str(root), "val_captions.json")
+    later = time.time() + 30
+    os.utime(caps, (later, later))
+    ctx3 = serve_daemon.build_context(ckpt_dir, str(root), "val",
+                                      gallery_cache=cache)
+    assert serve_daemon._handle_request(q, ctx3)["results"] == r1["results"]
+
+    # a corrupt cache file must re-encode, not block startup
+    with open(cache, "wb") as f:
+        f.write(b"not an npz")
+    ctx4 = serve_daemon.build_context(ckpt_dir, str(root), "val",
+                                      gallery_cache=cache)
+    assert serve_daemon._handle_request(q, ctx4)["results"] == r1["results"]
 
 
 def test_daemon_access_log(ctx, tmp_path):
