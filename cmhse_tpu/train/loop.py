@@ -121,7 +121,11 @@ def fit(
             "fit(use_mesh=False) is single-process only: multi-host batch "
             "placement and validation both need the global mesh"
         )
-    logger = JsonlLogger(os.path.join(cfg.train.checkpoint_dir, "log.jsonl"))
+    # multi-host: log.jsonl lives on shared storage next to the checkpoints
+    # — one writer suffices (same policy as checkpoint.py's config.json
+    # guard); other processes get a no-op logger instead of racing appends
+    logger = JsonlLogger(os.path.join(cfg.train.checkpoint_dir, "log.jsonl"),
+                         enabled=jax.process_index() == 0)
     ckpt = CheckpointManager(cfg.train.checkpoint_dir, cfg)
     model = CMHSE(cfg=cfg.model, vocab_size=cfg.data.vocab_size)
 
@@ -131,7 +135,7 @@ def fit(
                                             shuffle=False,
                                             fixed_shape=True)))
     rng = jax.random.PRNGKey(cfg.train.seed)
-    state = create_train_state(cfg, rng, sample)
+    state = create_train_state(cfg, rng, sample, model=model)
 
     if cfg.data.word2vec_path:
         # reference recipe: overwrite the random embedding table with
@@ -155,12 +159,18 @@ def fit(
 
     start_epoch, best_rsum, start_groups = 0, -np.inf, 0
     if cfg.train.resume:
-        resume_mgr = (
-            ckpt if os.path.abspath(cfg.train.resume)
-            == os.path.abspath(cfg.train.checkpoint_dir)
+        def _norm(p):  # expanduser like checkpoint.py's _abs: '~/run' and
+            return os.path.abspath(os.path.expanduser(p))  # its expansion
+        resume_mgr = (                                     # are the SAME dir
+            ckpt if _norm(cfg.train.resume) == _norm(cfg.train.checkpoint_dir)
             else CheckpointManager(cfg.train.resume)
         )
-        state, start_epoch, best_rsum, start_groups = resume_mgr.restore(state)
+        try:
+            state, start_epoch, best_rsum, start_groups = \
+                resume_mgr.restore(state)
+        finally:
+            if resume_mgr is not ckpt:
+                resume_mgr.close()  # join its orbax thread; ckpt lives on
         pos = f" (+{start_groups} dispatch groups)" if start_groups else ""
         print(f"resumed from {cfg.train.resume} at epoch {start_epoch}{pos}, "
               f"best_rsum {best_rsum:.2f}")
@@ -250,6 +260,8 @@ def _fit_epochs(cfg, train_dataset, val_dataset, mesh, model, state, ckpt,
                   f"dispatch groups of epoch {epoch}")
             logger.log("resume_mid_epoch", epoch=epoch, groups=skipped)
         groups = _grouped_host_batches(group_tuples, spd)
+        last_val_step = -1  # skip the end-of-epoch re-validation when the
+        # val_step boundary already validated on the final dispatch group
         for n_steps, group_pairs, batch in _prefetch(groups, mesh, spd):
             if spd > 1:
                 state, metrics = train_steps(state, batch, cfg.loss)
@@ -259,7 +271,9 @@ def _fit_epochs(cfg, train_dataset, val_dataset, mesh, model, state, ckpt,
             groups_done += 1
             prev_step, global_step = global_step, global_step + n_steps
 
-            if global_step // cfg.train.log_step > prev_step // cfg.train.log_step:
+            if (cfg.train.log_step > 0  # 0 = disabled, like val/snapshot
+                    and global_step // cfg.train.log_step
+                    > prev_step // cfg.train.log_step):
                 means = {k: float(np.mean(np.asarray(v)))
                          for k, v in metrics.items()}
                 for k, v in means.items():
@@ -279,6 +293,7 @@ def _fit_epochs(cfg, train_dataset, val_dataset, mesh, model, state, ckpt,
                     cfg, model, state, val_dataset, mesh, ckpt, logger,
                     epoch, best_rsum, groups_done=groups_done,
                 )
+                last_val_step = global_step
 
             if (
                 cfg.train.snapshot_step > 0
@@ -311,8 +326,11 @@ def _fit_epochs(cfg, train_dataset, val_dataset, mesh, model, state, ckpt,
                    pairs_per_sec=n_pairs / max(dt, 1e-9))
 
         # end-of-epoch validation + checkpoint; epoch+1 = next epoch to run
-        # on resume (reference saves {'epoch': epoch + 1, ...})
-        if val_dataset is not None:
+        # on resume (reference saves {'epoch': epoch + 1, ...}). When the
+        # val_step boundary already validated these exact params on the
+        # final group, only the epoch marker is (re)saved — a second full
+        # validation pass would be pure wasted wall-clock.
+        if val_dataset is not None and global_step != last_val_step:
             best_rsum = _validate_and_save(
                 cfg, model, state, val_dataset, mesh, ckpt, logger,
                 epoch + 1, best_rsum,
@@ -338,7 +356,17 @@ def _validate_and_save(cfg, model, state, val_dataset, mesh, ckpt, logger,
                                mesh=mesh)
     print(format_table(metrics))
     logger.log("validate", epoch=epoch, step=int(state.step), **metrics)
-    rsum = metrics["rsum"]
+    rsum = float(metrics["rsum"])
+    if not np.isfinite(rsum):
+        # diverged validation: Python max(NaN, x) returns NaN, which would
+        # poison best_rsum forever (every later 'rsum > NaN' is False, then
+        # max() RESETS the best to whatever follows) — keep the tracked
+        # best and the best/ dir untouched instead
+        print(f"warning: non-finite validation rsum ({rsum}); best "
+              "checkpoint left unchanged")
+        ckpt.save(state, epoch=epoch, best_rsum=float(best_rsum),
+                  is_best=False, groups_done=groups_done)
+        return best_rsum
     is_best = rsum > best_rsum
     ckpt.save(state, epoch=epoch, best_rsum=float(max(rsum, best_rsum)),
               is_best=is_best, groups_done=groups_done)

@@ -49,9 +49,14 @@ def make_optimizer(cfg: ExperimentConfig) -> optax.GradientTransformation:
 
 
 def create_train_state(
-    cfg: ExperimentConfig, rng: jax.Array, sample_batch: Batch
+    cfg: ExperimentConfig, rng: jax.Array, sample_batch: Batch,
+    model: CMHSE | None = None
 ) -> TrainState:
-    model = CMHSE(cfg=cfg.model, vocab_size=cfg.data.vocab_size)
+    """``model``: pass an existing CMHSE instance so the caller's module
+    and the state's ``apply_fn`` are ONE object (fit() validates through
+    the module it passes here); built from cfg when omitted."""
+    if model is None:
+        model = CMHSE(cfg=cfg.model, vocab_size=cfg.data.vocab_size)
     params = model.init(rng, sample_batch)["params"]
     tx = make_optimizer(cfg)
     opt_state = tx.init(params)

@@ -54,13 +54,22 @@ class JsonlLogger:
     """Append-only JSONL event log next to the checkpoints, with optional
     TensorBoard scalars (the reference used ``tensorboard_logger``; here TB
     is best-effort — enabled when a SummaryWriter implementation is
-    importable, silently skipped otherwise)."""
+    importable, silently skipped otherwise).
 
-    def __init__(self, path: str, tensorboard: bool = True) -> None:
-        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    ``enabled=False`` makes every method a no-op WITHOUT opening the file —
+    on a multi-host pod the log lives on shared storage and only process 0
+    may write it (N appending writers tear/duplicate records)."""
+
+    def __init__(self, path: str, tensorboard: bool = True,
+                 enabled: bool = True) -> None:
+        self.enabled = enabled
         self.path = path
-        self._fh = open(path, "a", buffering=1)
+        self._fh = None
         self._tb = None
+        if not enabled:
+            return
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        self._fh = open(path, "a", buffering=1)
         if tensorboard:
             try:
                 from torch.utils.tensorboard import SummaryWriter
@@ -86,6 +95,8 @@ class JsonlLogger:
         return str(v)
 
     def log(self, event: str, **fields) -> None:
+        if not self.enabled:
+            return
         rec = {"t": time.time(), "event": event, **fields}
         self._fh.write(json.dumps(rec, default=self._jsonable) + "\n")
         if self._tb is not None:
@@ -97,4 +108,5 @@ class JsonlLogger:
     def close(self) -> None:
         if self._tb is not None:
             self._tb.close()
-        self._fh.close()
+        if self._fh is not None:
+            self._fh.close()

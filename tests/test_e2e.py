@@ -40,6 +40,68 @@ def _ds(n, seed=0):
                                         max_frames=6, max_words=6, seed=seed)
 
 
+def test_fit_log_step_zero_means_disabled(tmp_path):
+    # 0 means "disabled" for val_step and snapshot_step; log_step must
+    # follow the same convention, not divide by zero on the first group
+    cfg = _cfg(tmp_path, epochs=1)
+    cfg = cfg.replace(
+        train=cfg.train.__class__(
+            **{**cfg.train.__dict__, "log_step": 0}))
+    state, _ = fit(cfg, _ds(16), None)
+    assert int(state.step) == 2
+
+
+def test_fit_skips_duplicate_end_of_epoch_validation(tmp_path, monkeypatch):
+    """When the val_step boundary lands on the epoch's FINAL dispatch group,
+    the end-of-epoch pass must not re-validate the identical params (it
+    still writes the epoch+1 resume marker)."""
+    import cmhse_tpu.train.loop as loop_mod
+
+    calls = []
+    real = loop_mod.validate_metrics
+
+    def counting(*a, **kw):
+        calls.append(1)
+        return real(*a, **kw)
+
+    monkeypatch.setattr(loop_mod, "validate_metrics", counting)
+    # 16 train examples / batch 8 = 2 steps per epoch; val_step=2 fires on
+    # the final group of every epoch
+    cfg = _cfg(tmp_path, epochs=2)
+    cfg = cfg.replace(
+        train=cfg.train.__class__(
+            **{**cfg.train.__dict__, "val_step": 2}))
+    state, best = fit(cfg, _ds(16), _ds(8, seed=1))
+    assert len(calls) == 2  # one per epoch, not two
+    assert np.isfinite(best)
+    # the epoch marker still advanced for resume
+    b0 = next(iter(batches_from_dataset(_ds(16), cfg.data, shuffle=False)))
+    mgr = CheckpointManager(cfg.train.checkpoint_dir, cfg)
+    _, epoch, _, _ = mgr.restore(
+        create_train_state(cfg, jax.random.PRNGKey(0), b0))
+    mgr.close()
+    assert epoch == 2
+
+
+def test_validate_nan_rsum_never_poisons_best(tmp_path, monkeypatch):
+    """A diverged validation (NaN rsum) must leave best_rsum and the best/
+    checkpoint untouched: max(NaN, x) is NaN in Python and would otherwise
+    disable best-tracking for the rest of the run."""
+    import cmhse_tpu.train.loop as loop_mod
+
+    seq = iter([float("nan"), 100.0, 50.0])
+
+    def fake_metrics(*a, **kw):
+        r = next(seq)
+        return {"rsum": r, "v2p_r1": 0.0, "p2v_r1": 0.0}
+
+    monkeypatch.setattr(loop_mod, "validate_metrics", fake_metrics)
+    monkeypatch.setattr(loop_mod, "format_table", lambda m: str(m))
+    cfg = _cfg(tmp_path, epochs=3)
+    state, best = fit(cfg, _ds(16), _ds(8, seed=1))
+    assert best == 100.0  # NaN neither became best nor erased the real one
+
+
 def test_fit_rejects_indivisible_batch_early(tmp_path):
     # batch_size 6 cannot shard over the 8-device data mesh; fit() must say
     # so up front (with the fix spelled out), not as an opaque pjit error

@@ -50,6 +50,18 @@ def test_jsonl_logger_tensorboard(tmp_path):
         assert (tmp_path / "tb").exists()
 
 
+def test_jsonl_logger_disabled_is_total_noop(tmp_path):
+    """enabled=False (non-zero processes on a pod — the log lives on shared
+    storage and only process 0 writes it) must not even create the file."""
+    from cmhse_tpu.utils.logging import JsonlLogger
+
+    path = tmp_path / "nolog" / "log.jsonl"
+    lg = JsonlLogger(str(path), enabled=False)
+    lg.log("train_step", step=1, loss=0.5)
+    lg.close()
+    assert not path.exists() and not path.parent.exists()
+
+
 def test_timer_and_throughput():
     with Timer() as t:
         sum(range(1000))
