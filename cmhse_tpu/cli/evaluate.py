@@ -37,8 +37,14 @@ def main(argv=None) -> int:
 
     mesh = None
     if args.sharded:
-        from cmhse_tpu.parallel.mesh import make_mesh
+        from cmhse_tpu.parallel.mesh import (make_mesh,
+                                             maybe_initialize_distributed)
 
+        # on a pod, skipping this leaves jax.process_count() == 1 on every
+        # host: each would then load the FULL split, mesh only its local
+        # devices, and every host would pass the one-writer dump gate —
+        # same call the train CLI makes (cli/train.py)
+        maybe_initialize_distributed()
         mesh = make_mesh((-1,), ("data",))
 
     ks = tuple(int(k) for k in args.ks.split(","))

@@ -39,11 +39,16 @@ def export_checkpoint(
     from cmhse_tpu.train.checkpoint import restore_for_eval
 
     out_path = os.path.abspath(out_path)
-    if not out_path.endswith((".npz", ".pth", ".pt", ".tar")):
-        # fail on the typo BEFORE the (expensive) checkpoint restore
+    if not out_path.endswith((".npz", ".pth", ".pt", ".pth.tar")):
+        # fail on the typo BEFORE the (expensive) checkpoint restore; a
+        # bare .tar would be torch.save bytes masquerading as a tar archive
         raise ValueError(
             f"unsupported output extension on {out_path!r} "
             "(use .pth/.pth.tar/.pt or .npz)")
+    if not out_path.endswith(".npz"):
+        # same fail-early rule for the torch dependency: a torch-free host
+        # should find out before the restore, not after
+        import torch  # noqa: F401
 
     _, params, _ = restore_for_eval(checkpoint_dir)
     sd = state_dict_from_model_params(

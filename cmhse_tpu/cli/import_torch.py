@@ -103,10 +103,16 @@ def import_checkpoint(
     else:
         # flat models consume the WHOLE video as one clip / paragraph as one
         # sentence: the default 64-frame/32-word caps would silently
-        # truncate at eval — use the flat preset's caps (config.py)
+        # truncate at eval — take the caps FROM the flat preset so a future
+        # preset bump propagates here instead of leaving stale literals
+        from cmhse_tpu.config import get_preset
+
+        flat_caps = get_preset("flat_anet_subset").data
         data_cfg = DataConfig(vocab_size=vocab_size, feat_dim=mcfg.feat_dim,
-                              max_clips=1, max_sentences=1,
-                              max_frames=128, max_words=96)
+                              max_clips=flat_caps.max_clips,
+                              max_sentences=flat_caps.max_sentences,
+                              max_frames=flat_caps.max_frames,
+                              max_words=flat_caps.max_words)
     cfg = ExperimentConfig(
         name="imported",
         data=data_cfg,

@@ -126,6 +126,12 @@ def validate_metrics(
                 "score each process's local slice as if it were the whole "
                 "split; pass the global mesh"
             )
+        if mode != "query":
+            # mode selects HOW the sharded evaluator splits work across the
+            # mesh; without a mesh there is nothing to select — say so
+            # instead of silently running the default path
+            print(f"validate_metrics: mode={mode!r} is a sharded-eval knob "
+                  "and has no effect without a mesh (pass --sharded)")
         from cmhse_tpu.eval.encode import encode_gallery_device
 
         video_embs, para_embs, valid = encode_gallery_device(
@@ -203,6 +209,16 @@ def evalrank(
     from cmhse_tpu.data import PrecompDataset, Vocabulary, batches_from_dataset
     from cmhse_tpu.data.vocab import find_vocab
 
+    if dump_ranks is not None:
+        # fail on an unwritable dump path BEFORE the (possibly hours-long)
+        # encode; create missing parent dirs, probe without truncating
+        import os
+
+        parent = os.path.dirname(os.path.abspath(dump_ranks))
+        os.makedirs(parent, exist_ok=True)
+        with open(dump_ranks, "a"):
+            pass
+
     model, params, cfg = restore_for_eval(checkpoint_path)
     data_path = data_path or cfg.data.data_path
     vocab = Vocabulary.load(find_vocab(data_path))
@@ -224,6 +240,8 @@ def evalrank(
     out = validate_metrics(model, params, batches, ks=ks, mesh=mesh,
                            mode=mode, streaming=streaming,
                            return_ranks=dump_ranks is not None)
+    # table FIRST: a dump-write failure must not also lose the metrics
+    print(format_table(out[0] if dump_ranks is not None else out, ks))
     if dump_ranks is not None:
         import json
 
@@ -244,5 +262,4 @@ def evalrank(
             print(f"wrote {len(v2p)} per-query ranks to {dump_ranks}")
     else:
         metrics = out
-    print(format_table(metrics, ks))
     return metrics

@@ -177,8 +177,13 @@ def infer_model_structure(state_dict: dict, prefix_map: dict | None = None) -> d
     pm = dict(DEFAULT_PREFIX_MAP)
     if prefix_map:
         pm.update(prefix_map)
-    emb = state_dict[f"{pm['word_embedding']}.weight"]
-    w_ih = state_dict[f"{pm['video_low']}.gru.weight_ih_l0"]
+    # non-destructive _pop_required: same guided error (naming --prefix_map
+    # and the keys actually present) instead of a bare KeyError
+    emb = _pop_required(dict(state_dict), f"{pm['word_embedding']}.weight",
+                        pm["word_embedding"])
+    w_ih = _pop_required(dict(state_dict),
+                         f"{pm['video_low']}.gru.weight_ih_l0",
+                         pm["video_low"])
     hidden, feat_dim = w_ih.shape[0] // 3, w_ih.shape[1]
     bidirectional = (
         f"{pm['video_low']}.gru.weight_ih_l0_reverse" in state_dict
@@ -233,7 +238,8 @@ def model_params_from_state_dict(
     sd = dict(state_dict)  # consumed destructively to track leftovers
     params: dict = {
         "word_embedding": embedding_params_from_torch(
-            sd.pop(f"{pm['word_embedding']}.weight")
+            _pop_required(sd, f"{pm['word_embedding']}.weight",
+                          pm["word_embedding"])
         ),
         "video_low": _encoder_from_flat(sd, pm["video_low"]),
         "text_low": _encoder_from_flat(sd, pm["text_low"]),
