@@ -171,6 +171,44 @@ sk_s, sk_i = jax.jit(
 assert (np.asarray(dk_i) == np.asarray(sk_i)).all(), "topk idx mismatch"
 print("streaming top-k OK", flush=True)
 
+# 4e) prepared-gallery serving forms on hardware: prepare (bf16 chunk
+# storage kicks in on TPU only, so CPU tests never see this dtype path),
+# append, and the opt-in int8 two-stage mode. The dense reference uses the
+# SAME bf16 rows the prepared path stores, so index parity is exact.
+from cmhse_tpu.ops.topk import (append_to_prepared, prepare_topk_gallery,
+                                quantized_sim_topk)
+pg = prepare_topk_gallery(gk[:4000], quantize=True)
+pg = append_to_prepared(pg, gk[4000:], n_existing=4000)
+assert pg.chunks.dtype == jnp.bfloat16, "TPU prepare must store bf16 chunks"
+gk_store = gk.astype(jnp.bfloat16)  # what prepare/append stored
+dense_bf = jnp.dot(qk.astype(jnp.bfloat16), gk_store.T,
+                   preferred_element_type=jnp.float32)
+dref_s, dref_i = jax.jit(lambda s: jax.lax.top_k(s, 10))(dense_bf)
+pk_s, pk_i = jax.jit(lambda q, p: streaming_sim_topk(q, p, 10))(qk, pg)
+assert (np.asarray(dref_i) == np.asarray(pk_i)).all(), \
+    "prepared+appended topk idx mismatch"
+qk_s, qk_i = quantized_sim_topk(qk, pg, 10)
+agree = float((np.asarray(qk_i) == np.asarray(pk_i)).mean())
+print(f"prepared/append top-k OK; int8 two-stage index agreement {agree:.4f}",
+      flush=True)
+# int8 capture is probabilistic by design (see quantized_sim_topk); random
+# unit-ish vectors measured bit-identical at 1M rows — at 5k anything
+# below near-total agreement means the rescore pool is broken
+assert agree > 0.99, "int8 two-stage diverged far beyond rounding"
+
+# 4f) sorted-segment-sum embedding backward vs plain-gather autodiff on
+# hardware (the custom VJP reorders the f32 accumulation; production table
+# dtype is f32 so parity is tight)
+from cmhse_tpu.models.encoders import embedding_lookup
+tbl = jnp.asarray(rng.randn(5000, 300).astype(np.float32))
+ids = jnp.asarray(rng.randint(0, 5000, (64, 40)).astype(np.int32))
+cot = jnp.asarray(rng.randn(64, 40, 300).astype(np.float32))
+g_fast = jax.jit(jax.grad(lambda t: jnp.vdot(embedding_lookup(t, ids), cot)))(tbl)
+g_ref = jax.jit(jax.grad(lambda t: jnp.vdot(jnp.take(t, ids, axis=0), cot)))(tbl)
+emb_err = float(jnp.abs(g_fast - g_ref).max())
+print(f"embedding backward max err: {emb_err:.2e}", flush=True)
+assert emb_err < 1e-4, "segment-sum embedding backward diverged"
+
 # 5) one real train step with the pallas loss AND the pallas GRU kernels at
 # production-ish shape (bf16 mixed precision, like real training)
 from cmhse_tpu.config import DataConfig, ExperimentConfig, LossConfig, ModelConfig
