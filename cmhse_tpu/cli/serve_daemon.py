@@ -31,6 +31,24 @@ program) but interleaving is scheduler-picked — don't split
 order-dependent requests (add, then queries expecting it) over two
 connections. Pass several queries in one request's "query" LIST to batch
 the GEMM.
+
+The one exception to cross-connection serialization: an {"op": "add"}'s
+ENCODE phase runs outside the request lock (a production-sized ingest is
+seconds-to-minutes of device time; holding the lock would stall every
+other connection's queries for the duration). Queries racing an in-flight
+add are answered against the OLD gallery — exactly the cross-connection
+ordering contract above; the add's commit (key table + gallery append) is
+atomic under the lock. Concurrent adds serialize on a separate ingest
+lock.
+
+Trust model: there is NO authentication by default — run on a unix socket
+(filesystem permissions are the access control) or a loopback/firewalled
+TCP address. Anyone who can reach the port can query, mutate the gallery,
+and shut the daemon down. For shared networks pass --auth_token TOKEN:
+every request must then carry {"token": TOKEN} (constant-time compare;
+failures get {"error": "unauthorized"} and no side effects). The "add"
+op opens server-side files: its "data_path" is confined to the startup
+--data_path root unless the daemon was started with --allow_any_path.
 """
 
 from __future__ import annotations

