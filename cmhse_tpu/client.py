@@ -36,13 +36,17 @@ class ServeClient:
     Exactly one of ``socket_path`` (AF_UNIX) / ``tcp=(host, port)``.
     ``timeout`` bounds every request's round-trip (None = wait forever —
     note a cold daemon's first video query may encode the whole text-side
-    gallery unless it was started with ``--warm``)."""
+    gallery unless it was started with ``--warm``).
+    ``token``: attached to every request, for daemons started with
+    ``--auth_token``."""
 
     def __init__(self, socket_path: str | None = None,
                  tcp: tuple[str, int] | None = None,
-                 timeout: float | None = None):
+                 timeout: float | None = None,
+                 token: str | None = None):
         if (socket_path is None) == (tcp is None):
             raise ValueError("pass exactly one of socket_path / tcp")
+        self._token = token
         if socket_path is not None:
             self._sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
             self._sock.settimeout(timeout)
@@ -57,6 +61,8 @@ class ServeClient:
         """Send one raw request object, return the raw reply; raises
         :class:`ServeError` on an error reply and ``ConnectionError`` if
         the daemon hung up."""
+        if self._token is not None and "token" not in req:
+            req = {**req, "token": self._token}
         self._file.write(json.dumps(req).encode() + b"\n")
         self._file.flush()
         line = self._file.readline()
@@ -93,6 +99,12 @@ class ServeClient:
         """Tombstone videos by key in both directions; returns the number
         of rows actually removed (unknown keys are ignored)."""
         return self.request({"op": "remove", "keys": list(keys)})["removed"]
+
+    def compact(self) -> dict:
+        """Force a gallery compaction (reclaim tombstoned rows) in both
+        directions; returns {"compacted": rows_reclaimed, ...}. The daemon
+        also auto-compacts after removes per its --compact_threshold."""
+        return self.request({"op": "compact"})
 
     # -- admin ---------------------------------------------------------------
 

