@@ -23,9 +23,32 @@ import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
 
-# persistent compile cache: repeated suite runs skip recompiles
+# persistent compile cache: repeated suite runs skip recompiles. The CPU
+# cache dir is FINGERPRINTED by host CPU features: the cache key does not
+# include them, and this repo's rounds run on varying hosts — loading an
+# XLA:CPU AOT blob compiled for a different feature set SEGFAULTED the
+# suite (cpu_aot_loader warns "could lead to execution errors such as
+# SIGILL", then test_train_dp died in backend_compile_and_load). TPU
+# (axon) entries keep the flat .jax_cache root — they execute on the
+# device, not the host.
+
+
+def _host_cpu_fingerprint() -> str:
+    import hashlib
+    import platform
+
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next((l for l in f if l.startswith("flags")), "")
+    except OSError:
+        pass
+    return hashlib.md5(
+        (platform.machine() + flags).encode()).hexdigest()[:12]
+
+
 _cache_dir = os.path.join(os.path.dirname(os.path.dirname(__file__)),
-                          ".jax_cache")
+                          ".jax_cache", f"cpu-{_host_cpu_fingerprint()}")
 os.makedirs(_cache_dir, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -34,3 +57,35 @@ assert jax.devices()[0].platform == "cpu", (
     "tests must run on the virtual CPU mesh, got " + repr(jax.devices())
 )
 assert jax.device_count() == 8, jax.devices()
+
+# vm.max_map_count guard: every XLA:CPU executable mmaps its code pages and
+# the full suite compiles thousands of programs, so one pytest process
+# accumulates memory mappings monotonically. On this image the kernel limit
+# is 65530 (/proc/sys/vm/max_map_count); the suite SEGFAULTED inside
+# backend_compile_and_load at ~94% with the map count measured at exactly
+# 65531 (maps-monitor trace, r4 diagnosis). Dropping jax's executable
+# caches unmaps the compiled code; the persistent compile cache above makes
+# the later recompiles cheap. Threshold 40k leaves headroom for the largest
+# single-test growth observed (~3k maps).
+
+_MAPS_SOFT_LIMIT = 40_000
+
+
+def _map_count() -> int:
+    try:
+        with open("/proc/self/maps", "rb") as f:
+            return f.read().count(b"\n")
+    except OSError:
+        return 0
+
+
+def pytest_runtest_teardown(item, nextitem):
+    n = _map_count()
+    if n >= _MAPS_SOFT_LIMIT:
+        import gc
+        import sys
+
+        jax.clear_caches()
+        gc.collect()
+        print(f"\n[conftest] map count {n} >= {_MAPS_SOFT_LIMIT}: cleared "
+              f"jax caches -> {_map_count()} maps", file=sys.stderr)
