@@ -26,7 +26,7 @@ what the parity tests pin (SURVEY.md section 4 item 4).
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -100,8 +100,58 @@ def sharded_ranks(
         per-device ``[Q, N/ndev]`` similarity block never reaches HBM.
         None = auto (TPU and per-device gallery >= STREAMING_GALLERY_MIN).
 
-    Returns: ``[N]`` int32 ranks (same values as the single-device path).
+    Returns: ``[N]`` int32 ranks (same values as the single-device path),
+    fully REPLICATED over the mesh — every process of a multi-host run can
+    ``np.asarray`` the result directly.
+
+    The whole computation (pad -> positive scores -> shard_map counting ->
+    slice) compiles into ONE program, cached per (mesh, mode, stream,
+    shapes): launching it is a single SPMD dispatch. The first version of
+    this function ran the padding/positive-score/slice steps as ~10 EAGER
+    ops on global arrays; on a multi-process (gloo) run every such op is
+    its own collective program launch with its own rendezvous — measured
+    at multi-second latency per op in the 2-process CPU test, and worse,
+    re-tracing fresh ``shard_map`` objects per call defeated the in-memory
+    executable cache. One cached program fixes both.
     """
+    ndev = mesh.shape[axis]
+    n = int(v_emb.shape[0])
+    npad = n + ((-n) % ndev)
+    stream = should_stream(npad, streaming)
+    program = _ranks_program(mesh, axis, mode, stream, valid is not None)
+    # inputs only need to LIVE on the mesh (single-device-COMMITTED arrays —
+    # anything downstream of orbax-restored params — would otherwise crash
+    # the program; see _on_mesh). Resharding to each stage's specs happens
+    # inside the compiled program.
+    args = _on_mesh(mesh, (v_emb, P(None, None)), (p_emb, P(None, None)))
+    if valid is not None:
+        args += _on_mesh(mesh, (valid, P(None)))
+    return program(*args)
+
+
+@lru_cache(maxsize=None)
+def _ranks_program(mesh, axis: str, mode: str, stream: bool,
+                   has_valid: bool):
+    """Compiled-program cache for :func:`sharded_ranks`: one jitted
+    (replicated-output) program per (mesh, axis, mode, stream, has_valid);
+    jax retraces internally per concrete shape. Keeping the program object
+    alive across calls is what lets repeated validations reuse the
+    executable instead of re-tracing a fresh ``shard_map`` every time."""
+    rep = NamedSharding(mesh, P())
+    if has_valid:
+        def fn(v_emb, p_emb, valid):
+            return _sharded_ranks_impl(v_emb, p_emb, mesh, axis, mode,
+                                       valid, stream)
+    else:
+        def fn(v_emb, p_emb):
+            return _sharded_ranks_impl(v_emb, p_emb, mesh, axis, mode,
+                                       None, stream)
+    return jax.jit(fn, out_shardings=rep)
+
+
+def _sharded_ranks_impl(v_emb, p_emb, mesh, axis, mode, valid, stream):
+    """Traced body of :func:`sharded_ranks` (always runs under the cached
+    jit of :func:`_ranks_program`)."""
     ndev = mesh.shape[axis]
     n = v_emb.shape[0]
     v_pad, _ = _pad_rows(v_emb, ndev)
@@ -110,13 +160,13 @@ def sharded_ranks(
     # (device-resident galleries keep in-place padding rows) is folded in.
     p_pad, gallery_valid, npad = _pad_gallery_valid(p_emb, ndev, valid)
     pos_idx = jnp.arange(npad, dtype=jnp.int32)
-    # dispatch on the FULL gallery size: the dense per-device block is
-    # [npad/ndev, npad] in query mode and [npad, npad/ndev] in gallery mode
-    # — identical npad^2/ndev elements either way — so npad is the right
-    # size for the measured crossover in BOTH modes. Using the per-shard
-    # size deferred streaming until npad >= MIN * ndev and let the dense
-    # branch materialize multi-GB blocks at large N.
-    stream = should_stream(npad, streaming)
+    # ``stream`` was decided by the caller on the FULL gallery size npad:
+    # the dense per-device block is [npad/ndev, npad] in query mode and
+    # [npad, npad/ndev] in gallery mode — identical npad^2/ndev elements
+    # either way — so npad is the right size for the measured crossover in
+    # BOTH modes. Using the per-shard size deferred streaming until
+    # npad >= MIN * ndev and let the dense branch materialize multi-GB
+    # blocks at large N.
     # the positives are the ALIGNED rows, so each query's positive score is a
     # row-wise dot — same float32 reduction the GEMM diagonal would produce
     pos_score_full = jnp.sum(
@@ -247,15 +297,36 @@ def sharded_retrieval_metrics(
     ``valid``: bool[N] row validity for device-resident galleries that keep
     padded rows in place (see ``encode_gallery_device``); invalid rows are
     excluded as both queries and gallery items.
+
+    The rank computation is the only distributed work (one compiled SPMD
+    program per direction — see :func:`sharded_ranks`); the metric
+    reductions then run on HOST copies of the ``[N]`` rank vectors. On a
+    multi-host pod this matters twice: every eager op on a global array is
+    a separate collective program launch (a validation used to fire ~25 of
+    them — multi-second gloo rendezvous each on the 2-process CPU test),
+    and host-local math trivially cannot deadlock cross-process. The
+    values are bit-identical either way: every metric is derived from
+    integer ranks (sums/medians of small ints are exact in float32).
     """
+    import numpy as np
+
     from cmhse_tpu.ops.ranking import bidirectional_metrics_from_ranks
 
     def rank_fn(a, b):
-        return sharded_ranks(a, b, mesh, axis=axis, mode=mode, valid=valid,
-                             streaming=streaming)
+        # replicated output -> fully addressable on every process
+        return np.asarray(
+            sharded_ranks(a, b, mesh, axis=axis, mode=mode, valid=valid,
+                          streaming=streaming))
+
+    valid_host = None
+    if valid is not None:
+        # valid may be sharded (it rides out of the device-resident encode);
+        # replicate before pulling to host — ONE tiny transfer program
+        valid_host = np.asarray(
+            jax.device_put(valid, NamedSharding(mesh, P())))
 
     return bidirectional_metrics_from_ranks(rank_fn, v_emb, p_emb,
-                                            ks=ks, valid=valid,
+                                            ks=ks, valid=valid_host,
                                             return_ranks=return_ranks)
 
 

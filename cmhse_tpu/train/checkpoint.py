@@ -206,7 +206,22 @@ def restore_for_eval(directory: str):
 
     best_dir = os.path.join(directory, "best")
     if os.path.exists(best_dir):
-        restored = ocp.StandardCheckpointer().restore(best_dir)
+        ckptr = ocp.StandardCheckpointer()
+        try:
+            restored = ckptr.restore(best_dir)
+        except ValueError:
+            # best/ was written under a DIFFERENT device topology — e.g.
+            # trained on a multi-host pod, now evaluated on one host: the
+            # no-template restore replays the saved per-device sharding
+            # metadata and fails on the missing device ids. Rebuild a
+            # host-numpy template from the checkpoint's own metadata; numpy
+            # leaves carry no device constraints, so the restore works on
+            # any topology (pinned by the 2-process jax.distributed test).
+            item = ckptr.metadata(best_dir).item_metadata
+            tree = item.tree if hasattr(item, "tree") else item
+            template = jax.tree.map(lambda m: np.zeros(m.shape, m.dtype),
+                                    tree)
+            restored = ckptr.restore(best_dir, template)
         return model, restored["params"], cfg
     mgr = ocp.CheckpointManager(os.path.join(directory, "ckpt"))
     step = mgr.latest_step()
