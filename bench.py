@@ -587,6 +587,73 @@ def _tunnel_down_result(err: Exception) -> dict:
     }
 
 
+def _flatten_bench_metrics(result: dict) -> dict:
+    """Higher-is-better numeric metrics of one bench result, flattened to
+    dotted names. ``value`` is the headline pairs/sec; nested QPS dicts
+    flatten one level. Timing-flavored extras (ms/batch) are skipped —
+    their regressions surface through mfu_device."""
+    out = {}
+    if isinstance(result.get("value"), (int, float)):
+        out["pairs_per_sec"] = float(result["value"])
+    extras = result.get("extras") or {}
+    for key in ("train_pairs_per_sec", "sim_matrix_qps_10k_gallery",
+                "mfu", "mfu_device"):
+        v = extras.get(key)
+        if isinstance(v, (int, float)):
+            out[key] = float(v)
+    for group in ("rank_qps_100k", "topk_qps_100k"):
+        sub = extras.get(group)
+        if isinstance(sub, dict):
+            for k, v in sub.items():
+                if isinstance(v, (int, float)):
+                    out[f"{group}.{k}"] = float(v)
+    return out
+
+
+def regressions_vs_previous(result: dict, here: str | None = None,
+                            threshold: float = 0.10) -> dict | None:
+    """Perf-regression tripwire (VERDICT r3 weak 4): compare this run's
+    metrics against the newest prior ``BENCH_r*.json`` and flag any metric
+    down more than ``threshold`` (fractional). Run-to-run jitter on this
+    image sits inside +-10% (PERFORMANCE.md "Measurement pitfalls" — e.g.
+    encode 20.5-26.5k band); a flagged entry therefore means a REAL
+    regression to investigate, not noise. Returns ``None`` when no prior
+    round file with a measured value exists; otherwise
+    ``{"vs": <file>, "threshold_pct": 10, "flagged": [...]}`` with one
+    entry per regressed metric. Metrics missing on either side are skipped
+    (a bench that failed and reported null must not mask as a pass OR a
+    regression — its absence is visible in the raw extras)."""
+    import glob
+    import os
+
+    here = here or os.path.dirname(os.path.abspath(__file__))
+    prev = prev_file = None
+    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")),
+                       reverse=True):
+        try:
+            with open(path) as f:
+                cand = json.load(f)
+            cand = cand.get("parsed", cand) or {}
+            if cand.get("value") is not None:
+                prev, prev_file = cand, os.path.basename(path)
+                break
+        except Exception:
+            continue
+    if prev is None:
+        return None
+    now_m, prev_m = _flatten_bench_metrics(result), _flatten_bench_metrics(prev)
+    flagged = []
+    for name, p in sorted(prev_m.items()):
+        n = now_m.get(name)
+        if n is None or p <= 0:
+            continue
+        if n < p * (1.0 - threshold):
+            flagged.append({"metric": name, "prev": p, "now": n,
+                            "drop_pct": round(100.0 * (1.0 - n / p), 1)})
+    return {"vs": prev_file, "threshold_pct": round(100 * threshold),
+            "flagged": flagged}
+
+
 def main():
     import sys
     import traceback
@@ -671,6 +738,14 @@ def main():
                              f"{EST_REF_PAIRS_PER_SEC} pairs/s",
         },
     }
+    try:
+        result["extras"]["regressions"] = regressions_vs_previous(result)
+    except Exception:
+        # the tripwire must never take down the one-JSON-line contract
+        print("regressions_vs_previous FAILED (reporting null):",
+              file=sys.stderr)
+        traceback.print_exc()
+        result["extras"]["regressions"] = None
     print(json.dumps(result))
 
 

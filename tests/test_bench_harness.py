@@ -68,3 +68,53 @@ def test_tunnel_down_result_is_one_honest_json_line():
     # should surface the newest one — labeled, not substituted
     assert prev is not None and prev["round_file"].startswith("BENCH_r")
     assert prev["value"] > 0
+
+
+def _bench_result(value, train=None, topk=None, mfu_dev=None):
+    extras = {"train_pairs_per_sec": train, "topk_qps_100k": topk,
+              "mfu_device": mfu_dev}
+    return {"value": value, "unit": "pairs/sec", "extras": extras}
+
+
+def test_regression_tripwire_flags_big_drops_only(tmp_path):
+    """VERDICT r3 weak 4: metrics down >10% vs the newest prior
+    BENCH_r*.json are flagged; in-band jitter and missing metrics are
+    not."""
+    import json
+
+    prev = _bench_result(23000.0, train=6600.0,
+                         topk={"stream": 300000.0, "dense": 200000.0},
+                         mfu_dev=0.88)
+    # the driver wraps the bench line as {"cmd": ..., "parsed": {...}}
+    (tmp_path / "BENCH_r03.json").write_text(
+        json.dumps({"cmd": "python bench.py", "parsed": prev}))
+
+    now = _bench_result(22000.0,            # -4.3%: inside the band
+                        train=5000.0,       # -24%: REAL regression
+                        topk={"stream": 310000.0,   # improved
+                              "dense": 150000.0},   # -25%: regression
+                        mfu_dev=None)       # failed sub-bench: skipped
+    rep = bench.regressions_vs_previous(now, here=str(tmp_path))
+    assert rep["vs"] == "BENCH_r03.json" and rep["threshold_pct"] == 10
+    flagged = {f["metric"]: f for f in rep["flagged"]}
+    assert set(flagged) == {"train_pairs_per_sec", "topk_qps_100k.dense"}
+    assert flagged["train_pairs_per_sec"]["drop_pct"] == 24.2
+    assert flagged["topk_qps_100k.dense"]["now"] == 150000.0
+
+
+def test_regression_tripwire_picks_newest_measured_round(tmp_path):
+    """Null rounds (tunnel down) are skipped; the newest round with a
+    measured value is the comparison base. No prior file -> None."""
+    import json
+
+    assert bench.regressions_vs_previous(_bench_result(100.0),
+                                         here=str(tmp_path)) is None
+
+    (tmp_path / "BENCH_r02.json").write_text(
+        json.dumps({"parsed": _bench_result(20000.0)}))
+    (tmp_path / "BENCH_r03.json").write_text(
+        json.dumps({"parsed": {"value": None, "extras": {}}}))
+    rep = bench.regressions_vs_previous(_bench_result(15000.0),
+                                        here=str(tmp_path))
+    assert rep["vs"] == "BENCH_r02.json"
+    assert [f["metric"] for f in rep["flagged"]] == ["pairs_per_sec"]
