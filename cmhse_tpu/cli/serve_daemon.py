@@ -184,13 +184,7 @@ def _handle_request(req: dict, ctx: dict) -> dict:
         if not all(isinstance(t, str) and t.strip() for t in texts):
             return reply({"error": "query must be a non-empty string "
                                    "(or list of them)"})
-        from cmhse_tpu.eval.serve import text_query_batch
-
-        cfg = ctx["cfg"]
-        r = ctx["retriever"]
-        scores, idx = r.retrieve(
-            *text_query_batch(ctx["vocab"], texts, cfg.data.max_sentences,
-                              cfg.data.max_words), k=k)
+        scores, idx = _text_retrieve(ctx, texts, k)
     elif "video_key" in req:
         from cmhse_tpu.eval.serve import key_index, video_query_batch
 
@@ -226,12 +220,7 @@ def _handle_request(req: dict, ctx: dict) -> dict:
 
     ms = (time.perf_counter() - t0) * 1e3
     r_used = ctx["retriever"] if "query" in req else ctx["retriever_text"]
-    out = [
-        [{"key": _row_key(ctx["keys"], r_used, int(j)),
-          "score": round(float(s), 6)}
-         for s, j in zip(row_s, row_i)]
-        for row_s, row_i in zip(scores, idx)
-    ]
+    out = _format_rows(ctx, r_used, scores, idx)
     # a list "query" gets a list of result rows; single query / video_key
     # gets the one row directly
     batched = isinstance(req.get("query"), list)
@@ -239,6 +228,134 @@ def _handle_request(req: dict, ctx: dict) -> dict:
     ctx["latencies"].append(ms)
     return reply({"results": out if batched else out[0],
                   "latency_ms": round(ms, 3)})
+
+
+def _text_retrieve(ctx: dict, texts: list, k: int):
+    """Tokenize + encode + top-k for TEXT queries against the video-side
+    gallery — the one shared compute core behind both the plain query op
+    and the cross-connection micro-batcher."""
+    from cmhse_tpu.eval.serve import text_query_batch
+
+    cfg = ctx["cfg"]
+    return ctx["retriever"].retrieve(
+        *text_query_batch(ctx["vocab"], texts, cfg.data.max_sentences,
+                          cfg.data.max_words), k=k)
+
+
+def _format_rows(ctx: dict, retriever, scores, idx) -> list:
+    """Score/index rows -> [{"key", "score"}, ...] result rows."""
+    return [
+        [{"key": _row_key(ctx["keys"], retriever, int(j)),
+          "score": round(float(s), 6)}
+         for s, j in zip(row_s, row_i)]
+        for row_s, row_i in zip(scores, idx)
+    ]
+
+
+class _QueryBatcher:
+    """Cross-connection text-query micro-batching (``--batch_window_ms``).
+
+    Without it, N concurrent single-query clients serialize through the
+    request lock one device GEMM each; with it, the first query to arrive
+    becomes the WINDOW LEADER: it waits ``window_s`` (holding no locks),
+    absorbs every text query that lands meanwhile, and runs ONE merged
+    encode+retrieve for all of them under the request lock. Followers
+    block on an event and get their slice of the merged result. The
+    classic serving throughput/latency trade: each query pays up to one
+    window of extra latency to turn N tiny device calls into one batched
+    call.
+
+    Only pure text queries (``{"query": ...}``, no ``op``) are batched —
+    mutating ops and video queries keep their existing paths and ordering
+    semantics. Per-request auth, validation, ``k``, and ``id`` are still
+    honored per item; one bad request errors alone without poisoning its
+    window-mates.
+    """
+
+    def __init__(self, ctx: dict, window_s: float):
+        import threading
+
+        self.ctx = ctx
+        self.window_s = window_s
+        self._mutex = threading.Lock()
+        self._pending: list[dict] = []
+
+    def submit(self, req: dict) -> dict:
+        """Handle one text-query request through the current window; call
+        WITHOUT the request lock held (the leader takes it itself)."""
+        import threading
+
+        item = {"req": req, "done": threading.Event(), "resp": None}
+        with self._mutex:
+            self._pending.append(item)
+            leader = len(self._pending) == 1
+        if not leader:
+            # generous safety valve: if the leader thread is killed hard
+            # enough to skip its finally, don't hang the connection forever
+            if not item["done"].wait(timeout=max(600.0, 100 * self.window_s)):
+                return {"error": "query batch leader never completed"}
+            return item["resp"]
+        time.sleep(self.window_s)
+        with self._mutex:
+            batch, self._pending = self._pending, []
+        try:
+            self._run(batch)
+        except Exception as e:  # pragma: no cover - defensive
+            for it in batch:
+                if it["resp"] is None:
+                    it["resp"] = {"error": f"{type(e).__name__}: {e}"}
+        finally:
+            for it in batch:
+                it["done"].set()
+        return item["resp"]
+
+    def _run(self, batch: list) -> None:
+        """Validate each item, run ONE merged retrieve for the valid ones,
+        split the rows back out. Mirrors _handle_request's text-query
+        contract exactly (same helpers, same reply shapes, same stats)."""
+        t0 = time.perf_counter()
+        live = []  # (item, texts, k, batched, rid)
+        for it in batch:
+            req = it["req"]
+            rid = req.get("id")
+
+            def reply(payload, rid=rid):
+                return {"id": rid, **payload} if rid is not None else payload
+
+            denied = _auth_error(req, self.ctx)
+            if denied is not None:
+                it["resp"] = reply(denied)
+                continue
+            k = int(req.get("k", 5))
+            if k < 1:
+                it["resp"] = reply({"error": f"k must be >= 1, got {k}"})
+                continue
+            texts = req["query"] if isinstance(req["query"], list) \
+                else [req["query"]]
+            if not all(isinstance(t, str) and t.strip() for t in texts):
+                it["resp"] = reply({"error": "query must be a non-empty "
+                                             "string (or list of them)"})
+                continue
+            live.append((it, texts, k, isinstance(req.get("query"), list),
+                         reply))
+        if not live:
+            return
+        merged = [t for _, texts, _, _, _ in live for t in texts]
+        k_max = max(k for _, _, k, _, _ in live)
+        with self.ctx["lock"]:
+            scores, idx = _text_retrieve(self.ctx, merged, k_max)
+            rows = _format_rows(self.ctx, self.ctx["retriever"], scores, idx)
+            ms = (time.perf_counter() - t0) * 1e3
+            # stats mutate under the request lock, same as the unbatched path
+            self.ctx["served"] += len(live)
+            self.ctx["latencies"].extend([ms] * len(live))
+        start = 0
+        for it, texts, k, batched, reply in live:
+            mine = [row[:k] for row in rows[start:start + len(texts)]]
+            start += len(texts)
+            it["resp"] = reply({"results": mine if batched else mine[0],
+                                "latency_ms": round(ms, 3),
+                                "batched_with": len(merged) - len(texts)})
 
 
 def _dup_keys(new_keys, ctx: dict) -> list:
@@ -458,6 +575,12 @@ def _client_loop(conn: socket.socket, ctx: dict) -> None:
                             # stall every other connection's queries; only
                             # its commit takes ctx["lock"] (see _handle_add)
                             resp = _handle_request(req, ctx)
+                        elif (ctx.get("batcher") is not None
+                              and isinstance(req, dict) and "op" not in req
+                              and "query" in req):
+                            # text queries merge across connections into
+                            # one device call per window (--batch_window_ms)
+                            resp = ctx["batcher"].submit(req)
                         else:
                             with ctx["lock"]:
                                 resp = _handle_request(req, ctx)
@@ -648,7 +771,8 @@ def build_context(checkpoint: str, data_path: str | None, split: str,
                   gallery_cache: str | None = None,
                   auth_token: str | None = None,
                   allow_any_path: bool = False,
-                  compact_threshold: float | None = 0.5) -> dict:
+                  compact_threshold: float | None = 0.5,
+                  batch_window_ms: float = 0.0) -> dict:
     """Load the checkpoint, encode the video-side gallery (or restore it
     from ``gallery_cache``), and assemble the request-handling context
     (the text-side gallery for video->paragraph queries is built lazily
@@ -689,7 +813,7 @@ def build_context(checkpoint: str, data_path: str | None, split: str,
         r.build_gallery(side="text", encoded=encoded)
         return r
 
-    return {
+    ctx = {
         "cfg": cfg,
         "vocab": vocab,
         "dataset": dataset,
@@ -723,6 +847,11 @@ def build_context(checkpoint: str, data_path: str | None, split: str,
         "lock": threading.Lock(),
         "ingest_lock": threading.Lock(),
     }
+    # cross-connection query micro-batching (prototype; see _QueryBatcher):
+    # 0 disables — each query takes the request lock individually
+    ctx["batcher"] = (_QueryBatcher(ctx, batch_window_ms / 1e3)
+                      if batch_window_ms > 0 else None)
+    return ctx
 
 
 def main(argv=None) -> int:
@@ -775,6 +904,13 @@ def main(argv=None) -> int:
     p.add_argument("--max_connections", type=int, default=None, metavar="N",
                    help="refuse new connections beyond N concurrent "
                         "clients (each holds a thread); default unlimited")
+    p.add_argument("--batch_window_ms", type=float, default=0.0,
+                   metavar="MS",
+                   help="merge text queries arriving from DIFFERENT "
+                        "connections within MS milliseconds into one "
+                        "device call (adds up to MS latency per query, "
+                        "multiplies concurrent-client throughput); "
+                        "0 disables (default)")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu", "axon"])
     args = p.parse_args(argv)
     if (args.socket is None) == (args.tcp is None):
@@ -810,7 +946,8 @@ def main(argv=None) -> int:
                             allow_any_path=args.allow_any_path,
                             compact_threshold=(args.compact_threshold
                                                if args.compact_threshold > 0
-                                               else None))
+                                               else None),
+                            batch_window_ms=args.batch_window_ms)
         if args.warm:
             # one throwaway request per direction: triggers the lazy
             # text-side gallery build and jit-compiles both query paths;

@@ -1,0 +1,173 @@
+"""Daemon concurrent-client throughput A/B: is --batch_window_ms worth it?
+
+VERDICT r3 task 7 ("measure first, keep only if it wins"): N client threads
+each stream sequential single-text queries at ONE real ``cmhse-serve``
+daemon over a unix socket, and the measured QPS is compared across
+batch-window settings. Window 0 is today's behavior (each query takes the
+request lock and runs its own encode+GEMM device call); a positive window
+makes the first query of a window absorb its contemporaries into one
+batched device call (``_QueryBatcher``).
+
+The daemon context is built ONCE (the gallery encode is the expensive
+part) and the batcher is hot-swapped between phases while no requests are
+in flight — exactly what ``build_context(batch_window_ms=...)`` wires up,
+without re-encoding per phase.
+
+Run on an idle host: ``python scripts/serve_bench.py`` (real chip) or
+``python scripts/serve_bench.py --platform cpu`` (smoke). Prints one JSON
+summary line; record results in PERFORMANCE.md ("Serving daemon" section).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import threading
+import time
+
+_HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, _HERE)
+sys.path.insert(0, os.path.join(_HERE, "tests"))
+
+
+def _build_fixture(td: str, n_val: int, feat_dim: int, embed: int):
+    """Reference-layout data + an initialized checkpoint sized for a
+    realistic per-query device cost (the fixture generator's tests-scale
+    defaults would understate the batching win's denominator)."""
+    from reference_layout import write_reference_dataset
+
+    from cmhse_tpu.config import DataConfig, ExperimentConfig, ModelConfig
+    from cmhse_tpu.data import PrecompDataset, batches_from_dataset
+    from cmhse_tpu.data.vocab import build_vocab
+    from cmhse_tpu.train import create_train_state
+    from cmhse_tpu.train.checkpoint import CheckpointManager
+
+    import jax
+
+    root = os.path.join(td, "data")
+    write_reference_dataset(root, n_train=6, n_val=n_val, feat_dim=feat_dim)
+    with open(os.path.join(root, "train_captions.json")) as f:
+        caps = json.load(f)
+    vocab = build_vocab(
+        [s for c in caps.values() for s in c["sentences"]], threshold=1)
+    vocab.save(os.path.join(root, "vocab.json"))
+    cfg = ExperimentConfig(
+        data=DataConfig(data_path=root, batch_size=32, feat_dim=feat_dim,
+                        vocab_size=len(vocab) + 8, max_clips=3,
+                        max_frames=6, max_sentences=3, max_words=8),
+        model=ModelConfig(embed_size=embed, word_dim=embed // 2,
+                          feat_dim=feat_dim, rnn_hidden=embed // 2),
+    )
+    ds = PrecompDataset(root, "val", vocab, feat_dim=feat_dim)
+    b0 = next(iter(batches_from_dataset(ds, cfg.data, shuffle=False)))
+    state = create_train_state(cfg, jax.random.PRNGKey(0), b0)
+    ckpt_dir = os.path.join(td, "ckpt")
+    mgr = CheckpointManager(ckpt_dir, cfg)
+    mgr.save(state, epoch=0, best_rsum=0.0, is_best=True)
+    mgr.close()
+    return root, ckpt_dir
+
+
+def _measure(sock_path: str, clients: int, queries: int) -> float:
+    """QPS of ``clients`` threads x ``queries`` sequential single-text
+    queries each, against the live daemon."""
+    from cmhse_tpu.client import ServeClient
+
+    texts = ["a man runs down the street", "a dog jumps over a fence",
+             "two people talk in a kitchen", "a car drives past a house"]
+    barrier = threading.Barrier(clients + 1)
+    errors: list = []
+
+    def worker(ci: int):
+        try:
+            with ServeClient(socket_path=sock_path, timeout=120) as c:
+                barrier.wait()
+                for qi in range(queries):
+                    c.query(texts[(ci + qi) % len(texts)], k=5)
+        except Exception as e:  # surface, don't hang the barrier
+            errors.append(f"client {ci}: {type(e).__name__}: {e}")
+
+    threads = [threading.Thread(target=worker, args=(ci,))
+               for ci in range(clients)]
+    for t in threads:
+        t.start()
+    barrier.wait()
+    t0 = time.perf_counter()
+    for t in threads:
+        t.join()
+    dt = time.perf_counter() - t0
+    if errors:
+        raise RuntimeError("; ".join(errors))
+    return clients * queries / dt
+
+
+def main() -> None:
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    p.add_argument("--clients", type=int, default=8)
+    p.add_argument("--queries", type=int, default=50,
+                   help="sequential queries per client per phase")
+    p.add_argument("--windows", type=float, nargs="+",
+                   default=[0.0, 2.0, 5.0, 10.0], metavar="MS")
+    p.add_argument("--n_val", type=int, default=64,
+                   help="gallery items (startup encode cost scales with it)")
+    p.add_argument("--feat_dim", type=int, default=512)
+    p.add_argument("--embed", type=int, default=512)
+    p.add_argument("--platform", default=None, choices=["cpu", "tpu", "axon"])
+    args = p.parse_args()
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
+
+    import bench
+
+    bench._enable_compile_cache()
+    from cmhse_tpu.cli import serve_daemon
+    from cmhse_tpu.cli.serve_daemon import _QueryBatcher
+
+    out = {"clients": args.clients, "queries_per_client": args.queries,
+           "gallery_items": args.n_val, "embed": args.embed, "qps": {}}
+    with tempfile.TemporaryDirectory() as td:
+        root, ckpt_dir = _build_fixture(td, args.n_val, args.feat_dim,
+                                        args.embed)
+        ctx = serve_daemon.build_context(ckpt_dir, root, "val")
+        sock_path = os.path.join(td, "serve.sock")
+        ready = threading.Event()
+        srv = threading.Thread(
+            target=serve_daemon.serve_forever,
+            args=(ctx, sock_path),
+            kwargs={"ready_callback": ready.set}, daemon=True)
+        srv.start()
+        assert ready.wait(timeout=300), "daemon never came up"
+
+        # warm: compile the query path once before any timed phase
+        _measure(sock_path, clients=1, queries=3)
+
+        for w in args.windows:
+            # hot-swap the batcher between phases (no requests in flight)
+            ctx["batcher"] = (_QueryBatcher(ctx, w / 1e3) if w > 0 else None)
+            qps = _measure(sock_path, args.clients, args.queries)
+            out["qps"][f"window_{w:g}ms"] = round(qps, 1)
+            base = out["qps"].get("window_0ms")
+            rel = f" ({qps / base:.2f}x window 0)" if base and w > 0 else ""
+            print(f"batch_window {w:g} ms: {qps:,.1f} QPS{rel}", flush=True)
+
+        from cmhse_tpu.client import ServeClient
+
+        with ServeClient(socket_path=sock_path, timeout=30) as c:
+            c.request({"op": "shutdown"})
+        srv.join(timeout=30)
+    base = out["qps"].get("window_0ms")
+    if base:
+        best_w, best = max(((k, v) for k, v in out["qps"].items()),
+                           key=lambda kv: kv[1])
+        out["best_window"] = best_w
+        out["best_speedup_vs_unbatched"] = round(best / base, 3)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1044,3 +1044,93 @@ def test_max_connections(ctx):
         assert json.loads(f.readline()) == {"ok": True}
     t.join(timeout=30)
     assert not t.is_alive()
+
+
+def test_batch_window_merges_concurrent_queries(tmp_path_factory):
+    """--batch_window_ms: text queries from concurrent connections merge
+    into ONE retrieve call; every client still gets exactly the rows the
+    unbatched handler would return (per-request k and id honored)."""
+    root, ckpt_dir = _fixture_run(tmp_path_factory, "batcher")
+    bctx = serve_daemon.build_context(ckpt_dir, str(root), "val",
+                                      batch_window_ms=120.0)
+    assert bctx["batcher"] is not None
+
+    # expected answers via the plain unbatched handler path
+    want = {}
+    for i, (q, k) in enumerate([("a man runs", 3), ("a dog jumps", 2),
+                                (["two queries", "at once"], 4),
+                                ("a man runs", 1)]):
+        want[i] = serve_daemon._handle_request({"query": q, "k": k}, bctx)
+    bctx["served"] = 0
+    bctx["latencies"].clear()
+
+    calls = []
+    real_retrieve = bctx["retriever"].retrieve
+
+    def counting_retrieve(*a, **kw):
+        calls.append(kw.get("k"))
+        return real_retrieve(*a, **kw)
+
+    bctx["retriever"].retrieve = counting_retrieve
+    got = {}
+
+    def client(i, q, k):
+        got[i] = bctx["batcher"].submit({"query": q, "k": k, "id": i})
+
+    threads = [threading.Thread(target=client, args=(i, q, k))
+               for i, (q, k) in enumerate([("a man runs", 3),
+                                           ("a dog jumps", 2),
+                                           (["two queries", "at once"], 4),
+                                           ("a man runs", 1)])]
+    [t.start() for t in threads]
+    [t.join(timeout=60) for t in threads]
+    bctx["retriever"].retrieve = real_retrieve
+
+    assert len(calls) < 4, f"queries did not merge: {len(calls)} calls"
+    assert bctx["served"] == 4
+    for i in range(4):
+        assert got[i]["id"] == i
+        assert got[i]["results"] == want[i]["results"], i
+    # merged responses advertise how many co-batched query rows rode along
+    assert any(r.get("batched_with", 0) > 0 for r in got.values())
+
+
+def test_batch_window_isolates_bad_requests(tmp_path_factory):
+    """One invalid request in a window errors ALONE; its window-mates get
+    normal results. Unauthorized requests are refused per item."""
+    root, ckpt_dir = _fixture_run(tmp_path_factory, "batcher_err")
+    bctx = serve_daemon.build_context(ckpt_dir, str(root), "val",
+                                      batch_window_ms=120.0,
+                                      auth_token="sekrit")
+    got = {}
+
+    def client(i, req):
+        got[i] = bctx["batcher"].submit(req)
+
+    reqs = [{"query": "a man runs", "k": 2, "token": "sekrit"},
+            {"query": "", "k": 2, "token": "sekrit"},      # invalid text
+            {"query": "a dog jumps", "k": 0, "token": "sekrit"},  # bad k
+            {"query": "a man runs", "k": 2}]               # no token
+    threads = [threading.Thread(target=client, args=(i, r))
+               for i, r in enumerate(reqs)]
+    [t.start() for t in threads]
+    [t.join(timeout=60) for t in threads]
+
+    assert len(got[0]["results"]) == 2 and "error" not in got[0]
+    assert "non-empty" in got[1]["error"]
+    assert "k must be" in got[2]["error"]
+    assert "unauthorized" in got[3]["error"]
+
+
+def test_batch_window_single_query_matches_plain_handler(tmp_path_factory):
+    """A lone query in its window (no concurrency) returns exactly what the
+    plain handler returns — the batcher is a pure merge, not a new code
+    path."""
+    root, ckpt_dir = _fixture_run(tmp_path_factory, "batcher_solo")
+    bctx = serve_daemon.build_context(ckpt_dir, str(root), "val",
+                                      batch_window_ms=1.0)
+    plain = serve_daemon._handle_request({"query": "a man runs", "k": 3},
+                                         bctx)
+    solo = bctx["batcher"].submit({"query": "a man runs", "k": 3})
+    assert solo["results"] == plain["results"]
+    assert solo["batched_with"] == 0
