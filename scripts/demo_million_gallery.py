@@ -152,6 +152,82 @@ def main():
     out["ingest_reprepare_ms_1m"] = round(t_reprep * 1e3, 1)
     print(f"ingest 10k rows: append {t_append*1e3:.1f} ms vs full "
           f"re-prepare {t_reprep*1e3:.1f} ms", flush=True)
+
+    # --- tombstone -> compact lifecycle at scale (VERDICT r3 tasks 4/5) ---
+    # the delete side of continuous ingest, measured through the REAL
+    # Retriever methods on the 1M gallery: (a) latency of a 100-key remove
+    # (what a daemon request pays under the serving lock), (b) query QPS on
+    # a HALF-tombstoned gallery (dead rows still burn GEMM), (c) compact()
+    # latency, (d) QPS after compaction (gallery is physically half the
+    # rows). The retriever is assembled field-by-field around the arrays
+    # already on device — the encode path is irrelevant to this lifecycle
+    # and a 1M-item encode is not (params stays None; jit is lazy).
+    del prepared_q  # free the int8 form: compact peak holds old + new
+    from cmhse_tpu.config import ModelConfig
+    from cmhse_tpu.eval.serve import Retriever, _build_key_rows
+    from cmhse_tpu.models.cmhse import CMHSE
+
+    r = Retriever(CMHSE(cfg=ModelConfig(embed_size=D), vocab_size=64), None)
+    r.gallery, r.gallery_valid = gallery, jnp.ones((N,), bool)
+    r.n_valid, r.side = N, "video"
+    r._prepared, r._prepared_shard_rows = prepared, None
+    r.gallery_keys = [f"v{i:07d}" for i in range(N)]
+    r._key_rows = _build_key_rows(r.gallery_keys)
+
+    rng = np.random.default_rng(0)
+    small = [f"v{i:07d}" for i in rng.choice(N, 100, replace=False)]
+    t0 = time.perf_counter()
+    assert r.remove_from_gallery(small) == 100
+    jax.block_until_ready(r.gallery_valid)
+    out["remove_100keys_ms_1m"] = round((time.perf_counter() - t0) * 1e3, 1)
+    print(f"remove 100 keys @ 1M gallery: {out['remove_100keys_ms_1m']} ms",
+          flush=True)
+
+    # bulk-tombstone to 50% invalid, then measure the decay compaction fixes
+    half = [f"v{i:07d}" for i in rng.choice(N, 600_000, replace=False)]
+    t0 = time.perf_counter()
+    n_bulk = r.remove_from_gallery(half)  # ~500k new (100 already dead)
+    jax.block_until_ready(r.gallery_valid)
+    out["remove_bulk_ms"] = round((time.perf_counter() - t0) * 1e3, 1)
+    frac = r.invalid_fraction
+    print(f"bulk remove {n_bulk} keys: {out['remove_bulk_ms']} ms "
+          f"(invalid fraction now {frac:.3f})", flush=True)
+
+    def factory_retriever_prepared(n_iters):
+        prep = r._prepared
+
+        @jax.jit
+        def run(seed, qs, pg):
+            def body(carry, i):
+                qq = qs + (seed + i.astype(jnp.float32)) * 1e-3
+                s, idx = streaming_sim_topk(qq, pg, K)
+                return carry + jnp.sum(s) + jnp.sum(idx).astype(
+                    jnp.float32), None
+            total, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(n_iters))
+            return total
+        return lambda seed: run(seed, queries, prep)
+
+    qps_dirty = Q / _timed_scan(factory_retriever_prepared, n_iters_pair=(2, 6))
+    out["topk_qps_half_tombstoned"] = round(qps_dirty, 1)
+    print(f"topk QPS half-tombstoned (1M rows, {r.n_valid} valid): "
+          f"{out['topk_qps_half_tombstoned']:,}", flush=True)
+
+    t0 = time.perf_counter()
+    old_to_new = r.compact()
+    jax.block_until_ready(r._prepared.chunks)
+    out["compact_ms"] = round((time.perf_counter() - t0) * 1e3, 1)
+    assert int(r.gallery.shape[0]) == r.n_valid == N - n_bulk - 100
+    assert int((np.asarray(old_to_new) >= 0).sum()) == r.n_valid
+    print(f"compact 1M -> {r.n_valid} rows: {out['compact_ms']} ms",
+          flush=True)
+
+    qps_compacted = Q / _timed_scan(factory_retriever_prepared,
+                                    n_iters_pair=(2, 6))
+    out["topk_qps_after_compact"] = round(qps_compacted, 1)
+    print(f"topk QPS after compact ({r.n_valid} rows): "
+          f"{out['topk_qps_after_compact']:,} "
+          f"({qps_compacted / qps_dirty:.2f}x the tombstoned gallery)",
+          flush=True)
     print(json.dumps(out))
 
 
