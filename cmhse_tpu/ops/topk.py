@@ -171,11 +171,19 @@ def append_to_prepared(
     :func:`prepare_topk_gallery` on every addition re-pads/re-converts (and
     re-quantizes) the whole multi-GB gallery for a handful of new rows.
 
-    Only the final partially-filled chunk plus the new rows are touched
-    (O(chunk + m) work); fully-filled head chunks are reused as-is, so
-    existing rows keep their global indices and appended rows take indices
-    ``n_existing ... n_existing+m-1`` — exactly the dense-concatenation
-    contract. The chunk SIZE is preserved (it is the scan's static shape);
+    Only the final partially-filled chunk plus the new rows are
+    REPROCESSED (pad/convert/quantize — O(chunk + m) compute); the
+    fully-filled head chunks pass through untouched, so existing rows keep
+    their global indices and appended rows take indices ``n_existing ...
+    n_existing+m-1`` — exactly the dense-concatenation contract. Honesty
+    about memory traffic: the head chunks ARE copied once into the new
+    output buffer (XLA ``concatenate`` — buffers are immutable across jit
+    calls), so the device cost is one full-gallery copy at HBM rate
+    (measured ~17 ms for 1M x 1024 bf16 vs ~10 ms for a full re-prepare
+    reading the 2x-bigger f32 source; scripts/demo_million_gallery.py).
+    What append saves vs re-prepare is the f32 source read, the
+    convert/quantize of every old row, and — when the caller has dropped
+    the f32 gallery — needing it at all. The chunk SIZE is preserved (it is the scan's static shape);
     the chunk COUNT grows as needed. After many appends the chunk count
     drifts from the adaptive optimum — callers that care re-prepare from
     scratch when ``pg.chunks.shape[0]`` exceeds ~2x the fresh target

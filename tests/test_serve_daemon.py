@@ -1134,3 +1134,78 @@ def test_batch_window_single_query_matches_plain_handler(tmp_path_factory):
     solo = bctx["batcher"].submit({"query": "a man runs", "k": 3})
     assert solo["results"] == plain["results"]
     assert solo["batched_with"] == 0
+
+
+def test_batch_window_races_live_crud(tmp_path_factory):
+    """Fuzz the interleaving --batch_window_ms opened: batched text queries
+    from several threads race a mutator cycling add -> remove ->
+    auto-compaction through the daemon's own entry points (add lock-free
+    like _client_loop, everything else under ctx["lock"]). Every response
+    must be well-formed (k rows, finite scores, keys that existed at some
+    point); the final state must be exactly the fixture gallery again."""
+    root, ckpt_dir = _fixture_run(tmp_path_factory, "batchcrud")
+    sub = tmp_path_factory.mktemp("batchcrud_inc")
+    write_reference_dataset(str(sub), feat_dim=FEAT, seed=31,
+                            splits=[("churn", 2)])
+    bctx = serve_daemon.build_context(ckpt_dir, str(root), "val",
+                                      allow_any_path=True,
+                                      compact_threshold=0.2,
+                                      batch_window_ms=30.0)
+    churn_keys = {"v_churn000", "v_churn001"}
+    ever_valid = set(VAL_KEYS) | churn_keys
+    errors: list = []
+    responses: list = []
+    stop = threading.Event()
+
+    def querier(qi):
+        try:
+            n = 0
+            while not stop.is_set() and n < 12:
+                r = bctx["batcher"].submit(
+                    {"query": "a man runs", "k": 3, "id": f"q{qi}.{n}"})
+                responses.append(r)
+                n += 1
+        except Exception as e:  # pragma: no cover - the assertion payload
+            errors.append(f"querier {qi}: {type(e).__name__}: {e}")
+
+    def mutator():
+        try:
+            for _ in range(4):
+                # add runs OUTSIDE ctx["lock"], exactly like _client_loop
+                r = serve_daemon._handle_request(
+                    {"op": "add", "split": "churn", "data_path": str(sub)},
+                    bctx)
+                assert r.get("added") == 2, r
+                with bctx["lock"]:
+                    r = serve_daemon._handle_request(
+                        {"op": "remove", "keys": sorted(churn_keys)}, bctx)
+                assert r.get("removed") == 2, r
+        except Exception as e:
+            errors.append(f"mutator: {type(e).__name__}: {e}")
+
+    qs = [threading.Thread(target=querier, args=(i,)) for i in range(3)]
+    mt = threading.Thread(target=mutator)
+    [t.start() for t in qs + [mt]]
+    mt.join(timeout=300)
+    stop.set()
+    [t.join(timeout=300) for t in qs]
+    assert not errors, errors
+    assert not mt.is_alive() and not any(t.is_alive() for t in qs)
+
+    assert len(responses) >= 3
+    for r in responses:
+        assert "error" not in r, r
+        assert len(r["results"]) == 3, r
+        for h in r["results"]:
+            assert h["key"] in ever_valid, (h, r)
+            assert np.isfinite(h["score"]), r
+
+    # final state: every churn row removed again; compactions ran; the
+    # fixture gallery serves exactly its own keys
+    st = serve_daemon._handle_request({"op": "stats"}, bctx)
+    assert st["valid_rows"] == len(VAL_KEYS), st
+    assert st["compactions"] >= 1, st
+    with bctx["lock"]:
+        q = serve_daemon._handle_request({"query": "a man runs", "k": 8},
+                                         bctx)
+    assert {h["key"] for h in q["results"]} == set(VAL_KEYS)
