@@ -843,3 +843,53 @@ def test_key_index_version():
     ds.keys_version += 1
     m3 = key_index(ds)
     assert "x" in m3 and "c" not in m3
+
+
+def test_retriever_host_valid_mirror():
+    """The host validity mirror (`_valid_host`): stays in sync through
+    build/remove/add/compact WITHOUT downloading the device mask, lazily
+    repopulates for field-by-field assembled retrievers, and detects size
+    drift from external gallery_valid replacement."""
+    from cmhse_tpu.config import ModelConfig
+    from cmhse_tpu.eval.serve import Retriever, _build_key_rows
+    from cmhse_tpu.models import CMHSE
+
+    n, d = 12, 8
+    r = Retriever(CMHSE(cfg=ModelConfig(embed_size=d), vocab_size=16), None)
+    r.gallery = jnp.asarray(np.random.default_rng(0).normal(size=(n, d)),
+                            jnp.float32)
+    r.gallery_valid = jnp.ones((n,), bool)
+    r.n_valid, r.side = n, "video"
+    r.gallery_keys = [f"v{i}" for i in range(n)]
+    r._key_rows = _build_key_rows(r.gallery_keys)
+
+    # lazily populated on first use (field-by-field assembly left it None)
+    assert r._valid_host is None
+    assert r.remove_from_gallery(["v3", "v7"]) == 2
+    assert r._valid_host is not None and r._valid_host.dtype == np.bool_
+    np.testing.assert_array_equal(r._valid_host,
+                                  np.asarray(r.gallery_valid))
+
+    # further mutations keep it in sync with the device mask
+    assert r.remove_from_gallery(["v0", "v3"]) == 1  # v3 already dead
+    np.testing.assert_array_equal(r._valid_host,
+                                  np.asarray(r.gallery_valid))
+    assert r.n_valid == n - 3
+
+    old_to_new = r.compact()
+    assert r._valid_host.shape == (n - 3,) and r._valid_host.all()
+    np.testing.assert_array_equal(r._valid_host,
+                                  np.asarray(r.gallery_valid))
+    assert int((np.asarray(old_to_new) >= 0).sum()) == n - 3
+
+    # size drift (external replacement of gallery_valid at a NEW length)
+    # triggers repopulation instead of serving the stale mirror
+    r.gallery = jnp.concatenate([r.gallery, r.gallery[:1] + 1.0])
+    r.gallery_valid = jnp.concatenate([r.gallery_valid,
+                                       jnp.zeros((1,), bool)])
+    r.gallery_keys = r.gallery_keys + ["vx"]
+    r._key_rows = _build_key_rows(r.gallery_keys)
+    assert r.remove_from_gallery(["vx"]) == 0  # row invalid: not re-removed
+    assert r._valid_host.shape[0] == n - 2
+    np.testing.assert_array_equal(r._valid_host,
+                                  np.asarray(r.gallery_valid))
