@@ -481,16 +481,34 @@ def bench_topk_100k(n=100_000, q=1024, k=10):
             for name, f in variants.items()}
 
 
+def _host_cpu_fingerprint() -> str:
+    """md5 of machine arch + /proc/cpuinfo feature flags, 12 hex chars —
+    the namespace key for XLA:CPU persistent-cache entries (the cache key
+    omits host CPU features; loading an AOT blob built for a different
+    feature set segfaults). SINGLE source of truth: tests/conftest.py
+    imports this, so bench runs and the suite always share one cache
+    namespace per host."""
+    import hashlib
+    import platform as _platform
+
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next((l for l in f if l.startswith("flags")), "")
+    except OSError:
+        pass
+    return hashlib.md5(
+        (_platform.machine() + flags).encode()).hexdigest()[:12]
+
+
 def _enable_compile_cache():
     """Persistent compilation cache: verified to work through the axon
     remote-compile relay (81s -> 0.5s on a cache hit), so repeated bench
     runs skip the ~10 min of TPU compiles.
 
-    CPU-platform runs get a HOST-FINGERPRINTED subdir: the cache key omits
-    host CPU features, rounds run on varying hosts, and loading an XLA:CPU
-    AOT blob built for a different feature set segfaults (observed in the
-    suite; tests/conftest.py applies the same split). TPU entries execute
-    on the device, so they keep the shared flat root."""
+    CPU-platform runs get a HOST-FINGERPRINTED subdir (see
+    ``_host_cpu_fingerprint``); rounds run on varying hosts. TPU entries
+    execute on the device, so they keep the shared flat root."""
     import os
 
     import jax
@@ -499,18 +517,8 @@ def _enable_compile_cache():
                              ".jax_cache")
     platforms = getattr(jax.config, "jax_platforms", None) or ""
     if platforms.split(",")[0] == "cpu":
-        import hashlib
-        import platform as _platform
-
-        flags = ""
-        try:
-            with open("/proc/cpuinfo") as f:
-                flags = next((l for l in f if l.startswith("flags")), "")
-        except OSError:
-            pass
-        fp = hashlib.md5(
-            (_platform.machine() + flags).encode()).hexdigest()[:12]
-        cache_dir = os.path.join(cache_dir, f"cpu-{fp}")
+        cache_dir = os.path.join(cache_dir,
+                                 f"cpu-{_host_cpu_fingerprint()}")
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

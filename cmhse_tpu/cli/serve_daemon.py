@@ -71,6 +71,53 @@ def _nearest_rank(sorted_vals, p: float):
     return sorted_vals[min(n - 1, max(0, math.ceil(p * n) - 1))]
 
 
+# vm.max_map_count guard (same hazard CLAUDE.md documents for the test
+# suite): every XLA executable mmaps its code pages and this image's kernel
+# caps a process at 65530 mappings, so a LONG-LIVED daemon under
+# shape-changing churn — live adds growing the gallery, compactions
+# shrinking it, new batcher merge sizes — accumulates mappings until XLA
+# segfaults mid-compile. Clearing jax's executable caches unmaps the code;
+# the persistent compile cache (when enabled) makes recompiles cheap.
+_MAPS_SOFT_LIMIT = 40_000
+_MAPS_CHECK_EVERY = 64  # /proc/self/maps reads are cheap but not free
+
+
+def _map_count() -> int:
+    try:
+        with open("/proc/self/maps", "rb") as f:
+            return f.read().count(b"\n")
+    except OSError:  # non-Linux host: guard disabled
+        return 0
+
+
+def _maybe_clear_jax_caches(ctx: dict) -> None:
+    """Drop jax's executable caches when the process mapping count passes
+    the soft limit. Called from ``_client_loop`` AFTER a request completes
+    (no locks held); takes ingest_lock then the request lock — the same
+    order as ``_handle_add`` — so no device call is in flight during the
+    clear. The countdown is racy across client threads, which only skews
+    HOW OFTEN the count is read, never correctness."""
+    ctx["maps_countdown"] = ctx.get("maps_countdown", _MAPS_CHECK_EVERY) - 1
+    if ctx["maps_countdown"] > 0:
+        return
+    ctx["maps_countdown"] = _MAPS_CHECK_EVERY
+    if _map_count() < _MAPS_SOFT_LIMIT:
+        return
+    import gc
+
+    import jax
+
+    with ctx["ingest_lock"], ctx["lock"]:
+        n = _map_count()
+        if n < _MAPS_SOFT_LIMIT:  # another thread already cleared
+            return
+        jax.clear_caches()
+        gc.collect()
+        ctx["jax_cache_clears"] = ctx.get("jax_cache_clears", 0) + 1
+        print(f"map count {n} >= {_MAPS_SOFT_LIMIT}: cleared jax caches "
+              f"-> {_map_count()} maps", flush=True)
+
+
 def _auth_error(req: dict, ctx: dict) -> dict | None:
     """Constant-time token check when the daemon was started with
     --auth_token; None = authorized. No default token: unix-socket file
@@ -82,7 +129,12 @@ def _auth_error(req: dict, ctx: dict) -> dict | None:
     import hmac
 
     got = req.get("token")
-    if isinstance(got, str) and hmac.compare_digest(got, token):
+    # compare utf-8 bytes: compare_digest on str raises TypeError for
+    # non-ASCII input (either side), which would turn a wrong-alphabet
+    # token into a crash instead of "unauthorized" — and brick startup
+    # --warm for a daemon whose own token is non-ASCII
+    if isinstance(got, str) and hmac.compare_digest(
+            got.encode("utf-8"), token.encode("utf-8")):
         return None
     return {"error": "unauthorized: this daemon requires a valid 'token' "
                      "field on every request (started with --auth_token)"}
@@ -168,6 +220,7 @@ def _handle_request(req: dict, ctx: dict) -> dict:
             "side": r.side,
             "split": ctx["split"],
             "requests_served": ctx["served"],
+            "jax_cache_clears": ctx.get("jax_cache_clears", 0),
             # over the last len(lat) (<= 1024) query requests
             "latency_ms_p50": pct(0.50),
             "latency_ms_p90": pct(0.90),
@@ -214,7 +267,11 @@ def _handle_request(req: dict, ctx: dict) -> dict:
             ctx["added"].clear()
             if ctx["removed_ids"]:
                 r.remove_from_gallery(ctx["removed_ids"])
-        scores, idx = r.retrieve_video(qframes, qframe_len, qclip_len, k=k)
+        # bucket k for the same reason as _text_retrieve: a per-request k
+        # is a static jit arg, and recompiling under the lock stalls serving
+        scores, idx = r.retrieve_video(qframes, qframe_len, qclip_len,
+                                       k=max(8, _pow2_bucket(k)))
+        scores, idx = scores[:, :k], idx[:, :k]
     else:
         return reply({"error": "expected 'query', 'video_key', or 'op'"})
 
@@ -230,16 +287,41 @@ def _handle_request(req: dict, ctx: dict) -> dict:
                   "latency_ms": round(ms, 3)})
 
 
+def _pow2_bucket(n: int) -> int:
+    """Next power of two >= n (n >= 1) — the static-shape bucket for the
+    daemon's jitted query programs."""
+    return 1 << (n - 1).bit_length()
+
+
 def _text_retrieve(ctx: dict, texts: list, k: int):
     """Tokenize + encode + top-k for TEXT queries against the video-side
     gallery — the one shared compute core behind both the plain query op
-    and the cross-connection micro-batcher."""
+    and the cross-connection micro-batcher.
+
+    STATIC-SHAPE BUCKETING: the encode program's batch dim and retrieve's
+    ``k`` are static under jit, so without it every distinct
+    (len(texts), k) pair the client mix produces — batcher merges of size
+    1..N times arbitrary k values — triggers a fresh XLA compile UNDER THE
+    REQUEST LOCK (multi-second through the axon remote-compile relay),
+    stalling all traffic until every combination is warm. Padding the
+    batch to the next power of two (duplicated rows, dropped after) and
+    running with the bucketed k (extra columns sliced off) caps the
+    program count at O(log max_batch * log max_k). Results are
+    bit-identical to the unbucketed call: retrieve() returns the exact
+    sorted top-k with dense tie order (tests/test_topk.py), so the first
+    k columns of a top-k_b call equal the top-k call."""
     from cmhse_tpu.eval.serve import text_query_batch
 
     cfg = ctx["cfg"]
-    return ctx["retriever"].retrieve(
-        *text_query_batch(ctx["vocab"], texts, cfg.data.max_sentences,
-                          cfg.data.max_words), k=k)
+    n = len(texts)
+    # k bucket floored at 8: every k <= 8 (the common range; the client
+    # default is 5) shares ONE program — and it's the one --warm compiles
+    nb, kb = _pow2_bucket(n), max(8, _pow2_bucket(k))
+    scores, idx = ctx["retriever"].retrieve(
+        *text_query_batch(ctx["vocab"], texts + [texts[0]] * (nb - n),
+                          cfg.data.max_sentences, cfg.data.max_words),
+        k=kb)
+    return scores[:n, :k], idx[:n, :k]
 
 
 def _format_rows(ctx: dict, retriever, scores, idx) -> list:
@@ -326,7 +408,15 @@ class _QueryBatcher:
             if denied is not None:
                 it["resp"] = reply(denied)
                 continue
-            k = int(req.get("k", 5))
+            # per-item try: a malformed k (e.g. "three") must error THIS
+            # item only — if it escaped to submit's catch-all, every
+            # window-mate would get the error reply with its "id" stripped
+            try:
+                k = int(req.get("k", 5))
+            except (TypeError, ValueError):
+                it["resp"] = reply({"error": "k must be an integer, got "
+                                             f"{req.get('k')!r}"})
+                continue
             if k < 1:
                 it["resp"] = reply({"error": f"k must be >= 1, got {k}"})
                 continue
@@ -589,6 +679,7 @@ def _client_loop(conn: socket.socket, ctx: dict) -> None:
                 _access_log(ctx, req, resp)
                 f.write((json.dumps(resp) + "\n").encode())
                 f.flush()
+                _maybe_clear_jax_caches(ctx)
                 if ctx["shutdown"]:
                     break
     except OSError as e:
@@ -956,6 +1047,14 @@ def main(argv=None) -> int:
             tok = {"token": args.auth_token} if args.auth_token else {}
             _handle_request({"query": "warm up the encoder", "k": 1, **tok},
                             ctx)
+            if args.batch_window_ms > 0:
+                # with the batcher on, merged windows run at power-of-two
+                # batch buckets (see _text_retrieve) — compile them now so
+                # the first busy window doesn't stall serving on XLA
+                for nb in (2, 4, 8):
+                    _handle_request(
+                        {"query": ["warm up the encoder"] * nb, "k": 1,
+                         **tok}, ctx)
             if ctx["dataset"].keys:
                 _handle_request(
                     {"video_key": ctx["dataset"].keys[0], "k": 1, **tok},

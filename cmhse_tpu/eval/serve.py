@@ -258,6 +258,15 @@ class Retriever:
             self._valid_host = np.array(self.gallery_valid, dtype=bool)
         return self._valid_host
 
+    def _host_key_rows(self) -> dict:
+        """The key->rows reverse index, lazily built from ``gallery_keys``
+        when absent — so retrievers assembled field-by-field (gallery +
+        gallery_valid + gallery_keys, without build_gallery) still work,
+        same contract as ``_host_valid``."""
+        if self._key_rows is None:
+            self._key_rows = _build_key_rows(self.gallery_keys)
+        return self._key_rows
+
     def add_to_gallery(self, batches=None, keys: list | None = None,
                        encoded=None) -> None:
         """Append newly-encoded items to an existing gallery — the gallery
@@ -327,9 +336,10 @@ class Retriever:
         self._valid_host = np.concatenate([old_valid_host, new_valid_np])
         self.n_valid += int(new_valid_np.sum())
         new_keys = _row_aligned_keys(keys, ids, valid, int(new_emb.shape[0]))
+        key_rows = self._host_key_rows()  # before gallery_keys grows
         self.gallery_keys = self.gallery_keys + new_keys
         for key, rows in _build_key_rows(new_keys, offset=n_old).items():
-            self._key_rows.setdefault(key, []).extend(rows)
+            key_rows.setdefault(key, []).extend(rows)
 
     def remove_from_gallery(self, keys) -> int:
         """Tombstone gallery items by key (the delete side of continuous
@@ -352,8 +362,9 @@ class Retriever:
         if self.gallery is None:
             raise RuntimeError("call build_gallery() first")
         candidates: list = []
+        key_rows = self._host_key_rows()
         for key in set(keys):
-            candidates.extend(self._key_rows.get(key, ()))
+            candidates.extend(key_rows.get(key, ()))
         if not candidates:
             return 0
         valid_np = self._host_valid()

@@ -87,14 +87,22 @@ def _measure(sock_path: str, clients: int, queries: int) -> float:
                 barrier.wait()
                 for qi in range(queries):
                     c.query(texts[(ci + qi) % len(texts)], k=5)
-        except Exception as e:  # surface, don't hang the barrier
+        except Exception as e:
             errors.append(f"client {ci}: {type(e).__name__}: {e}")
+            # a worker that died BEFORE its barrier.wait (connect refused,
+            # daemon down) would otherwise leave the main thread blocked
+            # forever on the timeout-less wait below — break the barrier
+            # so the error surfaces instead
+            barrier.abort()
 
     threads = [threading.Thread(target=worker, args=(ci,))
                for ci in range(clients)]
     for t in threads:
         t.start()
-    barrier.wait()
+    try:
+        barrier.wait()
+    except threading.BrokenBarrierError:
+        pass  # a worker aborted; fall through to join + error report
     t0 = time.perf_counter()
     for t in threads:
         t.join()

@@ -30,22 +30,14 @@ jax.config.update("jax_default_matmul_precision", "highest")
 # suite (cpu_aot_loader warns "could lead to execution errors such as
 # SIGILL", then test_train_dp died in backend_compile_and_load). TPU
 # (axon) entries keep the flat .jax_cache root — they execute on the
-# device, not the host.
+# device, not the host. The fingerprint recipe lives in bench.py (single
+# source of truth) so bench runs and the suite share one namespace.
 
+import sys  # noqa: E402
 
-def _host_cpu_fingerprint() -> str:
-    import hashlib
-    import platform
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-    flags = ""
-    try:
-        with open("/proc/cpuinfo") as f:
-            flags = next((l for l in f if l.startswith("flags")), "")
-    except OSError:
-        pass
-    return hashlib.md5(
-        (platform.machine() + flags).encode()).hexdigest()[:12]
-
+from bench import _host_cpu_fingerprint  # noqa: E402
 
 _cache_dir = os.path.join(os.path.dirname(os.path.dirname(__file__)),
                           ".jax_cache", f"cpu-{_host_cpu_fingerprint()}")

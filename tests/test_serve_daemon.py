@@ -1110,7 +1110,12 @@ def test_batch_window_isolates_bad_requests(tmp_path_factory):
     reqs = [{"query": "a man runs", "k": 2, "token": "sekrit"},
             {"query": "", "k": 2, "token": "sekrit"},      # invalid text
             {"query": "a dog jumps", "k": 0, "token": "sekrit"},  # bad k
-            {"query": "a man runs", "k": 2}]               # no token
+            {"query": "a man runs", "k": 2},               # no token
+            # NON-COERCIBLE k: int("three") raises — must error THIS item
+            # only, with its id intact (an escape to submit's catch-all
+            # would poison every window-mate and strip their ids)
+            {"query": "a man runs", "k": "three", "id": "bad-k",
+             "token": "sekrit"}]
     threads = [threading.Thread(target=client, args=(i, r))
                for i, r in enumerate(reqs)]
     [t.start() for t in threads]
@@ -1120,6 +1125,7 @@ def test_batch_window_isolates_bad_requests(tmp_path_factory):
     assert "non-empty" in got[1]["error"]
     assert "k must be" in got[2]["error"]
     assert "unauthorized" in got[3]["error"]
+    assert got[4]["id"] == "bad-k" and "k must be an integer" in got[4]["error"]
 
 
 def test_batch_window_single_query_matches_plain_handler(tmp_path_factory):
@@ -1209,3 +1215,64 @@ def test_batch_window_races_live_crud(tmp_path_factory):
         q = serve_daemon._handle_request({"query": "a man runs", "k": 8},
                                          bctx)
     assert {h["key"] for h in q["results"]} == set(VAL_KEYS)
+
+
+def test_text_retrieve_bucketing_parity(ctx):
+    """Static-shape bucketing in _text_retrieve (pad the batch to a power
+    of two, run with a bucketed k, slice back) must be invisible: results
+    bit-identical to a direct unbucketed Retriever.retrieve for every
+    (n_texts, k) mix — including n and k that ARE a bucket boundary and
+    ones mid-bucket."""
+    from cmhse_tpu.eval.serve import text_query_batch
+
+    cfg = ctx["cfg"]
+    pool = ["a man runs down the street", "a dog jumps over a fence",
+            "two people talk in a kitchen", "a car drives past a house",
+            "a child kicks a ball"]
+    for n in (1, 2, 3, 5):
+        for k in (1, 3, 8, 50):  # 50 > n_valid=8: graceful-k clamp
+            texts = pool[:n]
+            scores, idx = serve_daemon._text_retrieve(ctx, texts, k)
+            ref_s, ref_i = ctx["retriever"].retrieve(
+                *text_query_batch(ctx["vocab"], texts,
+                                  cfg.data.max_sentences,
+                                  cfg.data.max_words), k=k)
+            assert scores.shape == ref_s.shape, (n, k, scores.shape)
+            np.testing.assert_array_equal(np.asarray(idx), np.asarray(ref_i))
+            np.testing.assert_array_equal(np.asarray(scores),
+                                          np.asarray(ref_s))
+
+
+def test_pow2_bucket():
+    assert [serve_daemon._pow2_bucket(n) for n in (1, 2, 3, 4, 5, 8, 9)] \
+        == [1, 2, 4, 4, 8, 8, 16]
+
+
+def test_maps_guard(monkeypatch):
+    """vm.max_map_count guard (CLAUDE.md long-lived-process rule): clears
+    jax caches only when the countdown elapses AND the map count is over
+    the soft limit, under both daemon locks; double-checks after acquiring
+    them so racing threads clear once."""
+    import jax as _jax
+
+    cleared = []
+    monkeypatch.setattr(_jax, "clear_caches", lambda: cleared.append(1))
+    monkeypatch.setattr(serve_daemon, "_MAPS_CHECK_EVERY", 2)
+    gctx = {"lock": threading.Lock(), "ingest_lock": threading.Lock()}
+
+    # below the limit: countdown elapses, count read, nothing cleared
+    monkeypatch.setattr(serve_daemon, "_map_count", lambda: 10)
+    for _ in range(4):
+        serve_daemon._maybe_clear_jax_caches(gctx)
+    assert not cleared and "jax_cache_clears" not in gctx
+
+    # over the limit: clears on the next elapsed countdown only
+    monkeypatch.setattr(serve_daemon, "_map_count",
+                        lambda: serve_daemon._MAPS_SOFT_LIMIT + 1)
+    serve_daemon._maybe_clear_jax_caches(gctx)  # countdown not yet elapsed
+    assert not cleared
+    serve_daemon._maybe_clear_jax_caches(gctx)
+    assert cleared == [1] and gctx["jax_cache_clears"] == 1
+
+    # real map counter works on this image
+    assert serve_daemon._map_count() > 0

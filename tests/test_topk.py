@@ -851,7 +851,7 @@ def test_retriever_host_valid_mirror():
     repopulates for field-by-field assembled retrievers, and detects size
     drift from external gallery_valid replacement."""
     from cmhse_tpu.config import ModelConfig
-    from cmhse_tpu.eval.serve import Retriever, _build_key_rows
+    from cmhse_tpu.eval.serve import Retriever
     from cmhse_tpu.models import CMHSE
 
     n, d = 12, 8
@@ -861,11 +861,12 @@ def test_retriever_host_valid_mirror():
     r.gallery_valid = jnp.ones((n,), bool)
     r.n_valid, r.side = n, "video"
     r.gallery_keys = [f"v{i}" for i in range(n)]
-    r._key_rows = _build_key_rows(r.gallery_keys)
 
-    # lazily populated on first use (field-by-field assembly left it None)
-    assert r._valid_host is None
+    # BOTH host indices lazily populate on first use (field-by-field
+    # assembly left them None)
+    assert r._valid_host is None and r._key_rows is None
     assert r.remove_from_gallery(["v3", "v7"]) == 2
+    assert r._key_rows is not None and r._key_rows["v3"] == [3]
     assert r._valid_host is not None and r._valid_host.dtype == np.bool_
     np.testing.assert_array_equal(r._valid_host,
                                   np.asarray(r.gallery_valid))
@@ -888,7 +889,7 @@ def test_retriever_host_valid_mirror():
     r.gallery_valid = jnp.concatenate([r.gallery_valid,
                                        jnp.zeros((1,), bool)])
     r.gallery_keys = r.gallery_keys + ["vx"]
-    r._key_rows = _build_key_rows(r.gallery_keys)
+    r._key_rows = None  # external key mutation: drop so it lazily rebuilds
     assert r.remove_from_gallery(["vx"]) == 0  # row invalid: not re-removed
     assert r._valid_host.shape[0] == n - 2
     np.testing.assert_array_equal(r._valid_host,
