@@ -151,8 +151,15 @@ def main() -> None:
         srv.start()
         assert ready.wait(timeout=300), "daemon never came up"
 
-        # warm: compile the query path once before any timed phase
+        # warm: compile the query path once before any timed phase —
+        # including the power-of-two merge buckets the batcher phases will
+        # run at (mirrors the CLI's --warm; without this the first
+        # positive-window phase absorbs multi-second XLA compiles and the
+        # A/B is contaminated, see PERFORMANCE.md "Static-shape bucketing")
         _measure(sock_path, clients=1, queries=3)
+        for nb in (2, 4, 8):
+            serve_daemon._handle_request(
+                {"query": ["warm up the encoder"] * nb, "k": 5}, ctx)
 
         for w in args.windows:
             # hot-swap the batcher between phases (no requests in flight)
