@@ -563,24 +563,13 @@ def _tunnel_down_result(err: Exception) -> dict:
     a null value with the failure spelled out, plus the previous round's
     measured value clearly labeled as NOT this run's, instead of crashing
     with no output at all."""
-    import glob
     import os
 
     last = None
-    here = os.path.dirname(os.path.abspath(__file__))
-    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")),
-                       reverse=True):
-        try:
-            with open(path) as f:
-                prev = json.load(f)
-            # the driver wraps our line: {"cmd": ..., "parsed": {<result>}}
-            prev = prev.get("parsed", prev) or {}
-            if prev.get("value") is not None:
-                last = {"round_file": os.path.basename(path),
-                        "value": prev["value"], "unit": prev.get("unit")}
-                break
-        except Exception:
-            continue
+    prev, path = _newest_prior_bench()
+    if prev is not None:
+        last = {"round_file": os.path.basename(path),
+                "value": prev["value"], "unit": prev.get("unit")}
     return {
         "metric": "video-paragraph pairs/sec encoded (hierarchical CMHSE, "
                   f"B={BATCH}, {MAX_CLIPS}x{MAX_FRAMES} frames, bf16)",
@@ -593,6 +582,44 @@ def _tunnel_down_result(err: Exception) -> dict:
             "last_measured_NOT_this_run": last,
         },
     }
+
+
+def _newest_prior_bench(here: str | None = None):
+    """Newest prior round's parsed ``BENCH_r*.json`` with a measured value,
+    as ``(parsed_dict, path)`` — or ``(None, None)``. Rounds are parsed from
+    the filename and sorted NUMERICALLY: reverse-lexicographic sorting
+    silently breaks past two digits, and a bare reverse glob compares a
+    re-run against its own round's already-written file when that is the
+    newest on disk (ADVICE r4). Self-comparison can't be fully excluded
+    (bench.py doesn't know its round number — the driver writes the file
+    AFTER the run, so at driver time the newest file IS the prior round);
+    ``BENCH_SKIP_ROUNDS_FROM`` (env, int) lets a manual re-run pin the
+    current round and skip its own and later files."""
+    import glob
+    import os
+    import re
+
+    here = here or os.path.dirname(os.path.abspath(__file__))
+    skip_from = os.environ.get("BENCH_SKIP_ROUNDS_FROM")
+    skip_from = int(skip_from) if skip_from else None
+    rounds = []
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(path))
+        if m:
+            rounds.append((int(m.group(1)), path))
+    for n, path in sorted(rounds, reverse=True):
+        if skip_from is not None and n >= skip_from:
+            continue
+        try:
+            with open(path) as f:
+                cand = json.load(f)
+            # the driver wraps our line: {"cmd": ..., "parsed": {<result>}}
+            cand = cand.get("parsed", cand) or {}
+            if cand.get("value") is not None:
+                return cand, path
+        except Exception:
+            continue
+    return None, None
 
 
 def _flatten_bench_metrics(result: dict) -> dict:
@@ -631,24 +658,12 @@ def regressions_vs_previous(result: dict, here: str | None = None,
     entry per regressed metric. Metrics missing on either side are skipped
     (a bench that failed and reported null must not mask as a pass OR a
     regression — its absence is visible in the raw extras)."""
-    import glob
     import os
 
-    here = here or os.path.dirname(os.path.abspath(__file__))
-    prev = prev_file = None
-    for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")),
-                       reverse=True):
-        try:
-            with open(path) as f:
-                cand = json.load(f)
-            cand = cand.get("parsed", cand) or {}
-            if cand.get("value") is not None:
-                prev, prev_file = cand, os.path.basename(path)
-                break
-        except Exception:
-            continue
+    prev, prev_path = _newest_prior_bench(here)
     if prev is None:
         return None
+    prev_file = os.path.basename(prev_path)
     now_m, prev_m = _flatten_bench_metrics(result), _flatten_bench_metrics(prev)
     flagged = []
     for name, p in sorted(prev_m.items()):

@@ -367,7 +367,13 @@ class _QueryBatcher:
         WITHOUT the request lock held (the leader takes it itself)."""
         import threading
 
-        item = {"req": req, "done": threading.Event(), "resp": None}
+        # latency is stamped HERE, before the window wait: batching's whole
+        # cost is queueing delay, so per-reply latency_ms (and the stats
+        # quantiles fed from it) must include it — a timer started after the
+        # leader's sleep understated client-observed latency by up to one
+        # window in exactly the mode whose price is that window (ADVICE r4)
+        item = {"req": req, "done": threading.Event(), "resp": None,
+                "t0": time.perf_counter()}
         with self._mutex:
             self._pending.append(item)
             leader = len(self._pending) == 1
@@ -395,7 +401,6 @@ class _QueryBatcher:
         """Validate each item, run ONE merged retrieve for the valid ones,
         split the rows back out. Mirrors _handle_request's text-query
         contract exactly (same helpers, same reply shapes, same stats)."""
-        t0 = time.perf_counter()
         live = []  # (item, texts, k, batched, rid)
         for it in batch:
             req = it["req"]
@@ -435,12 +440,16 @@ class _QueryBatcher:
         with self.ctx["lock"]:
             scores, idx = _text_retrieve(self.ctx, merged, k_max)
             rows = _format_rows(self.ctx, self.ctx["retriever"], scores, idx)
-            ms = (time.perf_counter() - t0) * 1e3
-            # stats mutate under the request lock, same as the unbatched path
+            # per-ITEM latency from each item's own submit() stamp — the
+            # leader's includes its window sleep, a follower's its shorter
+            # wait; stats mutate under the request lock, same as the
+            # unbatched path
+            done = time.perf_counter()
+            per_ms = [(done - it["t0"]) * 1e3 for it, *_ in live]
             self.ctx["served"] += len(live)
-            self.ctx["latencies"].extend([ms] * len(live))
+            self.ctx["latencies"].extend(per_ms)
         start = 0
-        for it, texts, k, batched, reply in live:
+        for (it, texts, k, batched, reply), ms in zip(live, per_ms):
             mine = [row[:k] for row in rows[start:start + len(texts)]]
             start += len(texts)
             it["resp"] = reply({"results": mine if batched else mine[0],
@@ -487,6 +496,14 @@ def _handle_add(req: dict, ctx: dict) -> dict:
     cfg = ctx["cfg"]
     path = req.get("data_path") or ctx["data_path"]
     if req.get("data_path") and not ctx.get("allow_any_path"):
+        # fail CLOSED on a context without a startup root (hand-assembled
+        # test/embedding contexts): there is nothing to confine the
+        # client-supplied path to, so reject it instead of TypeError-ing
+        # inside realpath (ADVICE r4)
+        if ctx.get("data_path") is None:
+            return {"error": "this daemon has no startup data root to "
+                             "confine 'data_path' to; build the context "
+                             "with a data_path or enable allow_any_path"}
         root = os.path.realpath(ctx["data_path"])
         target = os.path.realpath(path)
         if os.path.commonpath([root, target]) != root:

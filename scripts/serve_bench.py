@@ -30,14 +30,13 @@ import time
 
 _HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _HERE)
-sys.path.insert(0, os.path.join(_HERE, "tests"))
 
 
 def _build_fixture(td: str, n_val: int, feat_dim: int, embed: int):
     """Reference-layout data + an initialized checkpoint sized for a
     realistic per-query device cost (the fixture generator's tests-scale
     defaults would understate the batching win's denominator)."""
-    from reference_layout import write_reference_dataset
+    from cmhse_tpu.data.fixtures import write_reference_dataset
 
     from cmhse_tpu.config import DataConfig, ExperimentConfig, ModelConfig
     from cmhse_tpu.data import PrecompDataset, batches_from_dataset

@@ -25,7 +25,6 @@ import time
 
 _HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _HERE)
-sys.path.insert(0, os.path.join(_HERE, "tests"))
 
 
 def main() -> None:
@@ -48,7 +47,7 @@ def main() -> None:
     bench._enable_compile_cache()
     from serve_bench import _build_fixture
 
-    from reference_layout import write_reference_dataset
+    from cmhse_tpu.data.fixtures import write_reference_dataset
     from cmhse_tpu.cli import serve_daemon
     from cmhse_tpu.client import ServeClient
 

@@ -1,87 +1,13 @@
-"""Reference-layout dataset fixture generator (VERDICT r2 next-step 1).
+"""Test-side re-export of the reference-layout fixture generator.
 
-Writes exactly the on-disk layout the reference's data pipeline consumed
-(SURVEY.md C2/L0-L1): the ActivityNet-challenge style ``{split}_features.h5``
-with per-video NESTED GROUPS (``f[key]['c3d_features']``), a
-``{split}_captions.json`` mapping id -> {timestamps, sentences, duration},
-plus word2vec vector files. A test driving the console entry points over a
-directory produced here would run unchanged on a real downloaded
-ActivityNet/DiDeMo feature directory — that is the fixture's design goal.
+The generator itself lives in the installed package
+(``cmhse_tpu.data.fixtures``) because driver-contract entry points and the
+serving bench/soak scripts need it without the tests/ tree present
+(ADVICE r4); suite modules keep importing it from here.
 """
 
-from __future__ import annotations
-
-import json
-import os
-
-import numpy as np
-
-# small word pool -> deterministic multi-sentence "captions" with realistic
-# punctuation (periods exercise the tokenizer's sentence handling)
-_SUBJECTS = ["a man", "a woman", "the dog", "a child", "the chef"]
-_VERBS = ["runs", "jumps", "walks", "cooks", "slides"]
-_TAILS = ["in the park", "on the street", "near the lake", "at home",
-          "down the hill"]
-
-
-def make_sentence(rng: np.random.RandomState) -> str:
-    return (f"{_SUBJECTS[rng.randint(len(_SUBJECTS))]} "
-            f"{_VERBS[rng.randint(len(_VERBS))]} "
-            f"{_TAILS[rng.randint(len(_TAILS))]}.")
-
-
-def write_reference_dataset(
-    root: str,
-    n_train: int = 12,
-    n_val: int = 8,
-    feat_dim: int = 8,
-    seed: int = 0,
-    splits: list[tuple[str, int]] | None = None,
-) -> dict:
-    """Write train+val splits in the reference layout (or the given
-    ``splits`` — e.g. a later-arriving ingest batch for the daemon's live
-    "add" op); returns metadata."""
-    import h5py
-
-    os.makedirs(root, exist_ok=True)
-    rng = np.random.RandomState(seed)
-    info: dict = {"feat_dim": feat_dim, "keys": {}}
-    for split, n in (splits or (("train", n_train), ("val", n_val))):
-        captions = {}
-        h5_path = os.path.join(root, f"{split}_features.h5")
-        with h5py.File(h5_path, "w") as f:
-            for i in range(n):
-                key = f"v_{split}{i:03d}"
-                n_clips = int(rng.randint(1, 4))
-                rows_per_clip = rng.randint(2, 5, size=n_clips)
-                total = int(rows_per_clip.sum())
-                feats = rng.randn(total, feat_dim).astype(np.float32)
-                # challenge layout: the matrix nests inside a GROUP
-                f.create_group(key).create_dataset("c3d_features", data=feats)
-                duration = float(total)  # 1 feature row per "second"
-                ts, t0 = [], 0
-                for r in rows_per_clip:
-                    ts.append([float(t0), float(t0 + int(r))])
-                    t0 += int(r)
-                captions[key] = {
-                    "duration": duration,
-                    "timestamps": ts,
-                    "sentences": [make_sentence(rng) for _ in range(n_clips)],
-                }
-        with open(os.path.join(root, f"{split}_captions.json"), "w") as f:
-            json.dump(captions, f)
-        info["keys"][split] = sorted(captions)
-    return info
-
-
-def write_word2vec_bin(path: str, words: list[str], dim: int,
-                       seed: int = 7) -> None:
-    """Original word2vec C-binary file covering ``words`` (the format
-    GoogleNews vectors ship in; exercises the .bin reader end-to-end)."""
-    rng = np.random.RandomState(seed)
-    with open(path, "wb") as f:
-        f.write(f"{len(words)} {dim}\n".encode())
-        for w in words:
-            f.write(w.encode("utf-8") + b" ")
-            f.write(rng.randn(dim).astype("<f4").tobytes())
-            f.write(b"\n")
+from cmhse_tpu.data.fixtures import (  # noqa: F401
+    make_sentence,
+    write_reference_dataset,
+    write_word2vec_bin,
+)
