@@ -402,8 +402,22 @@ def streaming_sim_topk(
             loc_s, loc_i = jax.lax.top_k(sims, kk)
             return None, (loc_s, loc_i + ci * chunk)
 
+    # unroll=n_chunks: NO while loop in the compiled program. A rolled
+    # scan compiles fine when this whole function is nested inside an
+    # outer loop (how bench's slope timing runs it), but as a STANDALONE
+    # program — what serving dispatches per request — XLA peels the last
+    # iteration out of the while loop and the peeled body MATERIALIZES the
+    # full [Q, ngroups, _GROUP] f32 sims stack (1 GB at N=1M/Q=1024) plus
+    # a same-sized relayout copy that the in-loop body fuses away.
+    # Measured on v5e at N=1M/Q=1024/D=1024/k=10, device-busy time:
+    # rolled 52.98 ms/call vs unrolled 28.03 ms/call (1.9x), outputs
+    # bit-identical; full A/B (incl. a Python-loop variant — equal to
+    # unroll) in scripts/topk_standalone_probe.py, history in
+    # PERFORMANCE.md. n_chunks is small by design (4 up to ~1M rows, then
+    # N/262144 — see TOPK_NCHUNKS), so the unrolled program stays compact.
     _, (all_s, all_i) = jax.lax.scan(
-        body, None, (g_feed, v_feed, jnp.arange(n_chunks, dtype=jnp.int32))
+        body, None, (g_feed, v_feed, jnp.arange(n_chunks, dtype=jnp.int32)),
+        unroll=n_chunks,
     )  # [n_chunks, Q, kk] — k' candidates per chunk, tiny vs [Q, N]
     # stack in CHUNK ORDER (ascending global index): the stable final top_k
     # then resolves equal scores to the lowest gallery index, exactly like
@@ -512,9 +526,13 @@ def quantized_sim_topk(
             _, loc_i = jax.lax.top_k(sims, kk)
             return None, loc_i + ci * csize
 
+    # unroll=n_chunks: same standalone-call peeling hazard (and fix) as
+    # streaming_sim_topk's scan — see the comment there; quantized A/B in
+    # scripts/topk_standalone_probe.py --quantized (PERFORMANCE.md).
     _, all_i = jax.lax.scan(
         body, None, (g_feed, s_feed, v_feed,
-                     jnp.arange(n_chunks, dtype=jnp.int32)))
+                     jnp.arange(n_chunks, dtype=jnp.int32)),
+        unroll=n_chunks)
     idx_m = jnp.swapaxes(all_i, 0, 1).reshape(q, n_chunks * kk)
 
     # exact rescore of the captured pool: ascending-index order so the

@@ -12,14 +12,22 @@ N=1M/Q=1024/D=1024.
 
 This probe A/Bs standalone variants of the grouped scan body on the real
 chip by DEVICE-BUSY time (xplane), checking each variant's scores and
-indices are bit-identical to the current path on the same inputs:
+indices are bit-identical to the production path on the same inputs:
 
-  scan     — current production code (lax.scan over chunks)
-  unroll   — lax.scan(..., unroll=n_chunks): no while loop at all
-  pyloop   — Python for-loop over chunks (full unroll, no iota/stack)
+  production — ops/topk.py as shipped (rolled scan before round 5;
+               unroll=n_chunks after the fix landed)
+  scan       — rolled lax.scan over chunks (the pre-fix form)
+  unroll     — lax.scan(..., unroll=n_chunks): no while loop at all
+  pyloop     — Python for-loop over chunks (full unroll, no iota/stack)
+
+``--quantized`` A/Bs the int8 two-stage path's pre-select loop instead.
+
+VERDICT (run 2026-08-20, v5e, N=1M/Q=1024/D=1024/k=10): rolled scan
+52.98 ms/call standalone vs unroll/pyloop both 28.03 ms (1.9x), all
+bit-identical — unroll=n_chunks adopted in ops/topk.py; full numbers in
+PERFORMANCE.md "Standalone vs in-scan serving calls".
 
 Run on the real chip, idle host: ``python scripts/topk_standalone_probe.py``.
-Record the verdict in PERFORMANCE.md and adopt the winner in ops/topk.py.
 """
 
 from __future__ import annotations
@@ -84,6 +92,60 @@ def _variant_topk(queries, pg, k: int, mode: str):
     return scores, idx
 
 
+def _variant_quantized(queries, pg, k: int, mode: str):
+    """The grouped branch of quantized_sim_topk's int8 pre-select with a
+    pluggable chunk loop (rolled scan vs full unroll), sharing the
+    production rescore epilogue — mirrors ops/topk.py so the A/B isolates
+    exactly the loop form."""
+    import jax
+    import jax.numpy as jnp
+
+    from cmhse_tpu.ops.topk import (_GROUP, _grouped_preselect,
+                                    _quantize_rows_int8, _round_to_bf16_bits)
+
+    g8, s8, v_chunks = pg.int8_chunks, pg.int8_scale, pg.valid
+    n_chunks, csize, d = g8.shape
+    q = queries.shape[0]
+    capacity = n_chunks * csize
+    m = min(max(64, 4 * k), capacity)
+    kk = min(max(k, -(-m // n_chunks)), csize)
+    ngroups = csize // _GROUP
+    assert ngroups * _GROUP == csize and ngroups >= 2 * kk
+    qi, _ = _quantize_rows_int8(queries)
+    g_feed = g8.reshape(n_chunks, ngroups, _GROUP, d)
+    s_feed = s8.reshape(n_chunks, ngroups, _GROUP)
+    v_feed = v_chunks.reshape(n_chunks, ngroups, _GROUP)
+
+    def body(_, xs):
+        g_c, s_c, v_c, ci = xs
+        sims = jnp.einsum("qd,gkd->qgk", qi, g_c,
+                          preferred_element_type=jnp.int32
+                          ).astype(jnp.float32) * s_c[None]
+        sims = jnp.where(v_c[None], sims, -jnp.inf)
+        _, loc_i = _grouped_preselect(sims, kk)
+        return None, loc_i + ci * csize
+
+    _, all_i = jax.lax.scan(
+        body, None,
+        (g_feed, s_feed, v_feed, jnp.arange(n_chunks, dtype=jnp.int32)),
+        unroll=n_chunks if mode in ("unroll", "pyloop") else 1)
+    idx_m = jnp.swapaxes(all_i, 0, 1).reshape(q, n_chunks * kk)
+    idx_m = jnp.sort(idx_m, axis=1)
+    flat = pg.chunks.reshape(capacity, d)
+    vflat = v_chunks.reshape(capacity)
+    rows = jnp.take(flat, idx_m, axis=0)
+    val_m = jnp.take(vflat, idx_m, axis=0)
+    if flat.dtype == jnp.bfloat16:
+        q_f = _round_to_bf16_bits(queries).astype(jnp.float32)
+    else:
+        q_f = queries.astype(jnp.float32)
+    rescored = jnp.sum(rows.astype(jnp.float32) * q_f[:, None, :], axis=-1)
+    rescored = jnp.where(val_m, rescored, -jnp.inf)
+    scores, pos = jax.lax.top_k(rescored, k)
+    idx = jnp.take_along_axis(idx_m, pos, axis=1)
+    return scores, idx
+
+
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     p.add_argument("--n", type=int, default=1_000_000)
@@ -93,6 +155,9 @@ def main() -> None:
     p.add_argument("--reps", type=int, default=3)
     p.add_argument("--modes", nargs="+",
                    default=["scan", "unroll", "pyloop"])
+    p.add_argument("--quantized", action="store_true",
+                   help="A/B the int8 two-stage path's pre-select loop "
+                        "instead of the exact path")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu", "axon"])
     args = p.parse_args()
     if args.platform:
@@ -108,30 +173,34 @@ def main() -> None:
     import numpy as np
 
     from cmhse_tpu.ops.similarity import l2norm
-    from cmhse_tpu.ops.topk import prepare_topk_gallery, streaming_sim_topk
+    from cmhse_tpu.ops.topk import (prepare_topk_gallery, quantized_sim_topk,
+                                    streaming_sim_topk)
     from cmhse_tpu.utils.profiling import device_busy_seconds
 
     print("platform:", jax.devices()[0].platform, flush=True)
     kg, kq = jax.random.split(jax.random.PRNGKey(0))
     gallery = l2norm(jax.random.normal(kg, (args.n, args.d), jnp.float32))
-    pg = prepare_topk_gallery(gallery, quantize=False)
+    pg = prepare_topk_gallery(gallery, quantize=args.quantized)
     del gallery
     queries = l2norm(jax.random.normal(kq, (args.reps + 1, args.q, args.d),
                                        jnp.float32))
     jax.block_until_ready((pg, queries))
 
     # reference output from the production path, for exactness checks
-    ref_s, ref_i = streaming_sim_topk(queries[0], pg, k=args.k)
+    prod = (functools.partial(quantized_sim_topk, k=args.k)
+            if args.quantized
+            else functools.partial(streaming_sim_topk, k=args.k))
+    variant = _variant_quantized if args.quantized else _variant_topk
+    ref_s, ref_i = prod(queries[0], pg)
     ref_s, ref_i = np.asarray(ref_s), np.asarray(ref_i)
 
     out = {"n": args.n, "q": args.q, "d": args.d, "k": args.k,
-           "per_call_ms": {}, "qps": {}}
+           "quantized": args.quantized, "per_call_ms": {}, "qps": {}}
     for mode in args.modes:
-        if mode == "scan":
-            fn = functools.partial(streaming_sim_topk, k=args.k)
+        if mode == "production":
+            fn = prod
         else:
-            fn = jax.jit(functools.partial(_variant_topk, k=args.k,
-                                           mode=mode))
+            fn = jax.jit(functools.partial(variant, k=args.k, mode=mode))
         s, i = fn(queries[0], pg)
         jax.block_until_ready((s, i))
         exact = (np.array_equal(np.asarray(s), ref_s)
