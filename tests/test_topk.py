@@ -422,6 +422,7 @@ def test_retriever_add_to_gallery_matches_rebuild(monkeypatch):
         monkeypatch.undo()
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("seed", [0, 1, 2])
 def test_prepared_crud_fuzz(seed):
     """Random interleavings of append / tombstone against the prepared
@@ -607,6 +608,7 @@ def test_round_to_bf16_bits_matches_rne():
     np.testing.assert_array_equal(got.view(np.uint16), want.view(np.uint16))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("seed", range(6))
 def test_streaming_fuzz_ties_and_masks(seed):
     """Adversarial fuzz at one compiled shape (seeds vary data, not shapes,
@@ -753,6 +755,76 @@ def test_retriever_compact(monkeypatch, force_stream, quantize, mesh):
     assert "k0" not in got_keys and "new0" in got_keys
 
 
+@pytest.mark.parametrize("force_stream,mesh", [(False, False),
+                                               (True, False), (True, True)])
+def test_compaction_plan_apply_with_raced_remove(monkeypatch, force_stream,
+                                                 mesh):
+    """The online-compaction split: removes that land BETWEEN
+    plan_compaction() and apply_compaction() (the daemon's off-lock rebuild
+    window) are replayed onto the swapped-in forms — the raced key can
+    never surface afterwards, and surviving (key, score) results match a
+    retriever that saw the same ops inline."""
+    from cmhse_tpu.eval import serve as serve_mod
+
+    if force_stream:
+        monkeypatch.setattr(serve_mod, "should_stream_topk",
+                            lambda n, force=None: True)
+    model, params = _tiny_retriever_model()
+    mesh_obj = None
+    if mesh:
+        from cmhse_tpu.parallel.mesh import make_mesh
+
+        mesh_obj = make_mesh((-1,), ("data",))
+    rng = np.random.RandomState(7)
+    encoded, keys, v, valid = _synthetic_encoded(rng, n=40, pad=8)
+    r = serve_mod.Retriever(model, params, mesh=mesh_obj)
+    r.build_gallery(encoded=encoded, keys=keys)
+    assert r.remove_from_gallery(["k5", "k11"]) == 2
+
+    plan = r.plan_compaction()
+    assert not isinstance(plan, np.ndarray)
+    # raced mutation: another connection tombstones k20 while the plan
+    # (the expensive rebuild) is "in flight"
+    assert r.remove_from_gallery(["k20"]) == 1
+    old_to_new = r.apply_compaction(plan)
+
+    # k20 exists in the new gallery (it was valid at plan time) but is
+    # invalid — it must never surface; k5/k11 are gone entirely
+    assert old_to_new.shape == (48,)
+    new_k20 = int(old_to_new[20])
+    assert new_k20 >= 0 and r.gallery_keys[new_k20] == "k20"
+    assert not bool(r._host_valid()[new_k20])
+    assert r.n_valid == 37  # 40 - 2 planned - 1 raced
+    q = jnp.asarray(rng.randn(4, 16).astype(np.float32))
+    s, i = r._search(q, k=r.n_valid)
+    got = {r.gallery_keys[int(j)] for j in i.ravel()}
+    assert {"k5", "k11", "k20"}.isdisjoint(got)
+    assert len(got) == 37
+
+    # parity with the inline path on a twin retriever
+    r2 = serve_mod.Retriever(model, params, mesh=mesh_obj)
+    r2.build_gallery(encoded=encoded, keys=keys)
+    r2.remove_from_gallery(["k5", "k11", "k20"])
+    r2.compact()
+    s2, i2 = r2._search(q, k=r2.n_valid)
+    ref = [[(r2.gallery_keys[int(j)], round(float(x), 5))
+            for j, x in zip(ri, rs)] for ri, rs in zip(i2, s2)]
+    gotp = [[(r.gallery_keys[int(j)], round(float(x), 5))
+             for j, x in zip(ri, rs)] for ri, rs in zip(i, s)]
+    # r2 compacted k20 away entirely; the surviving (key, score) rows are
+    # identical (per-row dot reductions don't depend on gallery row count)
+    assert gotp == ref
+
+    # a stale plan (gallery grew) is refused
+    plan2 = r.plan_compaction()
+    enc2, keys2, _, _ = _synthetic_encoded(rng, n=4, key_prefix="grow")
+    r.add_to_gallery(encoded=enc2, keys=keys2)
+    if not isinstance(plan2, np.ndarray):
+        with pytest.raises(RuntimeError, match="stale"):
+            r.apply_compaction(plan2)
+
+
+@pytest.mark.slow
 @pytest.mark.parametrize("seed", [0, 1])
 def test_retriever_crud_fuzz_with_compaction(monkeypatch, seed):
     """Random interleavings of add / remove / COMPACT on a (forced)
