@@ -20,6 +20,13 @@ def test_topk_bench_variants_produce_finite_qps():
         assert np.isfinite(qps) and qps > 0, (name, qps)
 
 
+def test_topk_standalone_bench_produces_finite_qps():
+    qps, ms = bench.bench_topk_standalone(n=512, q=8, k=3, reps=2)
+    assert set(qps) == set(ms) == {"stream_prepared"}
+    assert np.isfinite(qps["stream_prepared"]) and qps["stream_prepared"] > 0
+    assert ms["stream_prepared"] > 0
+
+
 def test_acquire_device_returns_on_cpu():
     # under the test conftest the platform is CPU, so first contact is
     # immediate; the watchdog must pass the device through untouched
