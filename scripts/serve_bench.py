@@ -70,22 +70,33 @@ def _build_fixture(td: str, n_val: int, feat_dim: int, embed: int):
     return root, ckpt_dir
 
 
-def _measure(sock_path: str, clients: int, queries: int) -> float:
-    """QPS of ``clients`` threads x ``queries`` sequential single-text
-    queries each, against the live daemon."""
+def _measure(sock_path: str, clients: int,
+             queries: int) -> tuple[float, float]:
+    """``clients`` threads x ``queries`` sequential single-text queries
+    each, against the live daemon. Returns ``(QPS, client-observed p50
+    ms)`` — the latency is stamped around the wire round-trip, so it
+    includes the batch window's queueing delay (the cost the adaptive
+    close exists to shave for lone clients)."""
     from cmhse_tpu.client import ServeClient
 
     texts = ["a man runs down the street", "a dog jumps over a fence",
              "two people talk in a kitchen", "a car drives past a house"]
     barrier = threading.Barrier(clients + 1)
     errors: list = []
+    lat_lock = threading.Lock()
+    lats: list = []
 
     def worker(ci: int):
         try:
+            local = []
             with ServeClient(socket_path=sock_path, timeout=120) as c:
                 barrier.wait()
                 for qi in range(queries):
+                    t0 = time.perf_counter()
                     c.query(texts[(ci + qi) % len(texts)], k=5)
+                    local.append(time.perf_counter() - t0)
+            with lat_lock:
+                lats.extend(local)
         except Exception as e:
             errors.append(f"client {ci}: {type(e).__name__}: {e}")
             # a worker that died BEFORE its barrier.wait (connect refused,
@@ -108,7 +119,9 @@ def _measure(sock_path: str, clients: int, queries: int) -> float:
     dt = time.perf_counter() - t0
     if errors:
         raise RuntimeError("; ".join(errors))
-    return clients * queries / dt
+    lats.sort()
+    p50 = lats[len(lats) // 2] * 1e3
+    return clients * queries / dt, p50
 
 
 def main() -> None:
@@ -116,6 +129,8 @@ def main() -> None:
     p.add_argument("--clients", type=int, default=8)
     p.add_argument("--queries", type=int, default=50,
                    help="sequential queries per client per phase")
+    p.add_argument("--lone_queries", type=int, default=100,
+                   help="queries for the single-client latency pass")
     p.add_argument("--windows", type=float, nargs="+",
                    default=[0.0, 2.0, 5.0, 10.0], metavar="MS")
     p.add_argument("--n_val", type=int, default=64,
@@ -136,7 +151,8 @@ def main() -> None:
     from cmhse_tpu.cli.serve_daemon import _QueryBatcher
 
     out = {"clients": args.clients, "queries_per_client": args.queries,
-           "gallery_items": args.n_val, "embed": args.embed, "qps": {}}
+           "gallery_items": args.n_val, "embed": args.embed, "qps": {},
+           "p50_ms": {}, "lone_qps": {}, "lone_p50_ms": {}}
     with tempfile.TemporaryDirectory() as td:
         root, ckpt_dir = _build_fixture(td, args.n_val, args.feat_dim,
                                         args.embed)
@@ -160,14 +176,32 @@ def main() -> None:
             serve_daemon._handle_request(
                 {"query": ["warm up the encoder"] * nb, "k": 5}, ctx)
 
+        # each positive window runs two arms: the adaptive early close
+        # (production default) and the plain full-window sleep — plus a
+        # LONE-client pass per phase, the case whose latency the adaptive
+        # close exists to rescue (VERDICT r4 weak 4)
+        phases = []
         for w in args.windows:
+            if w <= 0:
+                phases.append((0.0, None, "window_0ms"))
+            else:
+                phases.append((w, None, f"window_{w:g}ms_adaptive"))
+                phases.append((w, 0.0, f"window_{w:g}ms_plain"))
+        for w, gap, name in phases:
             # hot-swap the batcher between phases (no requests in flight)
-            ctx["batcher"] = (_QueryBatcher(ctx, w / 1e3) if w > 0 else None)
-            qps = _measure(sock_path, args.clients, args.queries)
-            out["qps"][f"window_{w:g}ms"] = round(qps, 1)
+            ctx["batcher"] = (_QueryBatcher(ctx, w / 1e3, quiet_gap_s=gap)
+                              if w > 0 else None)
+            qps, p50 = _measure(sock_path, args.clients, args.queries)
+            lone_qps, lone_p50 = _measure(sock_path, 1, args.lone_queries)
+            out["qps"][name] = round(qps, 1)
+            out["p50_ms"][name] = round(p50, 2)
+            out["lone_qps"][name] = round(lone_qps, 1)
+            out["lone_p50_ms"][name] = round(lone_p50, 2)
             base = out["qps"].get("window_0ms")
-            rel = f" ({qps / base:.2f}x window 0)" if base and w > 0 else ""
-            print(f"batch_window {w:g} ms: {qps:,.1f} QPS{rel}", flush=True)
+            rel = (f" ({qps / base:.2f}x window 0)"
+                   if base and w > 0 else "")
+            print(f"{name}: {qps:,.1f} QPS p50 {p50:.2f} ms | lone "
+                  f"p50 {lone_p50:.2f} ms{rel}", flush=True)
 
         from cmhse_tpu.client import ServeClient
 

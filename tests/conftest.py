@@ -71,6 +71,40 @@ def _map_count() -> int:
         return 0
 
 
+# Two-tier suite (VERDICT r4 weak 6: the default loop was headed past the
+# 1-core host's budget): tests marked `slow` — the 2-process
+# jax.distributed fit, the batcher-vs-CRUD race, the CRUD/tie fuzzes —
+# only run with --runslow (or CMHSE_RUN_SLOW=1, for harnesses that can't
+# pass flags). Everything they pin is also covered in miniature by fast
+# tests; the full tier is the pre-commit/pre-round gate (see CLAUDE.md).
+
+
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="also run tests marked slow (the multi-minute tail: "
+             "2-process distributed fit, fuzzes, races)")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: multi-minute tail tests; skipped unless "
+                   "--runslow or CMHSE_RUN_SLOW=1")
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+
+    if config.getoption("--runslow") or \
+            os.environ.get("CMHSE_RUN_SLOW") == "1":
+        return
+    skip = pytest.mark.skip(
+        reason="slow tier: pass --runslow or set CMHSE_RUN_SLOW=1")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 def pytest_runtest_teardown(item, nextitem):
     n = _map_count()
     if n >= _MAPS_SOFT_LIMIT:

@@ -231,6 +231,7 @@ def _read_log(run_dir: str) -> list:
         return [json.loads(line) for line in f if line.strip()]
 
 
+@pytest.mark.slow
 def test_two_process_distributed_fit(tmp_path):
     """Spawn 2 real jax.distributed processes (4 fake CPU devices each) and
     run the full fit() over the shared 8-device mesh; assert (a) the loss /
