@@ -1213,10 +1213,12 @@ def test_batch_window_single_query_matches_plain_handler(tmp_path_factory):
 def test_batch_window_races_live_crud(tmp_path_factory):
     """Fuzz the interleaving --batch_window_ms opened: batched text queries
     from several threads race a mutator cycling add -> remove ->
-    auto-compaction through the daemon's own entry points (add lock-free
-    like _client_loop, everything else under ctx["lock"]). Every response
-    must be well-formed (k rows, finite scores, keys that existed at some
-    point); the final state must be exactly the fixture gallery again."""
+    auto-compaction through the daemon's own entry points (all mutating
+    ops lock-free, exactly like _client_loop routes them — add/remove/
+    compact manage their own locking since the online-compaction change).
+    Every response must be well-formed (k rows, finite scores, keys that
+    existed at some point); the final state must be exactly the fixture
+    gallery again."""
     root, ckpt_dir = _fixture_run(tmp_path_factory, "batchcrud")
     sub = tmp_path_factory.mktemp("batchcrud_inc")
     write_reference_dataset(str(sub), feat_dim=FEAT, seed=31,
@@ -1245,14 +1247,17 @@ def test_batch_window_races_live_crud(tmp_path_factory):
     def mutator():
         try:
             for _ in range(4):
-                # add runs OUTSIDE ctx["lock"], exactly like _client_loop
+                # mutating ops run OUTSIDE ctx["lock"], exactly like
+                # _client_loop: _handle_remove takes the lock itself for
+                # its O(removed) tombstone and hands a threshold-crossing
+                # compaction to _compact_online AFTER releasing it (holding
+                # it here would self-deadlock — the lock is not reentrant)
                 r = serve_daemon._handle_request(
                     {"op": "add", "split": "churn", "data_path": str(sub)},
                     bctx)
                 assert r.get("added") == 2, r
-                with bctx["lock"]:
-                    r = serve_daemon._handle_request(
-                        {"op": "remove", "keys": sorted(churn_keys)}, bctx)
+                r = serve_daemon._handle_request(
+                    {"op": "remove", "keys": sorted(churn_keys)}, bctx)
                 assert r.get("removed") == 2, r
         except Exception as e:
             errors.append(f"mutator: {type(e).__name__}: {e}")
