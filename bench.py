@@ -17,8 +17,14 @@ transfer overhead.
 and the reference mount is still empty, so the denominator is an ESTIMATE:
 a 2018-era single-GPU PyTorch run of 4 stacked cuDNN GRUs (H=1024) over
 ~8 clips x 64 frames per video at batch 64 sustains on the order of 150
-video-paragraph pairs/sec end-to-end. Replace EST_REF_PAIRS_PER_SEC with a
-measured number when the reference becomes runnable.
+video-paragraph pairs/sec end-to-end. Half-grounded by measurement in r5:
+the torch replica of the reference model measures 12.95 pairs/s on ONE
+CPU core of this host at the exact headline shape
+(scripts/torch_replica_baseline.py; BASELINE.md "Measured replica
+anchor"), so 150 assumes a 2018 GPU ~11.6x one modern core — the
+conservative end of the published 10-100x range for cuDNN GRU workloads.
+Replace EST_REF_PAIRS_PER_SEC with a measured number when the reference
+becomes runnable.
 """
 
 from __future__ import annotations

@@ -182,6 +182,10 @@ def _compact_online(ctx: dict) -> dict:
 
     with ctx.setdefault("ingest_lock", threading.Lock()):
         r = ctx["retriever"]
+        # a text side built by a racing video_key request AFTER this read
+        # simply stays uncompacted until the next compaction — it is
+        # constructed from the startup encode with the removal ledger
+        # replayed, so it is correct either way
         rt = ctx.get("retriever_text")
         rows_before = int(r.gallery.shape[0])
         plans = [(tr, tr.plan_compaction())
@@ -411,19 +415,22 @@ class _QueryBatcher:
     honored per item; one bad request errors alone without poisoning its
     window-mates.
 
-    ADAPTIVE CLOSE (``quiet_gap_s``): the leader ends its window EARLY
-    once no new query has arrived for one quiet gap — a lone client then
-    pays ~gap of added latency instead of the full window, while under
-    real concurrency back-to-back arrivals keep the window open toward
-    the configured bound (VERDICT r4 weak 4). A/B'd on chip by
-    scripts/serve_bench.py (adaptive vs plain arms per window, plus a
-    lone-client latency pass); verdict + numbers in PERFORMANCE.md
-    "Serving daemon". ``quiet_gap_s=0`` restores the plain full-window
-    sleep.
+    ADAPTIVE CLOSE (``quiet_gap_s > 0``) was built and MEASURED OFF on
+    this hardware (VERDICT r4 weak 4; on-chip A/B 2026-08-20,
+    scripts/serve_bench.py, window 5 ms, PERFORMANCE.md): ending the
+    window early once arrivals go quiet for 0.5 ms saved a lone client
+    only ~6 ms of p50 (54.2 vs 60.5 ms — the ~50 ms relay device call
+    dominates) but cost 3.3x of the 8-client throughput (38.5 vs 126.7
+    QPS): concurrent clients' arrivals are spaced by MILLISECONDS of
+    socket/scheduler jitter on this 1-core host, so any sub-window quiet
+    gap closes mid-wavefront and splits one batched device call into
+    several. The full-window sleep is cheap insurance (5 ms vs the 50 ms
+    call it amortizes); default ``quiet_gap_s=0`` keeps it, the knob
+    remains for hardware where arrival jitter is tighter than the
+    device-call cost.
     """
 
-    QUIET_GAP_S = 0.0005  # 0.5 ms: >> a text-query arrival burst's spacing,
-    #                       << any useful batch window
+    QUIET_GAP_S = 0.0  # plain full-window sleep (measured winner — above)
 
     def __init__(self, ctx: dict, window_s: float,
                  quiet_gap_s: float | None = None):

@@ -27,6 +27,34 @@ _HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _HERE)
 
 
+def _splice_synthetic_gallery(ctx, n: int, pad: int = 128) -> None:
+    """Replace the startup gallery with ``n`` synthetic embedding rows
+    (+ ``pad`` tail padding), keyed ``v_syn...`` — the hand-assembled-
+    context embedding path (same layout build_context produces), so the
+    daemon serves a STREAMING-scale gallery without encoding n videos.
+    Mirrors tests/test_serve_streaming_scale.py."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    r = ctx["retriever"]
+    embed = int(r.gallery.shape[1])
+    rng = np.random.RandomState(0)
+    rows = n + pad
+    v = rng.randn(rows, embed).astype(np.float32)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    valid = np.concatenate([np.ones(n, bool), np.zeros(pad, bool)])
+    ids = np.concatenate([np.arange(n), np.zeros(pad, np.int64)])
+    keys = [f"v_syn{i:06d}" for i in range(n)]
+    ctx["keys"] = list(keys)
+    ctx["key_set"] = set(keys)
+    ctx["key_to_row"] = {k: i for i, k in enumerate(keys)}
+    r.build_gallery(encoded=(jnp.asarray(v), jnp.asarray(v), valid, ids))
+    ctx["retriever_text"] = None
+    ctx["added"].clear()
+    ctx["removed_ids"].clear()
+    ctx["removed_keys"].clear()
+
+
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     p.add_argument("--seconds", type=float, default=300.0)
@@ -35,6 +63,20 @@ def main() -> None:
     p.add_argument("--n_val", type=int, default=64)
     p.add_argument("--feat_dim", type=int, default=512)
     p.add_argument("--embed", type=int, default=512)
+    p.add_argument("--synthetic_gallery", type=int, default=0, metavar="N",
+                   help="replace the startup gallery with N synthetic "
+                        "embedding rows (>= 32768 engages the STREAMING "
+                        "serving path inside the daemon — the scale the "
+                        "serving claims are about; encoding that many real "
+                        "videos through the fixture model is infeasible)")
+    p.add_argument("--compact_threshold", type=float, default=0.05,
+                   help="auto-compaction threshold; for a big "
+                        "--synthetic_gallery pass ~3e-5 so the 4-row churn "
+                        "still crosses it and compaction of the LARGE "
+                        "gallery races queries every cycle")
+    p.add_argument("--quantized", action="store_true",
+                   help="serve the int8 two-stage path (pairs with a "
+                        "million-scale --synthetic_gallery)")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu", "axon"])
     args = p.parse_args()
     if args.platform:
@@ -66,8 +108,11 @@ def main() -> None:
                                 splits=[("churn", 4)])
         ctx = serve_daemon.build_context(
             ckpt_dir, root, "val", allow_any_path=True,
-            compact_threshold=0.05,  # low: compaction fires every cycle
+            quantized=args.quantized,
+            compact_threshold=args.compact_threshold,
             batch_window_ms=args.batch_window_ms)
+        if args.synthetic_gallery:
+            _splice_synthetic_gallery(ctx, args.synthetic_gallery)
         sock_path = os.path.join(td, "serve.sock")
         ready = threading.Event()
         srv = threading.Thread(
@@ -139,8 +184,12 @@ def main() -> None:
         "final_gallery_rows": st.get("gallery_rows"),
         "final_valid_rows": st.get("valid_rows"),
     })
+    expected_valid = args.synthetic_gallery or args.n_val
+    out["synthetic_gallery"] = args.synthetic_gallery
+    out["quantized"] = args.quantized
+    out["streaming_engaged"] = bool(st.get("prepared"))
     ok = (not errors and not alive
-          and st.get("valid_rows") == args.n_val
+          and st.get("valid_rows") == expected_valid
           and all(not h["key"].startswith("v_churn")
                   for h in final_hits))
     out["ok"] = bool(ok)
