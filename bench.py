@@ -638,7 +638,13 @@ def _newest_prior_bench(here: str | None = None):
 
     here = here or os.path.dirname(os.path.abspath(__file__))
     skip_from = os.environ.get("BENCH_SKIP_ROUNDS_FROM")
-    skip_from = int(skip_from) if skip_from else None
+    try:
+        # tolerate "r6"-style values; a malformed var must NEVER raise —
+        # this runs unwrapped on the tunnel-down path and a crash here
+        # would break the one-JSON-line driver contract (CLAUDE.md)
+        skip_from = int(skip_from.lstrip("rR")) if skip_from else None
+    except ValueError:
+        skip_from = None
     rounds = []
     for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(path))

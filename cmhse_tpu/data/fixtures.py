@@ -90,3 +90,36 @@ def write_word2vec_bin(path: str, words: list[str], dim: int,
             f.write(w.encode("utf-8") + b" ")
             f.write(rng.randn(dim).astype("<f4").tobytes())
             f.write(b"\n")
+
+
+def splice_synthetic_gallery(ctx: dict, n: int, pad: int = 128,
+                             seed: int = 0) -> np.ndarray:
+    """Replace a serve-daemon context's startup gallery with ``n``
+    synthetic unit-norm embedding rows (+ ``pad`` invalid tail-padding
+    rows), keyed ``v_syn...`` — the documented hand-assembled-context
+    embedding path, laid out exactly as ``build_context`` produces
+    (PreparedGallery invariant: slot ``s < n`` IS gallery row ``s``,
+    padding only at the tail). Lets the daemon serve a STREAMING-scale
+    gallery without encoding ``n`` real videos. One shared implementation
+    (tests/test_serve_streaming_scale.py + scripts/serve_soak.py) so the
+    splice cannot drift from the daemon's layout. Returns the row matrix
+    (pad rows included)."""
+    import jax.numpy as jnp  # deferred: keep fixture writing jax-free
+
+    r = ctx["retriever"]
+    embed = int(r.gallery.shape[1])
+    rng = np.random.RandomState(seed)
+    v = rng.randn(n + pad, embed).astype(np.float32)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    valid = np.concatenate([np.ones(n, bool), np.zeros(pad, bool)])
+    ids = np.concatenate([np.arange(n), np.zeros(pad, np.int64)])
+    keys = [f"v_syn{i:06d}" for i in range(n)]
+    ctx["keys"] = list(keys)
+    ctx["key_set"] = set(keys)
+    ctx["key_to_row"] = {k: i for i, k in enumerate(keys)}
+    r.build_gallery(encoded=(jnp.asarray(v), jnp.asarray(v), valid, ids))
+    ctx["retriever_text"] = None
+    ctx["added"].clear()
+    ctx["removed_ids"].clear()
+    ctx["removed_keys"].clear()
+    return v

@@ -177,15 +177,18 @@ def main() -> None:
                 {"query": ["warm up the encoder"] * nb, "k": 5}, ctx)
 
         # each positive window runs two arms: the adaptive early close
-        # (production default) and the plain full-window sleep — plus a
-        # LONE-client pass per phase, the case whose latency the adaptive
-        # close exists to rescue (VERDICT r4 weak 4)
+        # (0.5 ms quiet gap — must be EXPLICIT: the class default is now
+        # the plain sleep after the A/B measured adaptive OFF, so passing
+        # None would compare plain vs plain) and the plain full-window
+        # sleep (production default) — plus a LONE-client pass per phase,
+        # the case whose latency the adaptive close exists to rescue
+        # (VERDICT r4 weak 4)
         phases = []
         for w in args.windows:
             if w <= 0:
                 phases.append((0.0, None, "window_0ms"))
             else:
-                phases.append((w, None, f"window_{w:g}ms_adaptive"))
+                phases.append((w, 0.0005, f"window_{w:g}ms_adaptive"))
                 phases.append((w, 0.0, f"window_{w:g}ms_plain"))
         for w, gap, name in phases:
             # hot-swap the batcher between phases (no requests in flight)

@@ -27,34 +27,6 @@ _HERE = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, _HERE)
 
 
-def _splice_synthetic_gallery(ctx, n: int, pad: int = 128) -> None:
-    """Replace the startup gallery with ``n`` synthetic embedding rows
-    (+ ``pad`` tail padding), keyed ``v_syn...`` — the hand-assembled-
-    context embedding path (same layout build_context produces), so the
-    daemon serves a STREAMING-scale gallery without encoding n videos.
-    Mirrors tests/test_serve_streaming_scale.py."""
-    import jax.numpy as jnp
-    import numpy as np
-
-    r = ctx["retriever"]
-    embed = int(r.gallery.shape[1])
-    rng = np.random.RandomState(0)
-    rows = n + pad
-    v = rng.randn(rows, embed).astype(np.float32)
-    v /= np.linalg.norm(v, axis=1, keepdims=True)
-    valid = np.concatenate([np.ones(n, bool), np.zeros(pad, bool)])
-    ids = np.concatenate([np.arange(n), np.zeros(pad, np.int64)])
-    keys = [f"v_syn{i:06d}" for i in range(n)]
-    ctx["keys"] = list(keys)
-    ctx["key_set"] = set(keys)
-    ctx["key_to_row"] = {k: i for i, k in enumerate(keys)}
-    r.build_gallery(encoded=(jnp.asarray(v), jnp.asarray(v), valid, ids))
-    ctx["retriever_text"] = None
-    ctx["added"].clear()
-    ctx["removed_ids"].clear()
-    ctx["removed_keys"].clear()
-
-
 def main() -> None:
     p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
     p.add_argument("--seconds", type=float, default=300.0)
@@ -112,7 +84,10 @@ def main() -> None:
             compact_threshold=args.compact_threshold,
             batch_window_ms=args.batch_window_ms)
         if args.synthetic_gallery:
-            _splice_synthetic_gallery(ctx, args.synthetic_gallery)
+            # shared with tests/test_serve_streaming_scale.py so the splice
+            # cannot drift from build_context's layout
+            from cmhse_tpu.data.fixtures import splice_synthetic_gallery
+            splice_synthetic_gallery(ctx, args.synthetic_gallery)
         sock_path = os.path.join(td, "serve.sock")
         ready = threading.Event()
         srv = threading.Thread(

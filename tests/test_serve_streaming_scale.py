@@ -14,41 +14,15 @@ import json
 import socket
 import threading
 
-import jax.numpy as jnp
-import numpy as np
-
 from test_serve_daemon import _fixture_run
 
 from cmhse_tpu.cli import serve_daemon
+from cmhse_tpu.data.fixtures import splice_synthetic_gallery
 from cmhse_tpu.ops.pallas_sim import STREAMING_GALLERY_MIN
 from cmhse_tpu.ops.topk import should_stream_topk
 
 N_ROWS = 40_000
-N_PAD = 100  # trailing encode-padding rows, invalid
-EMBED = 16   # the fixture checkpoint's embed_size
-
-
-def _splice_synthetic_gallery(ctx, n=N_ROWS, pad=N_PAD):
-    """Replace the startup gallery with ``n`` synthetic embedding rows
-    (+ ``pad`` tail padding), rebuilding the daemon's key table and the
-    video-side retriever exactly the way build_context lays them out."""
-    rng = np.random.RandomState(0)
-    rows = n + pad
-    v = rng.randn(rows, EMBED).astype(np.float32)
-    v /= np.linalg.norm(v, axis=1, keepdims=True)
-    valid = np.concatenate([np.ones(n, bool), np.zeros(pad, bool)])
-    ids = np.concatenate([np.arange(n), np.zeros(pad, np.int64)])
-    encoded = (jnp.asarray(v), jnp.asarray(v), valid, ids)
-    keys = [f"v_syn{i:05d}" for i in range(n)]
-    ctx["keys"] = list(keys)
-    ctx["key_set"] = set(keys)
-    ctx["key_to_row"] = {k: i for i, k in enumerate(keys)}
-    ctx["retriever"].build_gallery(encoded=encoded)
-    ctx["retriever_text"] = None
-    ctx["added"].clear()
-    ctx["removed_ids"].clear()
-    ctx["removed_keys"].clear()
-    return v
+N_PAD = 128  # trailing encode-padding rows, invalid (fixtures.py default)
 
 
 def test_daemon_streaming_scale(tmp_path_factory, tmp_path):
@@ -56,7 +30,7 @@ def test_daemon_streaming_scale(tmp_path_factory, tmp_path):
     ctx = serve_daemon.build_context(
         ckpt_dir, str(root), "val", compact_threshold=0.012,
         batch_window_ms=2.0)
-    _splice_synthetic_gallery(ctx)
+    splice_synthetic_gallery(ctx, N_ROWS, pad=N_PAD)
     r = ctx["retriever"]
 
     # the whole point: the daemon is now past the streaming threshold and
