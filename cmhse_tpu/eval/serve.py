@@ -599,11 +599,16 @@ class Retriever:
                     and self._prepared.int8_chunks is not None):
                 scores, idx = quantized_sim_topk(
                     q, self._prepared, k, rescore_m=rescore_m)
+            elif self._prepared is not None:
+                # validity lives in the prepared form (tombstoned in place
+                # by remove_from_gallery); streaming_sim_topk REFUSES a
+                # separate mask with a PreparedGallery so drift between
+                # gallery_valid and _prepared.valid surfaces instead of
+                # being silently discarded
+                scores, idx = streaming_sim_topk(q, self._prepared, k)
             else:
                 scores, idx = streaming_sim_topk(
-                    q, self._prepared if self._prepared is not None
-                    else self.gallery,
-                    k, valid=self.gallery_valid
+                    q, self.gallery, k, valid=self.gallery_valid
                 )
         else:
             scores, idx = _dense_topk(q, self.gallery, self.gallery_valid, k)

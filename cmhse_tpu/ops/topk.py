@@ -52,14 +52,22 @@ from jax import Array
 TOPK_NCHUNKS = 4
 TOPK_CHUNK_CAP = 262144
 
-# legacy fixed per-chunk row cap for callers that pass an explicit `chunk`
-# (tuning history in PERFORMANCE.md; with the pre-3D scalar epilogue this
-# was the measured optimum)
-TOPK_CHUNK = 32768
-
 # pre-select group width (columns reduced to one max before the top-k);
 # 128 = one lane register row, and kk*_GROUP candidate columns per chunk
 _GROUP = 128
+
+# full-unroll bound for the chunk scan (see the unroll comment in
+# streaming_sim_topk): the adaptive policy stays at 4 chunks up to ~1M
+# rows and only crosses this bound past ~16M, but a caller-supplied small
+# `chunk` on a large gallery could otherwise compile hundreds of unrolled
+# GEMM bodies (minutes of XLA compile) for zero benefit
+_MAX_UNROLL = 64
+
+
+def _cdiv(a: int, b: int) -> int:
+    """Ceil-div on Python ints (the chunk-equalization arithmetic reads
+    terribly as nested ``-(-a // b)``)."""
+    return -(-a // b)
 
 
 class PreparedGallery(NamedTuple):
@@ -134,8 +142,12 @@ def prepare_topk_gallery(
     if chunk is None:
         n_chunks = adaptive_n_chunks(n)
     else:
-        n_chunks = max(1, -(-n // max(chunk, 1)))
-    csize = -(-(-(-n // n_chunks)) // _GROUP) * _GROUP
+        n_chunks = max(1, _cdiv(n, max(chunk, 1)))
+    # equalized rows per chunk, rounded up to the pre-select group width;
+    # floored at one group so an EMPTY gallery still yields a well-formed
+    # (all-invalid, appendable) prepared form instead of zero-size chunks
+    # that break the scan shapes and append_to_prepared's index arithmetic
+    csize = max(_GROUP, _cdiv(_cdiv(n, n_chunks), _GROUP) * _GROUP)
     pad = n_chunks * csize - n
     g = jnp.pad(gallery, ((0, pad), (0, 0))) if pad else gallery
     gvalid = jnp.arange(n + pad) < n
@@ -231,7 +243,7 @@ def append_to_prepared(
     flat_tail_valid = pg.valid[head:].reshape(-1)[:tail_rows]
     region = jnp.concatenate([flat_tail, new_rows_store])
     region_valid = jnp.concatenate([flat_tail_valid, new_valid])
-    region_chunks = max(1, -(-(tail_rows + m) // csize))
+    region_chunks = max(1, _cdiv(tail_rows + m, csize))
     pad = region_chunks * csize - (tail_rows + m)
     if pad:
         region = jnp.pad(region, ((0, pad), (0, 0)))
@@ -264,8 +276,8 @@ def append_to_prepared(
 def adaptive_n_chunks(n: int) -> int:
     """The chunk count :func:`prepare_topk_gallery` would pick for an
     ``n``-row gallery (exposed for re-chunk policies)."""
-    n_chunks = max(TOPK_NCHUNKS, -(-n // TOPK_CHUNK_CAP))
-    return min(n_chunks, max(1, -(-n // _GROUP)))
+    n_chunks = max(TOPK_NCHUNKS, _cdiv(n, TOPK_CHUNK_CAP))
+    return min(n_chunks, max(1, _cdiv(n, _GROUP)))
 
 
 def should_stream_topk(n_gallery: int, force: bool | None = None) -> bool:
@@ -332,6 +344,16 @@ def streaming_sim_topk(
     """
     q, d = queries.shape
     if isinstance(gallery, PreparedGallery):
+        if valid is not None:
+            # the prepared form carries its OWN mask (set at prepare/
+            # append/tombstone time); silently discarding a caller mask
+            # here masked validity drift between a Retriever's raw
+            # `gallery_valid` and `_prepared.valid` (review r5) — refuse
+            # so the drift surfaces instead of serving deleted rows
+            raise ValueError(
+                "streaming_sim_topk(PreparedGallery, valid=...) is "
+                "invalid: validity lives in the prepared form; pass "
+                "valid=None (tombstone via the prepared mask instead)")
         g_chunks, v_chunks = gallery.chunks, gallery.valid
         n_chunks, chunk, _ = g_chunks.shape
         if k > n_chunks * chunk:
@@ -402,7 +424,7 @@ def streaming_sim_topk(
             loc_s, loc_i = jax.lax.top_k(sims, kk)
             return None, (loc_s, loc_i + ci * chunk)
 
-    # unroll=n_chunks: NO while loop in the compiled program. A rolled
+    # unroll (n_chunks, capped): NO while loop in the compiled program. A rolled
     # scan compiles fine when this whole function is nested inside an
     # outer loop (how bench's slope timing runs it), but as a STANDALONE
     # program — what serving dispatches per request — XLA peels the last
@@ -414,10 +436,13 @@ def streaming_sim_topk(
     # bit-identical; full A/B (incl. a Python-loop variant — equal to
     # unroll) in scripts/topk_standalone_probe.py, history in
     # PERFORMANCE.md. n_chunks is small by design (4 up to ~1M rows, then
-    # N/262144 — see TOPK_NCHUNKS), so the unrolled program stays compact.
+    # N/262144 — see TOPK_NCHUNKS), so the unrolled program stays compact
+    # for the adaptive path; _MAX_UNROLL bounds caller-forced small chunks
+    # (beyond it the rolled scan's one peeled body amortizes anyway: the
+    # peel costs ~one chunk's worth of materialized sims out of many).
     _, (all_s, all_i) = jax.lax.scan(
         body, None, (g_feed, v_feed, jnp.arange(n_chunks, dtype=jnp.int32)),
-        unroll=n_chunks,
+        unroll=n_chunks if n_chunks <= _MAX_UNROLL else 1,
     )  # [n_chunks, Q, kk] — k' candidates per chunk, tiny vs [Q, N]
     # stack in CHUNK ORDER (ascending global index): the stable final top_k
     # then resolves equal scores to the lowest gallery index, exactly like
@@ -497,7 +522,7 @@ def quantized_sim_topk(
     # global merge to exactly m measured as pure loss: it cannot improve
     # capture and its [Q, n_chunks*kk] top_k costs ~the same as rescoring
     # the extra rows)
-    kk = min(max(k, -(-m // n_chunks)), csize)
+    kk = min(max(k, _cdiv(m, n_chunks)), csize)
     ngroups = csize // _GROUP
 
     qi, _ = _quantize_rows_int8(queries)  # query scale is rank-neutral
@@ -534,7 +559,7 @@ def quantized_sim_topk(
     _, all_i = jax.lax.scan(
         body, None, (g_feed, s_feed, v_feed,
                      jnp.arange(n_chunks, dtype=jnp.int32)),
-        unroll=n_chunks)
+        unroll=n_chunks if n_chunks <= _MAX_UNROLL else 1)
     idx_m = jnp.swapaxes(all_i, 0, 1).reshape(q, n_chunks * kk)
 
     # exact rescore of the captured pool: ascending-index order so the

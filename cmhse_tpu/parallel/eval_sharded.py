@@ -374,17 +374,57 @@ def sharded_sim_topk(
     the k candidates per shard (k*ndev << N floats, rides ICI), then a final
     top-k over candidates. Returns (scores ``[Q, k]``, global indices
     ``[Q, k]``).
+
+    Compiled-program caching mirrors :func:`sharded_ranks` (whose docstring
+    records the measured failure mode): ``Retriever._search`` calls this
+    once per serving request, and building a fresh ``shard_map`` closure
+    per call re-traced the program every request (review r5) — the pad +
+    shard_map pipeline now compiles into one cached program per
+    (mesh, axis, k, stream, has_valid), retraced by jax only per concrete
+    shape.
     """
     ndev = mesh.shape[axis]
-    # device-resident galleries keep padding rows in place; they must
-    # never surface in a top-k
-    g_pad, gallery_valid, npad = _pad_gallery_valid(gallery, ndev, valid)
+    n = int(gallery.shape[0])
+    npad = n + ((-n) % ndev)
     # dispatch on the FULL gallery size, mirroring sharded_ranks: the dense
     # per-device block is [Q, npad/ndev] and the measured crossover was
     # calibrated against total-gallery scale
     from cmhse_tpu.ops.topk import should_stream_topk
 
     stream = should_stream_topk(npad, streaming)
+    program = _sim_topk_program(mesh, axis, k, stream, valid is not None)
+    args = _on_mesh(mesh, (queries, P(None, None)),
+                    (gallery, P(None, None)))
+    if valid is not None:
+        args += _on_mesh(mesh, (valid, P(None)))
+    return program(*args)
+
+
+@lru_cache(maxsize=None)
+def _sim_topk_program(mesh, axis: str, k: int, stream: bool,
+                      has_valid: bool):
+    """Compiled-program cache for :func:`sharded_sim_topk` (same contract
+    as :func:`_ranks_program`: holding the jitted object alive across
+    serving requests is what lets them reuse the executable)."""
+    rep = NamedSharding(mesh, P())
+    if has_valid:
+        def fn(q, gallery, valid):
+            return _sharded_sim_topk_impl(q, gallery, mesh, axis, k,
+                                          valid, stream)
+    else:
+        def fn(q, gallery):
+            return _sharded_sim_topk_impl(q, gallery, mesh, axis, k,
+                                          None, stream)
+    return jax.jit(fn, out_shardings=(rep, rep))
+
+
+def _sharded_sim_topk_impl(queries, gallery, mesh, axis, k, valid, stream):
+    """Traced body of :func:`sharded_sim_topk` (always runs under the
+    cached jit of :func:`_sim_topk_program`)."""
+    ndev = mesh.shape[axis]
+    # device-resident galleries keep padding rows in place; they must
+    # never surface in a top-k
+    g_pad, gallery_valid, _ = _pad_gallery_valid(gallery, ndev, valid)
 
     @partial(
         shard_map,
@@ -464,9 +504,33 @@ def sharded_sim_topk_prepared(
     quantized_sim_topk`). Shard-local padding rows are ``-inf``-masked and
     cannot surface (the caller clamps ``k`` to the valid row count), so
     their out-of-shard global indices are never returned.
+
+    Program-cached per (mesh, axis, k, shard_rows, quantized, rescore_m)
+    like :func:`sharded_sim_topk` — this is the per-request mesh serving
+    path. The prepared leaves route through ``_on_mesh`` too (CLAUDE.md's
+    shard_map entry-point invariant): a no-op for the pytree
+    :func:`prepare_sharded_topk_gallery` just produced, but a prepared
+    gallery that round-tripped through a host copy or snapshot arrives
+    single-device-committed and would otherwise crash shard_map.
     """
+    program = _sim_topk_prepared_program(
+        mesh, axis, k, shard_rows, quantized,
+        None if rescore_m is None else int(rescore_m))
+    (queries,) = _on_mesh(mesh, (queries, P(None, None)))
+    prepared = jax.tree.map(
+        lambda a: jax.device_put(a, NamedSharding(mesh, P(axis))), prepared)
+    return program(queries, prepared)
+
+
+@lru_cache(maxsize=None)
+def _sim_topk_prepared_program(mesh, axis: str, k: int, shard_rows: int,
+                               quantized: bool, rescore_m: int | None):
+    """Compiled-program cache for :func:`sharded_sim_topk_prepared` (same
+    contract as :func:`_ranks_program`)."""
     from cmhse_tpu.ops.topk import (PreparedGallery, quantized_sim_topk,
                                     streaming_sim_topk)
+
+    rep = NamedSharding(mesh, P())
 
     @partial(
         shard_map,
@@ -494,7 +558,4 @@ def sharded_sim_topk_prepared(
         glob_idx = loc_idx + shard_id * shard_rows
         return _merge_shard_candidates(loc_scores, glob_idx, axis, k)
 
-    # the prepared pytree was produced ON the mesh; only the (small) query
-    # block can arrive committed elsewhere (see _on_mesh)
-    (queries,) = _on_mesh(mesh, (queries, P(None, None)))
-    return _topk(queries, prepared)
+    return jax.jit(_topk, out_shardings=(rep, rep))

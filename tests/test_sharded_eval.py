@@ -464,3 +464,49 @@ def test_retriever_mesh_prepared_paths(monkeypatch):
     gone = {int(j) for j in i[:, 0]
             if grown.gallery_keys[int(j)] in top_keys}
     assert not (set(int(x) for x in i2.ravel()) & gone)
+
+
+def test_sharded_topk_programs_cached(mesh):
+    """Per-request mesh serving must reuse compiled programs: a repeat
+    sharded_sim_topk / sharded_sim_topk_prepared call with the same
+    (mesh, k, shapes) hits the lru program cache instead of building a
+    fresh shard_map closure per request (review r5 — the same measured
+    failure mode _ranks_program's docstring records for sharded_ranks)."""
+    from cmhse_tpu.parallel.eval_sharded import (
+        _sim_topk_prepared_program, _sim_topk_program,
+        prepare_sharded_topk_gallery, sharded_sim_topk_prepared)
+
+    v, p = _embs(24, 16, seed=11)
+    h0 = _sim_topk_program.cache_info().hits
+    s1, i1 = sharded_sim_topk(v, p, 4, mesh)
+    s2, i2 = sharded_sim_topk(v, p, 4, mesh)
+    assert _sim_topk_program.cache_info().hits > h0
+    np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+
+    prep, rows = prepare_sharded_topk_gallery(p, mesh)
+    hp0 = _sim_topk_prepared_program.cache_info().hits
+    sharded_sim_topk_prepared(v, prep, 4, mesh, shard_rows=rows)
+    sharded_sim_topk_prepared(v, prep, 4, mesh, shard_rows=rows)
+    assert _sim_topk_prepared_program.cache_info().hits > hp0
+
+
+def test_prepared_pytree_committed_single_device(mesh):
+    """A prepared pytree that round-tripped through the host (snapshot,
+    cache restore) arrives COMMITTED to one device; the entry point must
+    re-place it on the mesh instead of crashing shard_map — the CLAUDE.md
+    _on_mesh invariant now applies to the prepared leaves too (review
+    r5)."""
+    from cmhse_tpu.parallel.eval_sharded import (
+        prepare_sharded_topk_gallery, sharded_sim_topk_prepared)
+
+    v, p = _embs(40, 16, seed=12)
+    prep, rows = prepare_sharded_topk_gallery(p, mesh)
+    dev0 = jax.devices()[0]
+    prep_host = jax.tree.map(
+        lambda a: jax.device_put(np.asarray(a), dev0), prep)
+    assert all(l.committed for l in jax.tree.leaves(prep_host))
+    s, i = sharded_sim_topk_prepared(v, prep_host, 5, mesh,
+                                     shard_rows=rows)
+    want = np.argsort(-np.asarray(jnp.dot(v, p.T)), axis=1,
+                      kind="stable")[:, :5]
+    np.testing.assert_array_equal(np.asarray(i), want)

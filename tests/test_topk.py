@@ -966,3 +966,55 @@ def test_retriever_host_valid_mirror():
     assert r._valid_host.shape[0] == n - 2
     np.testing.assert_array_equal(r._valid_host,
                                   np.asarray(r.gallery_valid))
+
+
+def test_prepared_refuses_separate_valid():
+    """streaming_sim_topk must REFUSE a caller validity mask alongside a
+    PreparedGallery (review r5): silently discarding it masked drift
+    between a Retriever's raw gallery_valid and _prepared.valid — deleted
+    rows would keep surfacing with no error."""
+    rng = np.random.RandomState(3)
+    q = jnp.asarray(rng.randn(4, 16).astype(np.float32))
+    g = jnp.asarray(rng.randn(64, 16).astype(np.float32))
+    prep = prepare_topk_gallery(g)
+    with pytest.raises(ValueError, match="validity lives"):
+        streaming_sim_topk(q, prep, 5, valid=jnp.ones(64, bool))
+
+
+def test_empty_gallery_prepare_and_append():
+    """An EMPTY gallery prepares to a well-formed all-invalid form
+    (capacity floored at one pre-select group) that append_to_prepared
+    can grow — review r5: csize=0 used to ZeroDivisionError in append's
+    index arithmetic."""
+    from cmhse_tpu.ops.topk import append_to_prepared
+
+    rng = np.random.RandomState(4)
+    pg = prepare_topk_gallery(jnp.zeros((0, 16), jnp.float32))
+    assert pg.chunks.shape[1] > 0 and not bool(pg.valid.any())
+    q = jnp.asarray(rng.randn(3, 16).astype(np.float32))
+    s0, _ = streaming_sim_topk(q, pg, 1)
+    assert np.all(np.isneginf(np.asarray(s0)))  # nothing valid to return
+    rows = jnp.asarray(rng.randn(5, 16).astype(np.float32))
+    pg2 = append_to_prepared(pg, rows, n_existing=0)
+    ds, di = _dense_topk(q, rows, 3)
+    ss, si = streaming_sim_topk(q, pg2, 3)
+    np.testing.assert_array_equal(np.asarray(si), np.asarray(di))
+    np.testing.assert_allclose(np.asarray(ss), np.asarray(ds),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_unroll_cap_many_chunks_matches_dense():
+    """A caller-forced small chunk whose count exceeds the full-unroll
+    bound (n_chunks > _MAX_UNROLL -> rolled scan, review r5) stays exact
+    incl. tie order."""
+    from cmhse_tpu.ops.topk import _MAX_UNROLL
+
+    rng = np.random.RandomState(5)
+    n, chunk = 128 * (_MAX_UNROLL + 6), 128
+    q = jnp.asarray(rng.randn(3, 8).astype(np.float32))
+    g = jnp.asarray(rng.randn(n, 8).astype(np.float32))
+    ds, di = _dense_topk(q, g, 7)
+    ss, si = streaming_sim_topk(q, g, 7, chunk=chunk)
+    np.testing.assert_array_equal(np.asarray(si), np.asarray(di))
+    np.testing.assert_allclose(np.asarray(ss), np.asarray(ds),
+                               rtol=1e-4, atol=1e-5)
