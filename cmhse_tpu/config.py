@@ -83,6 +83,18 @@ class ModelConfig:
     # because interpret mode is slower than the scan off-TPU. Encode paths
     # and the train CLI auto-enable it on real TPU.
 
+    def __post_init__(self):
+        if self.reconstruction and not self.hierarchical:
+            # the layer-wise term reconstructs LOW-level sequences from the
+            # HIGH-level embedding (paper C8) — the flat model has no
+            # hierarchy to reconstruct. Silently ignoring the flag trained
+            # with the tau term quietly absent (review r5); fail at config
+            # time instead.
+            raise ValueError(
+                "reconstruction=True requires hierarchical=True (the "
+                "layer-wise term reconstructs low-level sequences from "
+                "the high-level embedding; the flat model has neither)")
+
 
 @dataclass(frozen=True)
 class LossConfig:

@@ -129,13 +129,20 @@ def bucket_for_examples(
     word_buckets: tuple[int, ...],
     feature_dtype: str = "float32",
 ) -> BucketSpec:
-    """Choose the (frames, words) bucket for a batch from its longest members."""
+    """Choose the (frames, words) bucket for a batch from its longest members.
+
+    Only clips/sentences pad_batch will KEEP (the first max_clips /
+    max_sentences) participate in the scan: a long clip past the cap is
+    truncated away anyway, and letting it drag the batch into a bigger
+    bucket wasted exactly the padding FLOPs bucketing exists to remove
+    (review r5)."""
     fmax = max(
-        (min(len(c), 1 << 30) for ex in examples for c in ex.clips),
+        (min(len(c), 1 << 30)
+         for ex in examples for c in ex.clips[:max_clips]),
         default=1,
     )
     wmax = max(
-        (len(s) for ex in examples for s in ex.sentences),
+        (len(s) for ex in examples for s in ex.sentences[:max_sentences]),
         default=1,
     )
     return BucketSpec(

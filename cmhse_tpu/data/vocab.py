@@ -183,6 +183,17 @@ def build_vocab(
     """Frequency-thresholded vocabulary from an iterable of caption strings
     (reference ``build_vocab``: count -> filter by threshold -> add).
 
+    Word ids are assigned in corpus FIRST-OCCURRENCE order — what the
+    reference's ``[w for w, c in counter.items() if c >= threshold]``
+    produces on any modern Python (Counter preserves insertion order), so
+    a rebuild over the same captions is id-compatible with a
+    reference-built vocabulary. (Under the 2018-era Python 2 the reference
+    shipped on, dict order was arbitrary — TRUE id parity with a historic
+    run needs the reference's own pickle, which :meth:`Vocabulary.load`
+    reads directly.) An earlier revision sorted alphabetically, which was
+    deterministic but id-INCOMPATIBLE with a modern reference rebuild
+    (review r5).
+
     Prints the tokenizer backend in use so a vocabulary accidentally built
     with the non-parity regex fallback is visible in the build log."""
     backend = tokenizer_backend()
@@ -192,7 +203,7 @@ def build_vocab(
     counter: Counter[str] = Counter()
     for cap in captions:
         counter.update(tokenize(cap))
-    words = [w for w, c in sorted(counter.items()) if c >= threshold]
+    words = [w for w, c in counter.items() if c >= threshold]
     vocab = Vocabulary()
     for w in words:
         vocab.add_word(w)

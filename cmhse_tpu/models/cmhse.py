@@ -87,8 +87,13 @@ class ReconstructionDecoder(nn.Module):
         w_h = self.param(
             "w_h", init, (self.rnn_hidden, 3 * self.rnn_hidden), jnp.float32,
         )
-        b_i = self.param("b_i", nn.initializers.zeros, (3 * self.rnn_hidden,), jnp.float32)
-        b_h = self.param("b_h", nn.initializers.zeros, (3 * self.rnn_hidden,), jnp.float32)
+        # biases share the same symmetric uniform as the weights — torch
+        # GRU reset_parameters initializes EVERY parameter (biases
+        # included) uniform(-1/sqrt(H), 1/sqrt(H)), and MaskedGRU matches
+        # it; an earlier revision used zeros here, drifting the config-3
+        # fresh-init distribution from both (review r5)
+        b_i = self.param("b_i", init, (3 * self.rnn_hidden,), jnp.float32)
+        b_h = self.param("b_h", init, (3 * self.rnn_hidden,), jnp.float32)
         # Fused-kernel routing is LENGTH-GATED, unlike the encoders: at the
         # flagship config-3 shape the decoder sequences are only Cmax=8
         # steps, where the kernel's fixed costs (grid setup + gate streaming

@@ -224,8 +224,25 @@ def restore_for_eval(directory: str):
             restored = ckptr.restore(best_dir, template)
         return model, restored["params"], cfg
     mgr = ocp.CheckpointManager(os.path.join(directory, "ckpt"))
-    step = mgr.latest_step()
-    if step is None:
-        raise FileNotFoundError(f"no checkpoints under {directory}")
-    restored = mgr.restore(step)
-    return model, restored["params"], cfg
+    try:
+        step = mgr.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {directory}")
+        try:
+            restored = mgr.restore(step)
+        except ValueError:
+            # same cross-topology hazard as the best/ branch above (a run
+            # killed before any best/ was written — e.g. val disabled —
+            # restored on a different host count); rebuild via a host-numpy
+            # template, which carries no device constraints
+            item = mgr.item_metadata(step)
+            tree = item.tree if hasattr(item, "tree") else item
+            template = jax.tree.map(lambda m: np.zeros(m.shape, m.dtype),
+                                    tree)
+            restored = mgr.restore(
+                step, args=ocp.args.StandardRestore(template))
+        return model, restored["params"], cfg
+    finally:
+        # orbax managers own a background thread; one-shot eval/serve CLIs
+        # must not leak it past restore (fit() closes its managers too)
+        mgr.close()

@@ -121,6 +121,17 @@ def fit(
             "fit(use_mesh=False) is single-process only: multi-host batch "
             "placement and validation both need the global mesh"
         )
+    if vocab is not None and len(vocab) > cfg.data.vocab_size:
+        # fail LOUD: ids past the table are silently CLAMPED by jnp.take in
+        # the forward pass and their gradients dropped by the segment-sum
+        # backward (num_segments=vocab_size) — training would "work" with
+        # wrong text embeddings and no error anywhere (review r5)
+        raise ValueError(
+            f"vocabulary has {len(vocab)} entries but "
+            f"cfg.data.vocab_size={cfg.data.vocab_size}; pass "
+            f"--vocab_size >= {len(vocab)} (the reference sizes the "
+            f"embedding table from the built vocabulary)"
+        )
     # multi-host: log.jsonl lives on shared storage next to the checkpoints
     # — one writer suffices (same policy as checkpoint.py's config.json
     # guard); other processes get a no-op logger instead of racing appends
@@ -159,10 +170,12 @@ def fit(
 
     start_epoch, best_rsum, start_groups = 0, -np.inf, 0
     if cfg.train.resume:
-        def _norm(p):  # expanduser like checkpoint.py's _abs: '~/run' and
-            return os.path.abspath(os.path.expanduser(p))  # its expansion
-        resume_mgr = (                                     # are the SAME dir
-            ckpt if _norm(cfg.train.resume) == _norm(cfg.train.checkpoint_dir)
+        # checkpoint.py's own path normalization decides "same dir -> reuse
+        # the open manager"; using anything else here re-opens the
+        # double-manager resume bug the check exists to prevent
+        from cmhse_tpu.train.checkpoint import _abs
+        resume_mgr = (
+            ckpt if _abs(cfg.train.resume) == _abs(cfg.train.checkpoint_dir)
             else CheckpointManager(cfg.train.resume)
         )
         try:

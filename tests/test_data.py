@@ -282,3 +282,38 @@ def test_group_by_length_batches_stay_aligned_with_remainder():
             # each batch must be one contiguous run of the sorted lengths
             assert lens[-1] - lens[0] == len(lens) - 1, lens
         assert sorted(sizes) == [2, 4, 4]
+
+
+def test_build_vocab_first_occurrence_order():
+    """Word ids follow corpus FIRST-OCCURRENCE order — the reference's
+    counter.items() order on modern Python (review r5: an alphabetical
+    sort was deterministic but id-incompatible with a reference rebuild
+    over the same captions)."""
+    v = build_vocab(["zebra yak ant", "zebra yak ant"], threshold=2)
+    base = 4  # <pad> <start> <end> <unk>
+    assert v("zebra") == base
+    assert v("yak") == base + 1
+    assert v("ant") == base + 2
+
+
+def test_bucket_ignores_clips_beyond_caps():
+    """A long clip/sentence BEYOND max_clips/max_sentences is truncated by
+    pad_batch, so it must not drag the batch into a bigger bucket (review
+    r5 — wasted padding FLOPs are exactly what bucketing exists to
+    remove)."""
+    from cmhse_tpu.data.bucketing import bucket_for_examples
+    from cmhse_tpu.data.datasets import RaggedExample
+
+    short = np.zeros((6, 4), np.float32)           # 6-frame clips
+    long = np.zeros((60, 4), np.float32)           # 60 frames, PAST the cap
+    ex = RaggedExample(
+        video_id=0,
+        clips=[short, short, long],                # clip 3 > max_clips=2
+        sentences=[np.ones(3, np.int32), np.ones(2, np.int32),
+                   np.ones(30, np.int32)],         # sent 3 > max_sentences=2
+    )
+    spec = bucket_for_examples(
+        [ex], batch_size=1, feat_dim=4, max_clips=2, max_sentences=2,
+        frame_buckets=(8, 64), word_buckets=(8, 32))
+    assert spec.max_frames == 8   # not dragged to 64 by the dropped clip
+    assert spec.max_words == 8    # not dragged to 32 by the dropped sentence

@@ -259,3 +259,47 @@ def test_steps_per_dispatch_bucketed_falls_back(tmp_path, capsys):
     state, _ = fit(cfg, _ds(16), None)
     assert int(state.step) > 0
     assert "requires fixed_shape" in capsys.readouterr().out
+
+
+def test_fit_rejects_oversized_vocab_early(tmp_path):
+    """len(vocab) > vocab_size used to train silently wrong: out-of-table
+    ids are CLAMPED by jnp.take and their gradients dropped by the
+    segment-sum backward (review r5). fit() must fail up front with the
+    fix spelled out."""
+    from cmhse_tpu.data.vocab import Vocabulary
+
+    vocab = Vocabulary()
+    for i in range(70):  # 4 specials + 70 words > vocab_size=64
+        vocab.add_word(f"w{i}")
+    cfg = _cfg(tmp_path)
+    with pytest.raises(ValueError, match="vocab_size"):
+        fit(cfg, _ds(16), vocab=vocab)
+
+
+def test_restore_for_eval_latest_ckpt_cross_topology(tmp_path, monkeypatch):
+    """The latest-ckpt path (a run killed before any best/ was written)
+    needs the SAME cross-topology numpy-template fallback the best/ branch
+    has, and must close its orbax manager (review r5)."""
+    import shutil
+
+    import orbax.checkpoint as ocp
+
+    cfg = _cfg(tmp_path, epochs=1)
+    fit(cfg, _ds(16), _ds(8, seed=1))
+    shutil.rmtree(os.path.join(cfg.train.checkpoint_dir, "best"))
+
+    # plain latest-ckpt restore works (and the manager is closed)
+    model, params, _ = restore_for_eval(cfg.train.checkpoint_dir)
+
+    # simulate the cross-topology ValueError the no-template restore raises
+    # when the saved per-device sharding names missing device ids
+    real_restore = ocp.CheckpointManager.restore
+
+    def fake_restore(self, step, *a, **kw):
+        if not a and not kw:
+            raise ValueError("simulated: Device TPU_7 was not found")
+        return real_restore(self, step, *a, **kw)
+
+    monkeypatch.setattr(ocp.CheckpointManager, "restore", fake_restore)
+    model2, params2, _ = restore_for_eval(cfg.train.checkpoint_dir)
+    chex.assert_trees_all_equal(params2, params)

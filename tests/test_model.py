@@ -4,6 +4,7 @@ flat vs hierarchical paths, reconstruction decoder (SURVEY.md C4-C6, C8)."""
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 
 from cmhse_tpu.config import DataConfig, ModelConfig
 from cmhse_tpu.data import SyntheticHierarchicalDataset, batches_from_dataset
@@ -171,3 +172,33 @@ def test_embedding_lookup_custom_vjp_matches_scatter():
     used = set(np.asarray(ids).ravel().tolist())
     unused = [i for i in range(V) if i not in used]
     assert unused and not np.asarray(g_custom)[unused].any()
+
+
+def test_reconstruction_requires_hierarchical():
+    """reconstruction=True on the flat model used to be silently ignored
+    (decoders built in setup, never called — the tau term just vanished);
+    it must fail at config time (review r5)."""
+    from cmhse_tpu.config import ModelConfig
+
+    with pytest.raises(ValueError, match="hierarchical"):
+        ModelConfig(hierarchical=False, reconstruction=True)
+
+
+def test_decoder_bias_init_matches_torch_gru():
+    """torch GRU reset_parameters initializes EVERY parameter — biases
+    included — uniform(-1/sqrt(H), 1/sqrt(H)); the decoder must match
+    MaskedGRU (review r5: zeros drifted the config-3 fresh-init
+    distribution)."""
+    import jax
+
+    from cmhse_tpu.models.cmhse import ReconstructionDecoder
+
+    dec = ReconstructionDecoder(embed_size=8, rnn_hidden=16)
+    params = dec.init(
+        jax.random.PRNGKey(0), jnp.zeros((2, 8)), jnp.zeros((2, 5, 8)),
+        jnp.asarray([5, 3]))["params"]
+    scale = 1.0 / 16**0.5
+    for name in ("b_i", "b_h"):
+        b = np.asarray(params[name])
+        assert np.any(b != 0.0), name
+        assert np.all(np.abs(b) <= scale), name

@@ -92,8 +92,9 @@ def test_flat_mode_multisentence_paragraph_parity(tmp_path):
 
 def test_vocab_ids_stable_from_fixture_corpus():
     """End-to-end: fixture captions -> vocabulary -> encode. Pins the id
-    layout (<pad>=0 <start>=1 <end>=2 <unk>=3, then sorted thresholded
-    words) and the <start>/<end> framing the reference used."""
+    layout (<pad>=0 <start>=1 <end>=2 <unk>=3, then thresholded words in
+    corpus first-occurrence order — the reference's counter.items() order
+    on modern Python) and the <start>/<end> framing the reference used."""
     corpus = [c for c, _ in FIXTURE] * 2  # x2 so threshold=2 keeps all
     vocab = build_vocab(corpus, threshold=2)
     assert vocab(Vocabulary.PAD) == 0
