@@ -253,9 +253,13 @@ def _handle_request(req: dict, ctx: dict) -> dict:
     if "query" in req:
         texts = req["query"] if isinstance(req["query"], list) \
             else [req["query"]]
-        if not all(isinstance(t, str) and t.strip() for t in texts):
+        if not texts or not all(isinstance(t, str) and t.strip()
+                                for t in texts):
+            # `not texts`: all() is vacuously True on [], and an empty
+            # list used to fall through to an IndexError in the bucket
+            # padder (review r5)
             return reply({"error": "query must be a non-empty string "
-                                   "(or list of them)"})
+                                   "(or non-empty list of them)"})
         scores, idx = _text_retrieve(ctx, texts, k)
     elif "video_key" in req:
         from cmhse_tpu.eval.serve import key_index, video_query_batch
@@ -275,7 +279,12 @@ def _handle_request(req: dict, ctx: dict) -> dict:
             src, ctx["cfg"].data, [key])
         r = ctx.get("retriever_text")
         if r is None:
-            r = ctx["retriever_text"] = ctx["build_text_side"]()
+            build = ctx.get("build_text_side")
+            if build is None:
+                return reply({"error": "text side unavailable: this "
+                                       "context has no startup encode to "
+                                       "build it from"})
+            r = ctx["retriever_text"] = build()
             # replay live adds BEFORE removals: a removal may target a row
             # that was added after startup
             for encoded, row_ids in ctx["added"]:
@@ -286,6 +295,10 @@ def _handle_request(req: dict, ctx: dict) -> dict:
             ctx["added"].clear()
             if ctx["removed_ids"]:
                 r.remove_from_gallery(ctx["removed_ids"])
+            # the closure is consumed too: it pins the STARTUP text encode,
+            # which this retriever's own compactions would otherwise never
+            # free (review r5)
+            ctx["build_text_side"] = None
         # bucket k for the same reason as _text_retrieve: a per-request k
         # is a static jit arg, and recompiling under the lock stalls serving
         scores, idx = r.retrieve_video(qframes, qframe_len, qclip_len,
@@ -462,7 +475,9 @@ class _QueryBatcher:
             # generous safety valve: if the leader thread is killed hard
             # enough to skip its finally, don't hang the connection forever
             if not item["done"].wait(timeout=max(600.0, 100 * self.window_s)):
-                return {"error": "query batch leader never completed"}
+                rid = req.get("id")
+                err = {"error": "query batch leader never completed"}
+                return {"id": rid, **err} if rid is not None else err
             return item["resp"]
         if not self.quiet_gap_s:
             time.sleep(self.window_s)  # plain full-window sleep
@@ -489,7 +504,13 @@ class _QueryBatcher:
         except Exception as e:  # pragma: no cover - defensive
             for it in batch:
                 if it["resp"] is None:
-                    it["resp"] = {"error": f"{type(e).__name__}: {e}"}
+                    rid = it["req"].get("id") if isinstance(it["req"],
+                                                            dict) else None
+                    err = {"error": f"{type(e).__name__}: {e}"}
+                    # keep the protocol's id-echo contract even on the
+                    # catch-all path (review r5)
+                    it["resp"] = ({"id": rid, **err} if rid is not None
+                                  else err)
         finally:
             for it in batch:
                 it["done"].set()
@@ -525,9 +546,11 @@ class _QueryBatcher:
                 continue
             texts = req["query"] if isinstance(req["query"], list) \
                 else [req["query"]]
-            if not all(isinstance(t, str) and t.strip() for t in texts):
+            if not texts or not all(isinstance(t, str) and t.strip()
+                                    for t in texts):
                 it["resp"] = reply({"error": "query must be a non-empty "
-                                             "string (or list of them)"})
+                                             "string (or non-empty list "
+                                             "of them)"})
                 continue
             live.append((it, texts, k, isinstance(req.get("query"), list),
                          reply))
@@ -674,6 +697,17 @@ def _bind_unix(sock_path: str) -> socket.socket:
     import os
 
     if os.path.exists(sock_path):
+        # only a path that IS a socket may ever be unlinked: the stale-
+        # socket cleanup must not delete a regular file or directory an
+        # operator typo'd as --socket (review r5 — connect() fails with
+        # ENOTSOCK on a file too, which the except branch used to read as
+        # "stale, remove it")
+        import stat
+
+        if not stat.S_ISSOCK(os.stat(sock_path).st_mode):
+            raise SystemExit(
+                f"--socket {sock_path} exists and is not a socket; "
+                "refusing to remove it")
         # refuse to steal a LIVE daemon's socket (a double-start would
         # unlink it out from under the running process); only remove a
         # stale path nothing answers on
@@ -941,9 +975,15 @@ def _load_or_encode_gallery(model, params, dataset, cfg,
                     out = []
                     for name in ("v", "p"):
                         a = z[name]
-                        if str(z[f"{name}_dtype"]) == "bfloat16":
-                            a = jnp.asarray(a, dtype=jnp.bfloat16)
-                        out.append(a)
+                        dt = (jnp.bfloat16
+                              if str(z[f"{name}_dtype"]) == "bfloat16"
+                              else a.dtype)
+                        # ALWAYS device-put: a host numpy gallery would be
+                        # re-transferred to the device on every query (jit
+                        # does not cache numpy-arg placements) — the f32
+                        # cache-hit path used to serve slower than a fresh
+                        # encode at sub-streaming sizes (review r5)
+                        out.append(jnp.asarray(a, dtype=dt))
                     print(f"cmhse-serve: gallery loaded from cache "
                           f"{cache_path} (encode skipped)")
                     return (*out, z["valid"], z["ids"])
@@ -1016,11 +1056,22 @@ def build_context(checkpoint: str, data_path: str | None, split: str,
     retriever = Retriever(model, params, mesh=mesh, quantize=quantized,
                           rescore_m=rescore_m)
     retriever.build_gallery(side="video", encoded=encoded)
+    # the lazy text side needs only the TEXT embeddings (+ validity/ids):
+    # closing over the full tuple also pinned the startup VIDEO embedding
+    # copy for the daemon's lifetime, so video-side compaction never
+    # actually reclaimed the startup rows' memory (review r5). The closure
+    # is dropped once consumed (see the video_key branch); an UNUSED text
+    # side necessarily keeps the startup text encode resident — that is
+    # exactly what a later video_key build needs — and --warm trades that
+    # by building both directions up front.
+    _, p_emb, enc_valid, enc_ids = encoded
+    del encoded
 
     def build_text_side():
         r = Retriever(model, params, mesh=mesh, quantize=quantized,
                       rescore_m=rescore_m)
-        r.build_gallery(side="text", encoded=encoded)
+        r.build_gallery(side="text",
+                        encoded=(None, p_emb, enc_valid, enc_ids))
         return r
 
     ctx = {

@@ -47,28 +47,62 @@ class ServeClient:
         if (socket_path is None) == (tcp is None):
             raise ValueError("pass exactly one of socket_path / tcp")
         self._token = token
-        if socket_path is not None:
+        self._socket_path, self._tcp, self._timeout = socket_path, tcp, timeout
+        self._sock = self._file = None
+        self._connect()
+
+    def _connect(self) -> None:
+        if self._socket_path is not None:
             self._sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
-            self._sock.settimeout(timeout)
-            self._sock.connect(socket_path)
+            self._sock.settimeout(self._timeout)
+            self._sock.connect(self._socket_path)
         else:
-            self._sock = socket.create_connection(tcp, timeout=timeout)
+            self._sock = socket.create_connection(self._tcp,
+                                                  timeout=self._timeout)
         self._file = self._sock.makefile("rwb")
+
+    def _poison(self) -> None:
+        """Drop a connection whose request/reply stream can no longer be
+        trusted; the next request() reconnects fresh."""
+        try:
+            if self._file is not None:
+                self._file.close()
+        except OSError:
+            pass
+        try:
+            if self._sock is not None:
+                self._sock.close()
+        except OSError:
+            pass
+        self._sock = self._file = None
 
     # -- low-level ---------------------------------------------------------
 
     def request(self, req: dict) -> dict:
         """Send one raw request object, return the raw reply; raises
         :class:`ServeError` on an error reply and ``ConnectionError`` if
-        the daemon hung up."""
+        the daemon hung up.
+
+        The protocol has no reply-to-request correlation on the wire, so
+        any IO failure mid-exchange (timeout, hangup, torn line) POISONS
+        the connection: it is closed and the next request reconnects.
+        Without this, a timed-out request's LATE reply would be read as
+        the answer to the next request and every call after it would be
+        off by one reply, silently (review r5)."""
         if self._token is not None and "token" not in req:
             req = {**req, "token": self._token}
-        self._file.write(json.dumps(req).encode() + b"\n")
-        self._file.flush()
-        line = self._file.readline()
-        if not line:
-            raise ConnectionError("daemon closed the connection")
-        resp = json.loads(line)
+        if self._file is None:
+            self._connect()
+        try:
+            self._file.write(json.dumps(req).encode() + b"\n")
+            self._file.flush()
+            line = self._file.readline()
+            if not line:
+                raise ConnectionError("daemon closed the connection")
+            resp = json.loads(line)
+        except Exception:
+            self._poison()
+            raise
         if isinstance(resp, dict) and "error" in resp:
             raise ServeError(resp["error"])
         return resp
@@ -116,10 +150,7 @@ class ServeClient:
         self.request({"op": "shutdown"})
 
     def close(self) -> None:
-        try:
-            self._file.close()
-        finally:
-            self._sock.close()
+        self._poison()
 
     def __enter__(self) -> "ServeClient":
         return self

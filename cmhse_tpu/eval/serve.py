@@ -239,7 +239,10 @@ class Retriever:
         self._valid_host = np.array(valid, dtype=bool)
         self.n_valid = int(self._valid_host.sum())
         self._refresh_prepared()
-        self.gallery_keys = _row_aligned_keys(keys, ids, valid, int(v.shape[0]))
+        # row count from the SELECTED side: text-side callers may pass
+        # v=None to avoid pinning the video embeddings they don't use
+        self.gallery_keys = _row_aligned_keys(
+            keys, ids, valid, int(self.gallery.shape[0]))
         self._key_rows = _build_key_rows(self.gallery_keys)
 
     def _refresh_prepared(self) -> None:
@@ -541,33 +544,44 @@ class Retriever:
         Padding gallery rows are masked to ``-inf`` and can never appear in
         the result: ``k`` is clamped to the number of valid gallery rows, so
         an oversized ``k`` returns fewer columns instead of surfacing
-        ``-inf``-masked padding rows under a real key (VERDICT r2 weak 3)."""
+        ``-inf``-masked padding rows under a real key (VERDICT r2 weak 3).
+
+        The clamp happens HOST-side: the device program runs at
+        ``min(k, gallery rows)`` — a size that moves only on add/compact —
+        because ``n_valid`` changes on every remove, and a per-``n_valid``
+        static k recompiled the query program under churn, exactly the
+        stall the daemon's k-bucketing exists to prevent (review r5).
+        Invalid rows are ``-inf``-masked and sort after every valid one,
+        so trimming the trailing columns is identical to searching at the
+        clamped k."""
         if self.gallery is None:
             raise RuntimeError("call build_gallery() first")
-        k = min(k, self.n_valid)
-        if k == 0:
+        k_req = min(k, self.n_valid)
+        if k_req == 0:
             q_rows = int(words.shape[0])
             return (np.zeros((q_rows, 0), np.float32),
                     np.zeros((q_rows, 0), np.int32))
         q = self._encode_text(self.params, words, word_len, sent_len)
-        return self._search(q, k)
+        scores, idx = self._search(q, min(k, int(self.gallery.shape[0])))
+        return scores[:, :k_req], idx[:, :k_req]
 
     def retrieve_video(
         self, frames: Array, frame_len: Array, clip_len: Array, k: int = 10
     ) -> tuple[np.ndarray, np.ndarray]:
         """Top-k gallery indices + scores for a batch of VIDEO queries —
         the video->paragraph direction (build the gallery with
-        ``side="text"``). Same clamping/masking contract as
-        :meth:`retrieve`."""
+        ``side="text"``). Same clamping/masking contract (and host-side
+        clamp, see there) as :meth:`retrieve`."""
         if self.gallery is None:
             raise RuntimeError("call build_gallery() first")
-        k = min(k, self.n_valid)
-        if k == 0:
+        k_req = min(k, self.n_valid)
+        if k_req == 0:
             q_rows = int(frames.shape[0])
             return (np.zeros((q_rows, 0), np.float32),
                     np.zeros((q_rows, 0), np.int32))
         q = self._encode_video(self.params, frames, frame_len, clip_len)
-        return self._search(q, k)
+        scores, idx = self._search(q, min(k, int(self.gallery.shape[0])))
+        return scores[:, :k_req], idx[:, :k_req]
 
     def _search(self, q: Array, k: int) -> tuple[np.ndarray, np.ndarray]:
         # a per-request k above the construction-time rescore_m must widen

@@ -98,3 +98,27 @@ def test_feature_dtype_follows_model_dtype():
     cfg = _cfg(["--preset", "hier_anet", "--dtype", "bfloat16",
                 "--feature_dtype", "float32"])
     assert cfg.data.feature_dtype == "float32"
+
+
+def test_vocab_cli_data_name_subdirectory(tmp_path):
+    """--data_name selects the reference's <data_path>/<data_name>/ layout
+    (review r5: the flag used to be accepted and silently ignored); a
+    wrong name fails with the layout spelled out instead of a raw
+    FileNotFoundError."""
+    import json
+
+    from cmhse_tpu.cli.build_vocab import main as vocab_main
+
+    sub = tmp_path / "anet_precomp"
+    sub.mkdir()
+    (sub / "train_captions.json").write_text(json.dumps(
+        {"v_a": {"timestamps": [[0, 1]], "sentences": ["a man runs"],
+                 "duration": 1.0}}))
+    rc = vocab_main(["--data_path", str(tmp_path),
+                     "--data_name", "anet_precomp", "--threshold", "1"])
+    assert rc == 0
+    assert (sub / "vocab.json").exists()  # lands NEXT TO the captions
+
+    with pytest.raises(SystemExit, match="SUBDIRECTORY"):
+        vocab_main(["--data_path", str(tmp_path),
+                    "--data_name", "nope", "--threshold", "1"])

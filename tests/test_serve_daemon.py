@@ -478,6 +478,13 @@ def test_gallery_cache(tmp_path_factory, tmp_path, monkeypatch):
             {"video_key": "v_val000", "k": 3}, ctx2)
     assert r1["results"] == r2["results"]
     assert v1["results"] == v2["results"]
+    # the cache-hit gallery must be DEVICE-resident for every dtype: a
+    # host numpy gallery re-transfers to device on every query (review r5
+    # — the f32 hit path used to serve slower than a fresh encode)
+    import jax
+
+    assert isinstance(ctx2["retriever"].gallery, jax.Array)
+    assert isinstance(ctx2["retriever_text"].gallery, jax.Array)
 
     # touching a split input invalidates the fingerprint -> re-encode
     caps = os.path.join(str(root), "val_captions.json")
@@ -1349,3 +1356,76 @@ def test_maps_guard(monkeypatch):
 
     # real map counter works on this image
     assert serve_daemon._map_count() > 0
+
+
+def test_empty_query_list_rejected(ctx):
+    """all() is vacuously True on []: an empty query list used to crash
+    the bucket padder with IndexError instead of a clean validation error
+    (review r5)."""
+    r = serve_daemon._handle_request({"query": [], "k": 3, "id": 9}, ctx)
+    assert r.get("id") == 9
+    assert "non-empty" in r["error"]
+
+
+def test_bind_unix_refuses_regular_file(tmp_path):
+    """The stale-socket cleanup must never unlink a NON-socket path an
+    operator typo'd as --socket (review r5: connect() fails with ENOTSOCK
+    on a regular file too, which the stale branch read as removable)."""
+    victim = tmp_path / "gallery.npz"
+    victim.write_bytes(b"precious")
+    with pytest.raises(SystemExit, match="not a socket"):
+        serve_daemon._bind_unix(str(victim))
+    assert victim.read_bytes() == b"precious"
+
+
+def test_client_poisons_connection_after_timeout(tmp_path):
+    """A timed-out request's LATE reply must never be read as the answer
+    to the NEXT request: the wire protocol has no reply-to-request
+    correlation, so the client drops the connection on any mid-exchange
+    IO failure and reconnects fresh (review r5 — without this every call
+    after one timeout was silently off by one reply)."""
+    import socket as socketlib
+    import time as timelib
+
+    sock_path = str(tmp_path / "fake.sock")
+    srv = socketlib.socket(socketlib.AF_UNIX, socketlib.SOCK_STREAM)
+    srv.bind(sock_path)
+    srv.listen(2)
+
+    def server():
+        # connection 1: answer AFTER the client's timeout
+        c1, _ = srv.accept()
+        f1 = c1.makefile("rwb")
+        f1.readline()
+        timelib.sleep(1.0)
+        try:
+            f1.write(b'{"late": true}\n')
+            f1.flush()
+        except OSError:
+            pass
+        # connection 2: the poisoned client reconnected; answer promptly
+        c2, _ = srv.accept()
+        f2 = c2.makefile("rwb")
+        f2.readline()
+        f2.write(b'{"fresh": true}\n')
+        f2.flush()
+        for h in (f1, c1, f2, c2):
+            try:
+                h.close()
+            except OSError:
+                pass
+
+    from cmhse_tpu.client import ServeClient
+
+    t = threading.Thread(target=server, daemon=True)
+    t.start()
+    c = ServeClient(socket_path=sock_path, timeout=0.3)
+    with pytest.raises(OSError):  # socket.timeout
+        c.request({"op": "stats"})
+    # wait out the server's late write so it is blocked in accept() and
+    # the reconnected request is answered within the client timeout
+    timelib.sleep(1.2)
+    assert c.request({"op": "stats"}) == {"fresh": True}
+    c.close()
+    srv.close()
+    t.join(timeout=10)

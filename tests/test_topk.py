@@ -1018,3 +1018,50 @@ def test_unroll_cap_many_chunks_matches_dense():
     np.testing.assert_array_equal(np.asarray(si), np.asarray(di))
     np.testing.assert_allclose(np.asarray(ss), np.asarray(ds),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_retrieve_clamp_does_not_recompile_per_n_valid():
+    """retrieve()'s oversized-k clamp happens HOST-side: the device
+    program is keyed on the gallery SIZE (moves only on add/compact), not
+    on n_valid (moves on every remove) — a per-n_valid static k
+    recompiled the query program under churn (review r5). Also pins the
+    clamp contract: oversized k returns n_valid columns, valid rows
+    only."""
+    from cmhse_tpu.eval.serve import Retriever, _dense_topk
+
+    rng = np.random.RandomState(7)
+    n, d = 12, 16
+    r = Retriever.__new__(Retriever)  # embedding path: no model needed
+    r.model = r.params = None
+    r.mesh = None
+    r.quantize = False
+    r.rescore_m = None
+    r._prepared = None
+    r._prepared_shard_rows = None
+    r.side = "video"
+    r.gallery = jnp.asarray(rng.randn(n, d).astype(np.float32))
+    r.gallery_valid = jnp.ones(n, bool)
+    r._valid_host = np.ones(n, bool)
+    r.n_valid = n
+    r.gallery_keys = [f"v{i}" for i in range(n)]
+    r._key_rows = {k: [i] for i, k in enumerate(r.gallery_keys)}
+
+    q_emb = jnp.asarray(rng.randn(2, d).astype(np.float32))
+    r._encode_text = lambda params, w, wl, sl: q_emb
+    dummy = (np.zeros((2, 1, 4), np.int32), np.zeros((2, 1), np.int32),
+             np.ones(2, np.int32))
+
+    base = _dense_topk._cache_size()
+    s0, i0 = r.retrieve(*dummy, k=n)
+    assert i0.shape[1] == n
+    # oversized k across shrinking n_valid: SAME compiled program, and
+    # only valid rows surface in exactly n_valid columns
+    for drop in (1, 2, 3):
+        valid = np.arange(n) < n - drop
+        r.gallery_valid = jnp.asarray(valid)
+        r._valid_host = valid
+        r.n_valid = n - drop
+        scores, idx = r.retrieve(*dummy, k=n)
+        assert idx.shape[1] == n - drop
+        assert np.all(idx < n - drop)
+    assert _dense_topk._cache_size() == base + 1  # ONE program for all
