@@ -26,6 +26,12 @@ def main(argv=None) -> int:
                    help="write per-query JSONL (index/key/v2p_rank/p2v_rank) "
                         "for error analysis; identical across backends")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu", "axon"])
+
+    from cmhse_tpu.utils.compile_cache import add_cli_flag
+
+    add_cli_flag(p, "Re-evaluating checkpoints of the same config (the "
+                    "training-sweep pattern) skips the encode/rank "
+                    "compiles after the first run.")
     args = p.parse_args(argv)
 
     from cmhse_tpu.cli.train import _force_platform
@@ -46,6 +52,14 @@ def main(argv=None) -> int:
         # same call the train CLI makes (cli/train.py)
         maybe_initialize_distributed()
         mesh = make_mesh((-1,), ("data",))
+
+    # AFTER maybe_initialize_distributed: enable_from_cli's guard refuses
+    # under a live jax.distributed client (the CLAUDE.md multi-process
+    # deserialization hang), so pod runs stay uncached and single-process
+    # runs get the re-eval speedup
+    from cmhse_tpu.utils.compile_cache import enable_from_cli
+
+    enable_from_cli(args.compile_cache, "cmhse-eval")
 
     ks = tuple(int(k) for k in args.ks.split(","))
     with profiler_trace(args.profile_dir):

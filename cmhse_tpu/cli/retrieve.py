@@ -94,6 +94,12 @@ def main(argv=None) -> int:
     p.add_argument("--vocab_path", default=None,
                    help="default: vocab.json/vocab.pkl under the data dir")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu", "axon"])
+
+    from cmhse_tpu.utils.compile_cache import add_cli_flag
+
+    add_cli_flag(p, "A repeat invocation (the one-shot CLI pattern: same "
+                    "checkpoint, new queries) skips its multi-second "
+                    "encode/query compiles.")
     args = p.parse_args(argv)
 
     if not args.query and not args.query_video and not args.interactive:
@@ -107,6 +113,11 @@ def main(argv=None) -> int:
     from cmhse_tpu.cli.train import _force_platform
 
     _force_platform(args.platform)
+    # always single-process (the --connect path returned above); persists
+    # the encode + per-k query programs a repeat run would recompile
+    from cmhse_tpu.utils.compile_cache import enable_from_cli
+
+    enable_from_cli(args.compile_cache, "cmhse-retrieve")
 
     from cmhse_tpu.data import PrecompDataset, Vocabulary, batches_from_dataset
     from cmhse_tpu.eval.serve import Retriever

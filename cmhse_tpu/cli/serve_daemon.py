@@ -1172,14 +1172,12 @@ def main(argv=None) -> int:
                         "device call (adds up to MS latency per query, "
                         "multiplies concurrent-client throughput); "
                         "0 disables (default)")
-    p.add_argument("--compile_cache", default=None, metavar="DIR|off",
-                   help="persistent XLA compilation cache directory "
-                        "(default: ~/.cache/cmhse_tpu/jax_cache). A "
-                        "restarted daemon — or one whose executable "
-                        "caches were dropped by the map-count guard — "
-                        "re-warms its query buckets from disk in seconds "
-                        "instead of recompiling under the request lock. "
-                        "'off' disables")
+    from cmhse_tpu.utils.compile_cache import add_cli_flag
+
+    add_cli_flag(p, "A restarted daemon — or one whose executable caches "
+                    "were dropped by the map-count guard — re-warms its "
+                    "query buckets from disk in seconds instead of "
+                    "recompiling under the request lock.")
     p.add_argument("--platform", default=None, choices=["cpu", "tpu", "axon"])
     args = p.parse_args(argv)
     if (args.socket is None) == (args.tcp is None):
@@ -1205,17 +1203,14 @@ def main(argv=None) -> int:
     from cmhse_tpu.cli.train import _force_platform
 
     _force_platform(args.platform)
-    if args.compile_cache != "off":
-        # single-process daemon: safe per CLAUDE.md (the deserialized-
-        # executable hang is multi-PROCESS only; enable_compile_cache
-        # refuses by itself if a distributed client is somehow live).
-        # Must run BEFORE build_context — the startup encode and --warm
-        # compiles are exactly the programs worth persisting.
-        from cmhse_tpu.utils.compile_cache import enable_compile_cache
+    # single-process daemon: safe per CLAUDE.md (the deserialized-
+    # executable hang is multi-PROCESS only; enable_compile_cache refuses
+    # by itself if a distributed client is somehow live). Must run BEFORE
+    # build_context — the startup encode and --warm compiles are exactly
+    # the programs worth persisting.
+    from cmhse_tpu.utils.compile_cache import enable_from_cli
 
-        used = enable_compile_cache(args.compile_cache)
-        if used:
-            print(f"cmhse-serve: persistent compile cache at {used}")
+    enable_from_cli(args.compile_cache, "cmhse-serve")
     try:
         ctx = build_context(args.checkpoint, args.data_path, args.split,
                             vocab_path=args.vocab_path, sharded=args.sharded,

@@ -87,6 +87,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="force a JAX platform (tests/dev: cpu)")
     p.add_argument("--profile_dir", default=None,
                    help="wrap the run in a jax.profiler trace to this dir")
+    from cmhse_tpu.utils.compile_cache import add_cli_flag
+
+    add_cli_flag(p, "A restarted/resumed run (or a config-tweaked rerun "
+                    "sharing shapes) skips the multi-second train-step "
+                    "compile; ignored on multi-process runs (see "
+                    "utils/compile_cache.py).")
     p.add_argument("--synthetic", action="store_true",
                    help="train on the synthetic dataset (smoke/bench)")
     p.add_argument("--synthetic_videos", type=int, default=256)
@@ -211,6 +217,12 @@ def main(argv=None) -> int:
     from cmhse_tpu.train.loop import fit
 
     maybe_initialize_distributed()
+    # AFTER distributed init: enable_from_cli refuses under a live
+    # jax.distributed client (CLAUDE.md's multi-process deserialization
+    # hang) — single-process runs get the resume/rerun compile skip
+    from cmhse_tpu.utils.compile_cache import enable_from_cli
+
+    enable_from_cli(args.compile_cache, "cmhse-train")
 
     cfg = apply_overrides(get_preset(args.preset), args)
     print(f"config:\n{cfg.to_json()}")

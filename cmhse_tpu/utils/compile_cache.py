@@ -57,6 +57,40 @@ def _distributed_client_live() -> bool:
         return False
 
 
+def add_cli_flag(parser, benefit: str) -> None:
+    """Attach the shared ``--compile_cache DIR|off`` flag to a production
+    CLI's parser; ``benefit`` states what the cache buys *that* CLI (the
+    generic mechanics live here once)."""
+    parser.add_argument(
+        "--compile_cache", default=None, metavar="DIR|off",
+        help="persistent XLA compilation cache directory (default: "
+             "~/.cache/cmhse_tpu/jax_cache). " + benefit +
+             " 'off' disables")
+
+
+def enable_from_cli(compile_cache: str | None, prog: str) -> str | None:
+    """Wire a CLI's ``--compile_cache`` value through
+    :func:`enable_compile_cache`; returns the directory in use or None.
+
+    With no explicit directory, an ALREADY-configured process-level cache
+    wins: pytest's conftest and bench.py point the process at their own
+    fingerprinted cache *before* driving CLI mains in-process, and the
+    default kicking in mid-suite would silently redirect every later
+    compile. An explicit DIR always takes effect."""
+    if compile_cache == "off":
+        return None
+    if compile_cache is None:
+        import jax
+
+        current = getattr(jax.config, "jax_compilation_cache_dir", None)
+        if current:
+            return current
+    used = enable_compile_cache(compile_cache)
+    if used:
+        print(f"{prog}: persistent compile cache at {used}")
+    return used
+
+
 def enable_compile_cache(cache_dir: str | None = None,
                          min_compile_secs: float = 1.0) -> str | None:
     """Point jax at a persistent on-disk compilation cache; returns the

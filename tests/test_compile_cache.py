@@ -64,3 +64,54 @@ def test_cpu_platform_gets_fingerprinted_subdir(tmp_path):
     from cmhse_tpu.utils.compile_cache import host_cpu_fingerprint
 
     assert os.path.basename(out["dir"]) == f"cpu-{host_cpu_fingerprint()}"
+
+
+def test_enable_from_cli_off_and_already_configured(tmp_path):
+    """The CLI wiring: 'off' disables; the DEFAULT (no explicit dir) must
+    respect a process-level cache that is already configured — conftest
+    points this very suite at its own fingerprinted dir before dress
+    rehearsals drive CLI mains in-process, and the CLI default kicking in
+    would silently redirect every later compile in the process."""
+    import jax
+
+    from cmhse_tpu.utils.compile_cache import enable_from_cli
+
+    before = jax.config.jax_compilation_cache_dir
+    assert before, "suite conftest is expected to configure a cache"
+    assert enable_from_cli("off", "t") is None
+    assert jax.config.jax_compilation_cache_dir == before
+    assert enable_from_cli(None, "t") == before
+    assert jax.config.jax_compilation_cache_dir == before
+
+
+def test_enable_from_cli_explicit_dir_overrides(tmp_path):
+    """An explicit --compile_cache DIR always takes effect (restored after
+    the assertion — process-global config)."""
+    import jax
+
+    from cmhse_tpu.utils.compile_cache import (enable_from_cli,
+                                               host_cpu_fingerprint)
+
+    before = jax.config.jax_compilation_cache_dir
+    try:
+        used = enable_from_cli(str(tmp_path / "explicit"), "t")
+        # cpu-platform suite: the fingerprinted subdir policy applies
+        assert used == os.path.join(str(tmp_path / "explicit"),
+                                    f"cpu-{host_cpu_fingerprint()}")
+        assert jax.config.jax_compilation_cache_dir == used
+    finally:
+        jax.config.update("jax_compilation_cache_dir", before)
+
+
+def test_production_clis_expose_compile_cache_flag(capsys):
+    """Every production CLI (train/eval/retrieve/serve) carries the shared
+    --compile_cache flag; --help exits before any heavy work."""
+    import pytest
+
+    from cmhse_tpu.cli import evaluate, retrieve, serve_daemon, train
+
+    for mod in (train, evaluate, retrieve, serve_daemon):
+        with pytest.raises(SystemExit) as e:
+            mod.main(["--help"])
+        assert e.value.code == 0
+        assert "--compile_cache" in capsys.readouterr().out, mod.__name__
