@@ -164,7 +164,7 @@ def _compact(ctx: dict) -> dict:
             "valid_rows": r.n_valid}
 
 
-def _compact_online(ctx: dict) -> dict:
+def _compact_online(ctx: dict, only_above: float | None = None) -> dict:
     """ONLINE compaction: the expensive rebuild (`plan_compaction` — a
     measured ~11 s at 1M rows, PERFORMANCE.md CRUD table) runs OUTSIDE the
     request lock, so queries on other connections keep answering against
@@ -175,13 +175,29 @@ def _compact_online(ctx: dict) -> dict:
     compactions on ``ingest_lock`` (appends must not race a plan — the
     plan's length snapshot would go stale; removes MAY race — apply
     replays them onto the new forms). Callers must NOT hold the request
-    lock (same contract as :func:`_handle_add`)."""
+    lock (same contract as :func:`_handle_add`).
+
+    ``only_above``: auto-compaction passes its threshold so the invalid
+    fraction is RE-CHECKED after ``ingest_lock`` is acquired — every
+    remove that lands during an in-flight ~11 s plan still crossed the
+    threshold at its own commit time, and without the re-check each one
+    queued another full-gallery rebuild reclaiming only its few raced
+    rows (a convoy of back-to-back plans holding ``ingest_lock`` for
+    minutes — review r5). An explicit ``{"op": "compact"}`` passes None
+    and always compacts."""
     import threading
 
     import numpy as np
 
     with ctx.setdefault("ingest_lock", threading.Lock()):
         r = ctx["retriever"]
+        if only_above is not None and r.invalid_fraction <= only_above:
+            return {"compacted": 0,
+                    "gallery_rows": int(r.gallery.shape[0]),
+                    "valid_rows": r.n_valid,
+                    "note": "skipped: a compaction that finished while "
+                            "this request waited already reclaimed the "
+                            "tombstones"}
         # a text side built by a racing video_key request AFTER this read
         # simply stays uncompacted until the next compaction — it is
         # constructed from the startup encode with the removal ledger
@@ -358,7 +374,9 @@ def _handle_remove(req: dict, ctx: dict) -> dict:
         needs_compact = (thr is not None and removed
                          and ctx["retriever"].invalid_fraction > thr)
     if needs_compact:
-        out["auto_compaction"] = _compact_online(ctx)
+        # only_above: re-checked under ingest_lock so removes queued behind
+        # an in-flight compaction don't each rebuild the gallery again
+        out["auto_compaction"] = _compact_online(ctx, only_above=thr)
     return out
 
 

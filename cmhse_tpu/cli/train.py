@@ -140,6 +140,12 @@ def apply_overrides(cfg, args):
         # the flat model consumes one whole-video clip + the joined paragraph
         d["max_clips"] = 1
         d["max_sentences"] = 1
+        # ... and has no hierarchy to reconstruct: --flat on a recon preset
+        # (e.g. cmhse_full) must drop the recon term like it drops the caps
+        # above, not trip ModelConfig's reconstruction+flat rejection.
+        # An EXPLICIT --reconstruction still reaches the config error.
+        if args.reconstruction is None:
+            m["reconstruction"] = False
     if args.attention_pool is not None:
         m["attention_pool"] = args.attention_pool
     if args.reconstruction is not None:

@@ -154,10 +154,22 @@ class ExperimentConfig:
     @classmethod
     def from_json(cls, text: str) -> "ExperimentConfig":
         raw = json.loads(text)
+        model_raw = dict(raw.get("model", {}))
+        if (model_raw.get("reconstruction")
+                and not model_raw.get("hierarchical", True)):
+            # legacy config.json written before ModelConfig started
+            # REJECTING reconstruction+flat: back then the flag was
+            # silently ignored (the flat model has no hierarchy to
+            # reconstruct), so dropping it here restores the exact trained
+            # behavior instead of making the checkpoint unloadable
+            print("config: legacy flat+reconstruction config.json — "
+                  "reconstruction disabled (the flat model never had the "
+                  "recon term)")
+            model_raw["reconstruction"] = False
         return cls(
             name=raw.get("name", "default"),
             data=_make(DataConfig, raw.get("data", {})),
-            model=_make(ModelConfig, raw.get("model", {})),
+            model=_make(ModelConfig, model_raw),
             loss=_make(LossConfig, raw.get("loss", {})),
             train=_make(TrainConfig, raw.get("train", {})),
         )

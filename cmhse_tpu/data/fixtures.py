@@ -119,6 +119,13 @@ def splice_synthetic_gallery(ctx: dict, n: int, pad: int = 128,
     ctx["key_to_row"] = {k: i for i, k in enumerate(keys)}
     r.build_gallery(encoded=(jnp.asarray(v), jnp.asarray(v), valid, ids))
     ctx["retriever_text"] = None
+    # the startup build_text_side closure still closes over the ORIGINAL
+    # startup text encode (64 rows, ids into the OLD key table): letting a
+    # later video_key request consume it would resolve startup-row ids
+    # against the spliced v_syn key table — well-formed but WRONG names
+    # with no error (review r5). Drop it so the daemon's "text side
+    # unavailable" guard answers instead.
+    ctx["build_text_side"] = None
     ctx["added"].clear()
     ctx["removed_ids"].clear()
     ctx["removed_keys"].clear()

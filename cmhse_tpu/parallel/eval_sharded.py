@@ -380,51 +380,91 @@ def sharded_sim_topk(
     once per serving request, and building a fresh ``shard_map`` closure
     per call re-traced the program every request (review r5) — the pad +
     shard_map pipeline now compiles into one cached program per
-    (mesh, axis, k, stream, has_valid), retraced by jax only per concrete
-    shape.
+    (mesh, axis, k, stream, has_valid, n), retraced by jax only per
+    concrete shape. The GALLERY's pad + ``P(axis, None)`` placement is
+    also cached, per gallery array (:func:`_placed_padded_gallery`):
+    ``Retriever._search`` passes the same committed array on every
+    request, and both re-scattering it per call and the first cached-
+    program revision's replicated ``P()`` feed (ndev x the transfer AND
+    a full per-device copy — review r5) made every request pay gallery-
+    sized data movement.
     """
-    ndev = mesh.shape[axis]
     n = int(gallery.shape[0])
-    npad = n + ((-n) % ndev)
+    npad = n + ((-n) % mesh.shape[axis])
     # dispatch on the FULL gallery size, mirroring sharded_ranks: the dense
     # per-device block is [Q, npad/ndev] and the measured crossover was
     # calibrated against total-gallery scale
     from cmhse_tpu.ops.topk import should_stream_topk
 
     stream = should_stream_topk(npad, streaming)
-    program = _sim_topk_program(mesh, axis, k, stream, valid is not None)
-    args = _on_mesh(mesh, (queries, P(None, None)),
-                    (gallery, P(None, None)))
+    g_pad = _placed_padded_gallery(gallery, mesh, axis)
+    program = _sim_topk_program(mesh, axis, k, stream, valid is not None, n)
+    args = _on_mesh(mesh, (queries, P(None, None))) + (g_pad,)
     if valid is not None:
         args += _on_mesh(mesh, (valid, P(None)))
     return program(*args)
 
 
+_PLACED_GALLERY: dict = {}
+
+
+def _placed_padded_gallery(gallery, mesh, axis: str):
+    """Pad ``gallery`` to a device-divisible row count and place it
+    ``P(axis, None)`` on the mesh — cached per gallery ARRAY.
+
+    Serving calls :func:`sharded_sim_topk` with the same committed array
+    on every request (it changes only on add/compact), so the pad copy +
+    host-of-the-committed-device scatter must happen once, not per query.
+    Keyed by ``id`` with an identity re-check, evicted by a weakref
+    callback when the gallery array is collected (jax arrays are not
+    hashable, so no WeakKeyDictionary); the cache then never outlives the
+    one padded+sharded copy per LIVE gallery."""
+    import weakref
+
+    key = id(gallery)
+    ent = _PLACED_GALLERY.get(key)
+    if (ent is not None and ent[0]() is gallery and ent[1] is mesh
+            and ent[2] == axis):
+        return ent[3]
+    g_pad, _ = _pad_rows(gallery, mesh.shape[axis])
+    (g_pad,) = _on_mesh(mesh, (g_pad, P(axis, None)))
+    _PLACED_GALLERY[key] = (
+        weakref.ref(gallery, lambda _r, _k=key: _PLACED_GALLERY.pop(_k, None)),
+        mesh, axis, g_pad)
+    return g_pad
+
+
 @lru_cache(maxsize=None)
 def _sim_topk_program(mesh, axis: str, k: int, stream: bool,
-                      has_valid: bool):
+                      has_valid: bool, n: int):
     """Compiled-program cache for :func:`sharded_sim_topk` (same contract
     as :func:`_ranks_program`: holding the jitted object alive across
-    serving requests is what lets them reuse the executable)."""
+    serving requests is what lets them reuse the executable). ``n`` (the
+    UNPADDED row count) is a key because the gallery argument arrives
+    already padded — two gallery sizes can share a padded shape."""
     rep = NamedSharding(mesh, P())
     if has_valid:
-        def fn(q, gallery, valid):
-            return _sharded_sim_topk_impl(q, gallery, mesh, axis, k,
-                                          valid, stream)
+        def fn(q, g_pad, valid):
+            return _sharded_sim_topk_impl(q, g_pad, mesh, axis, k,
+                                          valid, stream, n)
     else:
-        def fn(q, gallery):
-            return _sharded_sim_topk_impl(q, gallery, mesh, axis, k,
-                                          None, stream)
+        def fn(q, g_pad):
+            return _sharded_sim_topk_impl(q, g_pad, mesh, axis, k,
+                                          None, stream, n)
     return jax.jit(fn, out_shardings=(rep, rep))
 
 
-def _sharded_sim_topk_impl(queries, gallery, mesh, axis, k, valid, stream):
+def _sharded_sim_topk_impl(queries, g_pad, mesh, axis, k, valid, stream, n):
     """Traced body of :func:`sharded_sim_topk` (always runs under the
-    cached jit of :func:`_sim_topk_program`)."""
-    ndev = mesh.shape[axis]
-    # device-resident galleries keep padding rows in place; they must
-    # never surface in a top-k
-    g_pad, gallery_valid, _ = _pad_gallery_valid(gallery, ndev, valid)
+    cached jit of :func:`_sim_topk_program`); ``g_pad`` arrives padded
+    and ``P(axis, None)``-sharded from :func:`_placed_padded_gallery`."""
+    npad = int(g_pad.shape[0])
+    # padded rows (and caller-tombstoned ones) must never surface in a
+    # top-k; the [npad] mask is rebuilt in-program — it is tiny, and the
+    # VALID mask changes on every remove while the gallery does not
+    gallery_valid = jnp.arange(npad) < n
+    if valid is not None:
+        gallery_valid = gallery_valid & jnp.pad(valid, (0, npad - n))
 
     @partial(
         shard_map,

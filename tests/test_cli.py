@@ -122,3 +122,37 @@ def test_vocab_cli_data_name_subdirectory(tmp_path):
     with pytest.raises(SystemExit, match="SUBDIRECTORY"):
         vocab_main(["--data_path", str(tmp_path),
                     "--data_name", "nope", "--threshold", "1"])
+
+
+def test_flat_override_clears_reconstruction():
+    """--flat on a reconstruction preset must drop the recon term along
+    with the hierarchy caps it already drops — not trip ModelConfig's
+    reconstruction+flat rejection (review r5: the flat-ablation flag
+    combination `--preset cmhse_full --flat` raised at config build)."""
+    cfg = _cfg(["--preset", "cmhse_full", "--flat"])
+    assert cfg.model.hierarchical is False
+    assert cfg.model.reconstruction is False
+
+
+def test_flat_with_explicit_reconstruction_still_rejected():
+    """An EXPLICIT --reconstruction alongside --flat is a real config
+    error and must keep failing loud."""
+    with pytest.raises(ValueError, match="hierarchical"):
+        _cfg(["--preset", "cmhse_full", "--flat", "--reconstruction"])
+
+
+def test_legacy_flat_reconstruction_config_json_loads():
+    """config.json written in the era when reconstruction+flat was
+    silently IGNORED must stay loadable: the flat model never had the
+    recon term, so dropping the flag on load reproduces the trained
+    behavior instead of making the checkpoint unrestorable (review r5)."""
+    import json as _json
+
+    from cmhse_tpu.config import ExperimentConfig
+
+    raw = _json.loads(get_preset("cmhse_full").to_json())
+    raw["model"]["hierarchical"] = False
+    raw["model"]["reconstruction"] = True
+    loaded = ExperimentConfig.from_json(_json.dumps(raw))
+    assert loaded.model.reconstruction is False
+    assert loaded.model.hierarchical is False

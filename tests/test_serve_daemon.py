@@ -1429,3 +1429,41 @@ def test_client_poisons_connection_after_timeout(tmp_path):
     c.close()
     srv.close()
     t.join(timeout=10)
+
+
+def test_auto_compaction_rechecks_threshold_under_ingest_lock(
+        tmp_path_factory, monkeypatch):
+    """Removes queued behind an in-flight auto-compaction each crossed the
+    threshold at their own commit time; _compact_online must re-check the
+    invalid fraction AFTER acquiring ingest_lock and skip when a finished
+    compaction already reclaimed the tombstones — without the re-check a
+    steady remove stream produced a convoy of back-to-back full-gallery
+    rebuilds (review r5)."""
+    from cmhse_tpu.eval.serve import Retriever
+
+    root, ckpt_dir = _fixture_run(tmp_path_factory, "convoy")
+    pctx = serve_daemon.build_context(ckpt_dir, str(root), "val",
+                                      compact_threshold=0.25)
+    r = serve_daemon._handle_request(
+        {"op": "remove", "keys": VAL_KEYS[:3]}, pctx)
+    assert r["auto_compaction"]["compacted"] >= 3
+    assert pctx["compactions"] == 1
+
+    # the queued remove's auto-compaction leg: threshold crossed at ITS
+    # commit time, but the fraction is back under it now — a second
+    # rebuild must not even be planned
+    def no_second_plan(self):
+        raise AssertionError("redundant rebuild: plan_compaction ran "
+                             "after the fraction fell below threshold")
+
+    monkeypatch.setattr(Retriever, "plan_compaction", no_second_plan)
+    out = serve_daemon._compact_online(pctx, only_above=0.25)
+    assert out["compacted"] == 0
+    assert "skipped" in out["note"]
+    assert pctx["compactions"] == 1  # counter untouched
+
+    # an explicit {"op": "compact"} always compacts (plan runs; restore
+    # the real method so the identity-plan path is exercised)
+    monkeypatch.undo()
+    out = serve_daemon._handle_request({"op": "compact"}, pctx)
+    assert out["compacted"] == 0 and "note" not in out

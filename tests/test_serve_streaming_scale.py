@@ -33,6 +33,16 @@ def test_daemon_streaming_scale(tmp_path_factory, tmp_path):
     splice_synthetic_gallery(ctx, N_ROWS, pad=N_PAD)
     r = ctx["retriever"]
 
+    # the splice dropped the STARTUP text-side closure: letting a
+    # video_key request consume it would resolve startup-row ids against
+    # the spliced v_syn key table — well-formed but wrong names (review
+    # r5). The guard error must answer instead.
+    from test_serve_daemon import VAL_KEYS
+
+    vk = serve_daemon._handle_request({"video_key": VAL_KEYS[0], "k": 1},
+                                      ctx)
+    assert "text side unavailable" in vk.get("error", ""), vk
+
     # the whole point: the daemon is now past the streaming threshold and
     # serving from the pre-chunked form
     assert N_ROWS >= STREAMING_GALLERY_MIN

@@ -510,3 +510,39 @@ def test_prepared_pytree_committed_single_device(mesh):
     want = np.argsort(-np.asarray(jnp.dot(v, p.T)), axis=1,
                       kind="stable")[:, :5]
     np.testing.assert_array_equal(np.asarray(i), want)
+
+
+def test_sharded_gallery_placed_sharded_and_cached(mesh):
+    """The serving gallery must enter the cached top-k program SHARDED
+    (P(axis, None)) with its pad+scatter done ONCE per gallery array — the
+    first cached-program revision fed it replicated (P()), which moved
+    ndev x the data and held a full per-device gallery copy on every
+    request (review r5). Odd row count exercises the pad path; results
+    stay dense-identical."""
+    from jax.sharding import PartitionSpec as P
+
+    from cmhse_tpu.parallel.eval_sharded import (_PLACED_GALLERY,
+                                                 _placed_padded_gallery)
+
+    v, p = _embs(21, 16, seed=13)  # 21 % 8 != 0 -> padded to 24
+    g1 = _placed_padded_gallery(p, mesh, "data")
+    assert g1.sharding.spec == P("data", None)
+    assert g1.shape[0] % mesh.shape["data"] == 0
+    # repeat lookup: the SAME placed array (no second pad/scatter)
+    assert _placed_padded_gallery(p, mesh, "data") is g1
+    assert id(p) in _PLACED_GALLERY
+
+    s, i = sharded_sim_topk(v, p, 4, mesh)
+    want = np.argsort(-np.asarray(jnp.dot(v, p.T)), axis=1,
+                      kind="stable")[:, :4]
+    np.testing.assert_array_equal(np.asarray(i), want)
+
+    # eviction: when the gallery array dies, the cache entry dies with it
+    # (the weakref callback) — a leaked placed copy per swapped gallery
+    # would defeat compaction's memory reclaim
+    key = id(p)
+    del p, g1
+    import gc
+
+    gc.collect()
+    assert key not in _PLACED_GALLERY
