@@ -47,15 +47,21 @@ def _pad_rows(x: Array, multiple: int) -> tuple[Array, int]:
 
 def _pad_gallery_valid(gallery, ndev, valid):
     """Pad rows to a multiple of ndev and fold caller validity into the
-    padding mask — the one place the subtle padded-row arithmetic lives
-    (shared by sharded_ranks / sharded_sim_topk / the prepared variant)."""
+    padding mask (shared by sharded_ranks and the prepared variant;
+    sharded_sim_topk caches its padded gallery separately and builds the
+    mask via :func:`_padded_valid_mask` — the arithmetic lives there)."""
     g_pad, n = _pad_rows(gallery, ndev)
     npad = g_pad.shape[0]
-    gallery_valid = jnp.arange(npad) < n
+    return g_pad, _padded_valid_mask(npad, n, valid), npad
+
+
+def _padded_valid_mask(npad: int, n: int, valid):
+    """The one home of the padded-row validity arithmetic: rows past the
+    true count ``n`` are padding (never valid); caller tombstones fold in."""
+    mask = jnp.arange(npad) < n
     if valid is not None:
-        valid_pad, _ = _pad_rows(valid, ndev)
-        gallery_valid = gallery_valid & valid_pad
-    return g_pad, gallery_valid, npad
+        mask = mask & jnp.pad(valid, (0, npad - n))
+    return mask
 
 
 def _on_mesh(mesh, *pairs):
@@ -398,10 +404,15 @@ def sharded_sim_topk(
 
     stream = should_stream_topk(npad, streaming)
     g_pad = _placed_padded_gallery(gallery, mesh, axis)
-    program = _sim_topk_program(mesh, axis, k, stream, valid is not None, n)
+    # the [npad] validity mask is built EAGERLY (two trivial ops) so the
+    # compiled program is keyed by padded shape alone: n moves on every
+    # few-row add while npad moves once per ndev rows, and keying the
+    # program on n compiled a fresh multi-second program per ingest step
+    # (and grew the lru cache without bound — review r5)
+    mask = _padded_valid_mask(npad, n, valid)
+    program = _sim_topk_program(mesh, axis, k, stream)
     args = _on_mesh(mesh, (queries, P(None, None))) + (g_pad,)
-    if valid is not None:
-        args += _on_mesh(mesh, (valid, P(None)))
+    args += _on_mesh(mesh, (mask, P(None)))
     return program(*args)
 
 
@@ -428,6 +439,13 @@ def _placed_padded_gallery(gallery, mesh, axis: str):
         return ent[3]
     g_pad, _ = _pad_rows(gallery, mesh.shape[axis])
     (g_pad,) = _on_mesh(mesh, (g_pad, P(axis, None)))
+    if g_pad is gallery:
+        # already divisible AND already sharded as required: pad and
+        # device_put were both identity no-ops, so there is nothing to
+        # amortize — and caching would store a STRONG ref to the gallery
+        # in its own entry, defeating the weakref eviction and pinning
+        # every swapped-out gallery for process lifetime (review r5)
+        return g_pad
     _PLACED_GALLERY[key] = (
         weakref.ref(gallery, lambda _r, _k=key: _PLACED_GALLERY.pop(_k, None)),
         mesh, axis, g_pad)
@@ -435,36 +453,28 @@ def _placed_padded_gallery(gallery, mesh, axis: str):
 
 
 @lru_cache(maxsize=None)
-def _sim_topk_program(mesh, axis: str, k: int, stream: bool,
-                      has_valid: bool, n: int):
+def _sim_topk_program(mesh, axis: str, k: int, stream: bool):
     """Compiled-program cache for :func:`sharded_sim_topk` (same contract
     as :func:`_ranks_program`: holding the jitted object alive across
-    serving requests is what lets them reuse the executable). ``n`` (the
-    UNPADDED row count) is a key because the gallery argument arrives
-    already padded — two gallery sizes can share a padded shape."""
+    serving requests is what lets them reuse the executable). The key is
+    intentionally free of any row count — the entry point folds n and the
+    caller tombstones into the eager [npad] mask, so two gallery sizes
+    sharing a padded shape share one program."""
     rep = NamedSharding(mesh, P())
-    if has_valid:
-        def fn(q, g_pad, valid):
-            return _sharded_sim_topk_impl(q, g_pad, mesh, axis, k,
-                                          valid, stream, n)
-    else:
-        def fn(q, g_pad):
-            return _sharded_sim_topk_impl(q, g_pad, mesh, axis, k,
-                                          None, stream, n)
+
+    def fn(q, g_pad, gallery_valid):
+        return _sharded_sim_topk_impl(q, g_pad, mesh, axis, k,
+                                      gallery_valid, stream)
+
     return jax.jit(fn, out_shardings=(rep, rep))
 
 
-def _sharded_sim_topk_impl(queries, g_pad, mesh, axis, k, valid, stream, n):
+def _sharded_sim_topk_impl(queries, g_pad, mesh, axis, k, gallery_valid,
+                           stream):
     """Traced body of :func:`sharded_sim_topk` (always runs under the
     cached jit of :func:`_sim_topk_program`); ``g_pad`` arrives padded
-    and ``P(axis, None)``-sharded from :func:`_placed_padded_gallery`."""
-    npad = int(g_pad.shape[0])
-    # padded rows (and caller-tombstoned ones) must never surface in a
-    # top-k; the [npad] mask is rebuilt in-program — it is tiny, and the
-    # VALID mask changes on every remove while the gallery does not
-    gallery_valid = jnp.arange(npad) < n
-    if valid is not None:
-        gallery_valid = gallery_valid & jnp.pad(valid, (0, npad - n))
+    and ``P(axis, None)``-sharded from :func:`_placed_padded_gallery`,
+    ``gallery_valid`` as the eager [npad] padding+tombstone mask."""
 
     @partial(
         shard_map,

@@ -72,11 +72,17 @@ def enable_from_cli(compile_cache: str | None, prog: str) -> str | None:
     """Wire a CLI's ``--compile_cache`` value through
     :func:`enable_compile_cache`; returns the directory in use or None.
 
-    With no explicit directory, an ALREADY-configured process-level cache
-    wins: pytest's conftest and bench.py point the process at their own
-    fingerprinted cache *before* driving CLI mains in-process, and the
-    default kicking in mid-suite would silently redirect every later
-    compile. An explicit DIR always takes effect."""
+    With no explicit directory, a cache dir ALREADY configured
+    in-process wins: pytest's conftest and bench.py point the process at
+    their own fingerprinted cache *before* driving CLI mains in-process,
+    and the default kicking in mid-suite would silently redirect every
+    later compile. A dir merely inherited from the
+    ``JAX_COMPILATION_CACHE_DIR`` env var is NOT authoritative the same
+    way — it names the user's cache ROOT, so it is routed through
+    :func:`enable_compile_cache` to pick up the CPU host-fingerprint
+    subdir (sharing one flat dir across differing-ISA hosts is the
+    segfault the fingerprint exists to prevent — review r5). An explicit
+    DIR always takes effect."""
     if compile_cache == "off":
         return None
     if compile_cache is None:
@@ -84,7 +90,9 @@ def enable_from_cli(compile_cache: str | None, prog: str) -> str | None:
 
         current = getattr(jax.config, "jax_compilation_cache_dir", None)
         if current:
-            return current
+            if current != os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+                return current  # set programmatically in-process
+            compile_cache = current  # env-var root: apply hardening below
     used = enable_compile_cache(compile_cache)
     if used:
         print(f"{prog}: persistent compile cache at {used}")

@@ -115,3 +115,30 @@ def test_production_clis_expose_compile_cache_flag(capsys):
             mod.main(["--help"])
         assert e.value.code == 0
         assert "--compile_cache" in capsys.readouterr().out, mod.__name__
+
+
+def test_enable_from_cli_env_var_dir_gets_fingerprint_subdir(monkeypatch):
+    """A cache dir merely inherited from JAX_COMPILATION_CACHE_DIR names
+    the user's cache ROOT — the CLI wiring must still route it through
+    enable_compile_cache so the CPU host-fingerprint subdir applies
+    (one flat dir shared across differing-ISA hosts deserializes
+    wrong-ISA XLA:CPU executables — review r5); only a dir set
+    PROGRAMMATICALLY in-process (conftest/bench) is respected as-is."""
+    import tempfile
+
+    import jax
+
+    from cmhse_tpu.utils.compile_cache import (enable_from_cli,
+                                               host_cpu_fingerprint)
+
+    before = jax.config.jax_compilation_cache_dir
+    with tempfile.TemporaryDirectory() as root:
+        monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", root)
+        try:
+            jax.config.update("jax_compilation_cache_dir", root)
+            used = enable_from_cli(None, "t")
+            assert used == os.path.join(root,
+                                        f"cpu-{host_cpu_fingerprint()}")
+            assert jax.config.jax_compilation_cache_dir == used
+        finally:
+            jax.config.update("jax_compilation_cache_dir", before)

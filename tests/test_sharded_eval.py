@@ -546,3 +546,47 @@ def test_sharded_gallery_placed_sharded_and_cached(mesh):
 
     gc.collect()
     assert key not in _PLACED_GALLERY
+
+
+def test_placed_gallery_identity_not_cached(mesh):
+    """When pad AND placement are both identity no-ops (divisible rows,
+    already P(axis, None)-sharded), _placed_padded_gallery must NOT cache:
+    the entry would hold a strong ref to the gallery itself, its weakref
+    eviction could never fire, and every swapped-out gallery would stay
+    pinned for process lifetime (review r5)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from cmhse_tpu.parallel.eval_sharded import (_PLACED_GALLERY,
+                                                 _placed_padded_gallery)
+
+    _, p = _embs(24, 16, seed=21)  # 24 % 8 == 0
+    p = jax.device_put(p, NamedSharding(mesh, P("data", None)))
+    g = _placed_padded_gallery(p, mesh, "data")
+    assert g is p  # nothing to amortize
+    assert id(p) not in _PLACED_GALLERY
+
+    # and the full entry point still answers dense-identically
+    v, _ = _embs(24, 16, seed=22)
+    s, i = sharded_sim_topk(v, p, 4, mesh)
+    want = np.argsort(-np.asarray(jnp.dot(v, p.T)), axis=1,
+                      kind="stable")[:, :4]
+    np.testing.assert_array_equal(np.asarray(i), want)
+
+
+def test_sim_topk_program_not_keyed_on_row_count(mesh):
+    """The serving program must be keyed by PADDED shape, not the exact
+    row count: under continuous ingest n moves by a few rows per add
+    while npad moves once per ndev rows, and keying on n compiled a
+    fresh program (multi-second through the remote-compile relay) per
+    ingest step and grew the program cache without bound (review r5)."""
+    from cmhse_tpu.parallel.eval_sharded import _sim_topk_program
+
+    v1, p1 = _embs(22, 16, seed=23)  # both pad to 24
+    v2, p2 = _embs(23, 16, seed=24)
+    sharded_sim_topk(v1, p1, 4, mesh)
+    misses = _sim_topk_program.cache_info().misses
+    s2, i2 = sharded_sim_topk(v2, p2, 4, mesh)
+    assert _sim_topk_program.cache_info().misses == misses
+    want = np.argsort(-np.asarray(jnp.dot(v2, p2.T)), axis=1,
+                      kind="stable")[:, :4]
+    np.testing.assert_array_equal(np.asarray(i2), want)
